@@ -1,0 +1,128 @@
+"""Per-stage / per-partition checkpointing with lineage + metrics.
+
+Stage boundary = a parquet directory plus a JSON manifest and a ``_SUCCESS``
+sidecar::
+
+    out/<stage>/                     # stage-level checkpoint
+      *.parquet
+      _MANIFEST.json                 # config hash, rows, wall time, lineage
+      _SUCCESS
+    out/<stage>/shard=<k>/           # sharded stage: per-partition manifests
+      *.parquet
+      _MANIFEST.json
+      _SUCCESS
+
+On resume, a stage (or shard) whose ``_SUCCESS`` exists *and* whose manifest
+config hash matches is read back with ``read_parquet`` instead of recomputed
+— the Ray-idiomatic strengthening of the reference's graph-exists idempotence
+gate (``graphalytics_importer.py:168-171``) to per-partition granularity.
+
+Writes are atomic: data lands in ``<dir>.tmp`` and is renamed into place
+before ``_SUCCESS`` is written, so a killed run never leaves a half-written
+checkpoint that looks complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import ray.data
+
+
+class CheckpointStore:
+    def __init__(self, root: str, config_hash: str):
+        self.root = root
+        self.config_hash = config_hash
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def stage_dir(self, stage: str, shard: int | None = None) -> str:
+        d = os.path.join(self.root, stage)
+        if shard is not None:
+            d = os.path.join(d, f"shard={shard:05d}")
+        return d
+
+    def is_done(self, stage: str, shard: int | None = None) -> bool:
+        d = self.stage_dir(stage, shard)
+        success = os.path.join(d, "_SUCCESS")
+        manifest = os.path.join(d, "_MANIFEST.json")
+        if not (os.path.exists(success) and os.path.exists(manifest)):
+            return False
+        try:
+            with open(manifest) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return meta.get("config_hash") == self.config_hash
+
+    # ------------------------------------------------------------ write
+    def write_stage(self, stage: str, ds: ray.data.Dataset,
+                    shard: int | None = None,
+                    lineage: dict | None = None,
+                    metrics: dict | None = None) -> str:
+        d = self.stage_dir(stage, shard)
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        t0 = time.monotonic()
+        ds.write_parquet(tmp)
+        wall = time.monotonic() - t0
+        n_files = len([f for f in os.listdir(tmp) if f.endswith(".parquet")])
+        rows = _count_rows(tmp)
+        os.rename(tmp, d)
+        with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+            json.dump({
+                "stage": stage,
+                "shard": shard,
+                "config_hash": self.config_hash,
+                "rows": rows,
+                "files": n_files,
+                "write_wall_sec": round(wall, 3),
+                "lineage": lineage or {},
+                "metrics": metrics or {},
+            }, f, indent=1)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("")
+        return d
+
+    # ------------------------------------------------------------ read
+    def read_stage(self, stage: str, shard: int | None = None) -> ray.data.Dataset:
+        return ray.data.read_parquet(self.stage_dir(stage, shard))
+
+    def read_all_shards(self, stage: str) -> ray.data.Dataset:
+        base = os.path.join(self.root, stage)
+        dirs = sorted(
+            os.path.join(base, d) for d in os.listdir(base)
+            if d.startswith("shard="))
+        return ray.data.read_parquet(dirs)
+
+    def manifest(self, stage: str, shard: int | None = None) -> dict:
+        with open(os.path.join(self.stage_dir(stage, shard),
+                               "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    def manifests(self) -> list[dict]:
+        """All manifests under the store — the job-status surface
+        (the analogue of the reference's Pregel status polling,
+        ``start_Pregel.py:60-80``)."""
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            if "_MANIFEST.json" in filenames:
+                with open(os.path.join(dirpath, "_MANIFEST.json")) as f:
+                    out.append(json.load(f))
+        return out
+
+
+def _count_rows(parquet_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(parquet_dir):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(parquet_dir, f)).num_rows
+    return total

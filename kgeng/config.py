@@ -1,0 +1,82 @@
+"""Pipeline configuration dataclasses.
+
+The reference's runtime-dynamic attribute names (``--smart_attribute``,
+``--additional_vertex_attribute``, ``--edge_attribute`` — reference
+``arguments.py:42-43,106-110``) become explicit config resolved once at
+pipeline build time, never per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class SmartGraphConfig:
+    """Output-contract knobs, mirroring the reference's smart-graph layout.
+
+    Layouts per reference ``vertices_generator.py:24-41`` and
+    ``graphalytics_importer.py:87,93``; ``_id`` formats per
+    ``vertices_generator.py:149-160``.
+    """
+
+    graph_name: str = "kg"
+    vertex_coll: str = "entities"
+    edge_coll: str = "triples"
+    smart_attribute: str = "entity_id"
+    is_smart: bool = True
+    num_shards: int = 32
+    replication_factor: int = 1
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    """Mention-detection knobs (gazetteer + regex detectors)."""
+
+    # regex detectors: name -> pattern (compiled once per actor/task)
+    regex_detectors: tuple[tuple[str, str], ...] = (
+        ("DATE", r"\b\d{4}-\d{2}-\d{2}\b"),
+        ("EMAIL", r"\b[\w.+-]+@[\w-]+\.[\w.]+\b"),
+        ("ID", r"\b[A-Z]{3}-\d+\b"),
+    )
+    case_sensitive: bool = True
+
+
+@dataclass(frozen=True)
+class BlockConfig:
+    """MinHash-LSH blocking knobs."""
+
+    num_perm: int = 64
+    num_bands: int = 32  # rows per band = num_perm // num_bands; r=2 keeps
+    # recall ~1.0 down to Jaccard ~0.5 (single-char-typo aliases); the
+    # Jaccard verify step filters the extra band collisions
+    shingle_k: int = 3  # character shingles
+    max_band_group: int = 256  # cap group size; larger bands are dropped with a log
+    jaccard_threshold: float = 0.45  # verify threshold for candidate pairs
+
+
+@dataclass(frozen=True)
+class CanonicalizeConfig:
+    hot_key_salt: int = 16  # number of salt buckets for hot canon keys
+    hot_key_threshold: int = 5000  # rows per key above which we salt
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    seed: int = 20260817
+    smart: SmartGraphConfig = field(default_factory=SmartGraphConfig)
+    detect: DetectConfig = field(default_factory=DetectConfig)
+    block: BlockConfig = field(default_factory=BlockConfig)
+    canon: CanonicalizeConfig = field(default_factory=CanonicalizeConfig)
+    # execution
+    detect_batch_size: int = 1024
+    link_batch_size: int = 4096
+    link_concurrency: int = 4
+
+    def config_hash(self) -> str:
+        """Stable hash of the config — part of every checkpoint manifest."""
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]

@@ -1,0 +1,95 @@
+"""Graph materialization — vertices/edges collections in the reference's
+smart-graph document layout, as partitioned parquet plus a ``graph.json``
+manifest (the DDL analogue of ``general.py:51-108``).
+
+Layouts (see FIXTURES.md §4):
+
+- vertex, smart:            ``{<smart_attr>: v, "_key": f"{v}:{v}", "part": p}``
+  (graphalytics_importer.py:87,93; vertices_generator.py:24-28)
+- edge:                     ``{"_from": "<vcoll>/<smart>:<id>", "_to": ...,
+  [<attr>: "<str>"]}`` — attribute value stored as *string*
+  (edges_generator.py:26-29,44-47; weight-as-string per edge_list.py:33)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kgeng.config import SmartGraphConfig
+from kgeng.ops import keys
+
+
+def entities_to_vertices(entities: ray.data.Dataset,
+                         cfg: SmartGraphConfig) -> ray.data.Dataset:
+    """entities(entity_id, ent_type, ...) -> vertex docs."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        eid = batch["entity_id"]
+        return pa.table({
+            cfg.smart_attribute: eid,
+            "_key": keys.smart_key(eid.combine_chunks()),
+            "part": batch["ent_type"] if "ent_type" in batch.column_names
+            else pa.nulls(len(batch), pa.string()),
+        })
+
+    return entities.map_batches(project, batch_format="pyarrow")
+
+
+def triples_to_edges(triples: ray.data.Dataset,
+                     cfg: SmartGraphConfig) -> ray.data.Dataset:
+    """triples(subj, pred, obj, doc_id, confidence) -> edge docs.
+
+    ``pred`` becomes an edge attribute; confidence is stringified (the
+    reference stores all edge attributes as strings)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        subj = batch["subj"].combine_chunks()
+        obj = batch["obj"].combine_chunks()
+        return pa.table({
+            "_from": keys.idx_to_smart_vertex(cfg.vertex_coll, subj),
+            "_to": keys.idx_to_smart_vertex(cfg.vertex_coll, obj),
+            "pred": batch["pred"],
+            "doc_id": batch["doc_id"],
+            "confidence": pc.cast(batch["confidence"], pa.string()),
+        })
+
+    return triples.map_batches(project, batch_format="pyarrow")
+
+
+def write_graph(out_dir: str, vertices: ray.data.Dataset,
+                edges: ray.data.Dataset, cfg: SmartGraphConfig,
+                overwrite: bool = True) -> dict:
+    """Materialize both collections + manifest. Vertices are written before
+    edges — the reference's ordering invariant
+    (graphalytics_importer.py:173-175; edge_list.py:50-51)."""
+    manifest_path = os.path.join(out_dir, "graph.json")
+    if os.path.exists(manifest_path) and not overwrite:
+        with open(manifest_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    vdir = os.path.join(out_dir, cfg.vertex_coll)
+    edir = os.path.join(out_dir, cfg.edge_coll)
+    for d in (vdir, edir):
+        if os.path.exists(d):
+            import shutil
+
+            shutil.rmtree(d)
+    vertices.write_parquet(vdir)
+    edges.write_parquet(edir)
+    manifest = {
+        "graph_name": cfg.graph_name,
+        "vertex_collection": cfg.vertex_coll,
+        "edge_collection": cfg.edge_coll,
+        "is_smart": cfg.is_smart,
+        "smart_attribute": cfg.smart_attribute,
+        "number_of_shards": cfg.num_shards,
+        "replication_factor": cfg.replication_factor,
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

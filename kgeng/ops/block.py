@@ -1,0 +1,140 @@
+"""MinHash-LSH blocking over mention surfaces.
+
+shingle(char k-grams) -> minhash (vectorized numpy permutations) ->
+band keys -> ``groupby(band)`` -> candidate pairs -> Jaccard verify.
+
+Only *unique surfaces* (∪ gazetteer surfaces) enter this stage — orders of
+magnitude smaller than the corpus — so the band ``groupby`` shuffle is cheap
+by construction even at 10^12-doc scale; the heavy corpus never shuffles.
+
+All hashing is content-keyed (crc32 + fixed odd multipliers), never Python's
+randomized ``hash()``, so bands are identical across processes and runs.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from kgeng.config import BlockConfig
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_tables(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def shingle_hashes(surface: str, k: int) -> np.ndarray:
+    """Distinct crc32 hashes of the char k-grams of the lowercased surface."""
+    s = surface.lower()
+    if len(s) < k:
+        grams = {s}
+    else:
+        grams = {s[i:i + k] for i in range(len(s) - k + 1)}
+    return np.fromiter((zlib.crc32(g.encode()) for g in grams),
+                       dtype=np.int64, count=len(grams))
+
+
+def minhash_batch(surfaces: list[str], cfg: BlockConfig) -> np.ndarray:
+    """(n, num_perm) uint64 minhash signatures, vectorized via reduceat."""
+    a, b = _perm_tables(cfg.num_perm)
+    hashes, bounds = [], [0]
+    for s in surfaces:
+        h = shingle_hashes(s, cfg.shingle_k)
+        hashes.append(h)
+        bounds.append(bounds[-1] + len(h))
+    if not surfaces:
+        return np.zeros((0, cfg.num_perm), dtype=np.uint64)
+    x = np.concatenate(hashes)  # (M,)
+    # (M, P) permuted values mod mersenne prime
+    pm = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    sig = np.minimum.reduceat(pm, bounds[:-1], axis=0)
+    return sig.astype(np.uint64)
+
+
+def band_keys(sig: np.ndarray, cfg: BlockConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse each band's rows into one uint64 key. Returns
+    (band_idx[n*B], band_hash[n*B]) row-major per surface."""
+    n, p = sig.shape
+    rows = p // cfg.num_bands
+    sig3 = sig.reshape(n, cfg.num_bands, rows)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros((n, cfg.num_bands), dtype=np.uint64)
+    for r in range(rows):
+        acc = (acc * mult) ^ sig3[:, :, r]
+    band_idx = np.tile(np.arange(cfg.num_bands, dtype=np.int32), n)
+    return band_idx, acc.reshape(-1)
+
+
+class BandEmitter:
+    """surfaces batch -> (surface, is_gaz, band_idx, band_hash) rows."""
+
+    def __init__(self, cfg: BlockConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        is_gaz = batch["is_gaz"].to_pylist()
+        sig = minhash_batch(surfaces, self.cfg)
+        band_idx, band_hash = band_keys(sig, self.cfg)
+        B = self.cfg.num_bands
+        return pa.table({
+            "surface": pa.array(np.repeat(surfaces, B), pa.string()),
+            "is_gaz": pa.array(np.repeat(is_gaz, B), pa.bool_()),
+            "band_idx": pa.array(band_idx, pa.int32()),
+            "band_hash": pa.array(band_hash, pa.uint64()),
+        })
+
+
+def jaccard(a: str, b: str, k: int) -> float:
+    ha = set(shingle_hashes(a, k).tolist())
+    hb = set(shingle_hashes(b, k).tolist())
+    inter = len(ha & hb)
+    return inter / (len(ha) + len(hb) - inter) if (ha or hb) else 0.0
+
+
+def candidate_pairs(surfaces: ray.data.Dataset,
+                    cfg: BlockConfig) -> ray.data.Dataset:
+    """surfaces(surface, is_gaz) -> verified pairs (a, b, jac) with a < b.
+
+    Band groups larger than ``cfg.max_band_group`` are dropped (a hot/garbage
+    band) — logged via a counter column, never silently at scale: the group
+    emits a sentinel row with a="", b="", jac=-size.
+    """
+    banded = surfaces.map_batches(
+        BandEmitter(cfg), batch_format="pyarrow", batch_size=4096)
+
+    k = cfg.shingle_k
+    thresh = cfg.jaccard_threshold
+    cap = cfg.max_band_group
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > cap:
+            return pd.DataFrame({"a": [""], "b": [""],
+                                 "jac": [-float(len(g))]})
+        surfs = sorted(set(g["surface"]))
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(surfs)):
+            for j in range(i + 1, len(surfs)):
+                jc = jaccard(surfs[i], surfs[j], k)
+                if jc >= thresh:
+                    out_a.append(surfs[i])
+                    out_b.append(surfs[j])
+                    out_j.append(jc)
+        return pd.DataFrame({"a": out_a, "b": out_b, "jac": out_j})
+
+    pairs = banded.groupby(["band_idx", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas")
+    # same pair can surface from several bands -> distinct
+    deduped = pairs.groupby(["a", "b"]).max("jac")
+    return deduped.map_batches(
+        lambda t: t.rename_columns(["a", "b", "jac"]),
+        batch_format="pyarrow")

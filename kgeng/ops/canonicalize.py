@@ -1,0 +1,161 @@
+"""Union-find canonicalization of mention surfaces.
+
+Verified LSH pairs form a *candidate graph over unique surfaces* — by
+construction orders of magnitude smaller than the corpus (SURVEY.md §7.5
+plan A). Per-partition union-find forests are built inside ``map_batches``
+(each task pre-unions its block of pairs and emits only its forest edges,
+root -> member), then the driver performs the final union over the reduced
+edge list. Plan B (iterative min-label propagation via groupby) is provided
+as ``label_propagation_components`` for the case where the candidate graph
+itself is huge.
+
+Resolution rule: every component inherits the entity of its gazetteer
+member; components holding >1 distinct entity are split deterministically by
+best-Jaccard (tie: lexicographic) against the in-component gazetteer
+surfaces. Components with no gazetteer member stay unresolved (noise
+candidates are dropped downstream).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from kgeng.config import BlockConfig
+from kgeng.ops.block import jaccard
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            root = self.find(p)
+            self.parent[x] = root
+            return root
+        return x
+
+    def union(self, a: str, b: str):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # deterministic: smaller string becomes the root
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+
+def _forest_edges(batch: pa.Table) -> pa.Table:
+    """Pre-union one block of pairs; emit (root, member) forest edges."""
+    uf = UnionFind()
+    for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+        if a and b:
+            uf.union(a, b)
+    roots = [uf.find(x) for x in uf.parent]
+    return pa.table({"a": pa.array(roots, pa.string()),
+                     "b": pa.array(list(uf.parent.keys()), pa.string())})
+
+
+def connected_components(pairs: ray.data.Dataset) -> dict[str, str]:
+    """surface -> component root, via per-partition forests + driver union.
+
+    ``pairs`` has columns (a, b, jac); sentinel rows (a == "") are skipped.
+    The materialized forest-edge list is <= the number of *unique surfaces*,
+    which is small by construction — this is the documented partitioning
+    assumption (SURVEY.md §7.4/§7.5).
+    """
+    reduced = pairs.map_batches(_forest_edges, batch_format="pyarrow")
+    uf = UnionFind()
+    for batch in reduced.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            uf.union(a, b)
+    return {x: uf.find(x) for x in list(uf.parent)}
+
+
+def label_propagation_components(pairs: ray.data.Dataset,
+                                 max_iter: int = 10) -> ray.data.Dataset:
+    """Plan B: distributed min-label propagation (for huge candidate graphs).
+
+    Returns a Dataset (surface, label) at fixpoint or after ``max_iter``
+    rounds. Each round is one groupby-min shuffle over the pair list.
+    """
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch["a"], pa.scalar(""))
+        batch = batch.filter(mask)
+        return pa.table({
+            "node": pa.concat_arrays([batch["a"].combine_chunks(),
+                                      batch["b"].combine_chunks()]),
+            "nbr": pa.concat_arrays([batch["b"].combine_chunks(),
+                                     batch["a"].combine_chunks()]),
+        })
+
+    adj = pairs.map_batches(explode, batch_format="pyarrow")
+    # label(node) starts as node itself; each round:
+    # label <- min(label, min over neighbours' labels)
+    def _rename(ds):
+        return ds.map_batches(
+            lambda t: t.rename_columns(["node", "label"]),
+            batch_format="pyarrow")
+
+    labels = _rename(adj.groupby("node").min("nbr"))
+    labels = labels.map_batches(
+        lambda t: t.set_column(1, "label",
+                               pc.min_element_wise(t["label"], t["node"])),
+        batch_format="pyarrow")
+    for _ in range(max_iter - 1):
+        lab_map = {r["node"]: r["label"] for r in labels.take_all()}
+        changed = False
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            nbrl = [lab_map.get(x, x) for x in batch["nbr"].to_pylist()]
+            return pa.table({"node": batch["node"],
+                             "nbr": pa.array(nbrl, pa.string())})
+
+        new_labels = _rename(
+            adj.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node").min("nbr"))
+        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
+        changed = any(new_map.get(k, k) != lab_map.get(k, k) for k in new_map)
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def build_resolution(pairs: ray.data.Dataset,
+                     gazetteer: dict[str, tuple[str, str]],
+                     cfg: BlockConfig) -> dict[str, tuple[str, bool]]:
+    """surface -> (entity_id, via_alias).
+
+    Gazetteer surfaces resolve to themselves (via_alias=False); NER surfaces
+    resolve through their union-find component (via_alias=True); ambiguous
+    components split by best Jaccard against in-component gazetteer surfaces.
+    """
+    comp = connected_components(pairs)
+    members: dict[str, list[str]] = {}
+    for surf, root in comp.items():
+        members.setdefault(root, []).append(surf)
+
+    res: dict[str, tuple[str, bool]] = {
+        s: (eid, False) for s, (eid, _t) in gazetteer.items()}
+    for root, surfs in members.items():
+        gaz_in = [s for s in surfs if s in gazetteer]
+        ents = sorted({gazetteer[s][0] for s in gaz_in})
+        ner_in = [s for s in surfs if s not in gazetteer]
+        if not ents:
+            continue  # noise component — stays unresolved
+        if len(ents) == 1:
+            for s in ner_in:
+                res[s] = (ents[0], True)
+        else:
+            # over-merged component: deterministic best-Jaccard split
+            for s in ner_in:
+                best = max(gaz_in,
+                           key=lambda g: (jaccard(s, g, cfg.shingle_k), g))
+                res[s] = (gazetteer[best][0], True)
+    return res

@@ -1,0 +1,252 @@
+"""KG-construction pipeline assembly: read -> extract -> link -> block ->
+canonicalize -> triples -> entities -> materialize.
+
+Dataflow posture (the 10^12-doc design, SURVEY.md §7):
+
+- the *documents* table is touched exactly once, by the sharded ``extract``
+  stage (per-shard checkpoints = mid-run resume granularity);
+- everything that shuffles (distinct surfaces, LSH bands, entity dedup) is
+  orders of magnitude smaller than the corpus;
+- broadcast state (gazetteer, resolution map) moves via ``ray.put`` once,
+  never per batch;
+- stage boundaries are parquet checkpoints with lineage + metrics manifests
+  (kgeng/checkpoint.py), so a killed run resumes where it stopped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from kgeng.checkpoint import CheckpointStore
+from kgeng.config import PipelineConfig, SmartGraphConfig
+from kgeng.io import sink
+from kgeng.ops.block import candidate_pairs
+from kgeng.ops.canonicalize import build_resolution
+from kgeng.ops.extract import extract_records, load_gazetteer_dict
+from kgeng.ops.link import link_mentions
+from kgeng.ops.triples import emit_triples
+
+
+def _filter_kind(ds: ray.data.Dataset, kinds: tuple[str, ...]) -> ray.data.Dataset:
+    kind_arr = pa.array(list(kinds))
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["rec_kind"], value_set=kind_arr)),
+        batch_format="pyarrow")
+
+
+def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Distinct rows over ``cols``: per-batch partial dedup (vectorized Arrow
+    group_by) to shrink the shuffle, then a global groupby — the
+    partial+final pattern from SURVEY.md §4."""
+    ds = ds.select_columns(cols)
+    ds = ds.map_batches(lambda t: t.group_by(cols).aggregate([]),
+                        batch_format="pyarrow")
+    out = ds.groupby(cols).count()
+    return out.drop_columns(["count()"])
+
+
+class KGPipeline:
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 checkpoint_root: str | None = None,
+                 num_shards: int = 4):
+        self.cfg = cfg or PipelineConfig()
+        self.checkpoint_root = checkpoint_root
+        self.num_shards = num_shards
+
+    # ------------------------------------------------------------------
+    def run(self, corpus_path: str, gazetteer_path: str,
+            out_dir: str | None = None,
+            resume: bool = True) -> dict:
+        """Run end-to-end. ``corpus_path`` is a parquet file or directory of
+        the documents table; returns dict with the result Datasets."""
+        cfg = self.cfg
+        gaz = load_gazetteer_dict(gazetteer_path)
+        store = None
+        if self.checkpoint_root:
+            store = CheckpointStore(self.checkpoint_root, cfg.config_hash())
+
+        # ---- stage 1: extract (sharded over input files) --------------
+        records = self._extract_stage(corpus_path, gaz, store, resume)
+
+        # ---- stage 2: link mentions (actor pool) ----------------------
+        mentions = _filter_kind(records, ("mention",))
+        if store and resume and store.is_done("linked"):
+            linked = store.read_stage("linked")
+        else:
+            linked = link_mentions(
+                mentions, gaz, batch_size=cfg.link_batch_size,
+                concurrency=(1, cfg.link_concurrency))
+            if store:
+                store.write_stage("linked", linked,
+                                  lineage={"input": "records"})
+                linked = store.read_stage("linked")
+
+        # ---- stage 3: blocking + canonicalization ---------------------
+        resolution = self._canonicalize_stage(linked, gaz, store, resume)
+
+        # ---- stage 4: triples -----------------------------------------
+        rel_media = _filter_kind(records, ("relation", "media"))
+        if store and resume and store.is_done("triples"):
+            triples = store.read_stage("triples")
+        else:
+            triples = emit_triples(rel_media, resolution)
+            if store:
+                store.write_stage("triples", triples,
+                                  lineage={"input": "records+resolution"})
+                triples = store.read_stage("triples")
+
+        # ---- stage 5: canonical entities ------------------------------
+        entities = self._entities_stage(triples, gaz, resolution, store, resume)
+
+        # ---- stage 6: graph materialization ---------------------------
+        result = {"records": records, "linked": linked, "triples": triples,
+                  "entities": entities, "resolution": resolution}
+        if out_dir:
+            smart = cfg.smart
+            media = self._media_vertices(triples, smart)
+            vertices = sink.entities_to_vertices(entities, smart).union(media)
+            edges = sink.triples_to_edges(triples, smart)
+            result["graph_manifest"] = sink.write_graph(
+                out_dir, vertices, edges, smart)
+        return result
+
+    # ------------------------------------------------------------------
+    def _extract_stage(self, corpus_path: str, gaz: dict,
+                       store: CheckpointStore | None, resume: bool):
+        cfg = self.cfg
+        if store is None:
+            docs = ray.data.read_parquet(corpus_path)
+            return extract_records(docs, gaz,
+                                   batch_size=cfg.detect_batch_size,
+                                   concurrency=(1, 8))
+        files = _list_parquet_files(corpus_path)
+        shards = [files[i::self.num_shards] for i in range(self.num_shards)]
+        shards = [s for s in shards if s]
+        for i, shard_files in enumerate(shards):
+            if resume and store.is_done("records", shard=i):
+                continue
+            docs = ray.data.read_parquet(shard_files)
+            recs = extract_records(docs, gaz,
+                                   batch_size=cfg.detect_batch_size,
+                                   concurrency=(1, 8))
+            store.write_stage("records", recs, shard=i,
+                              lineage={"files": shard_files})
+        return store.read_all_shards("records")
+
+    # ------------------------------------------------------------------
+    def _canonicalize_stage(self, linked, gaz, store, resume):
+        cfg = self.cfg
+        res_path = (os.path.join(store.root, "resolution.json")
+                    if store else None)
+        if res_path and resume and os.path.exists(res_path):
+            with open(res_path) as f:
+                raw = json.load(f)
+            if raw.get("config_hash") == cfg.config_hash():
+                return {s: tuple(v) for s, v in raw["map"].items()}
+        # unique unresolved *entity-candidate* surfaces (small by
+        # construction); regex detector hits (dates, emails, ids) are not
+        # entity candidates and must not enter blocking
+        unresolved = linked.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.equal(t["cand_id"], pa.scalar("")),
+                pc.equal(t["source"], pa.scalar("ner")))),
+            batch_format="pyarrow")
+        uniq = distinct(unresolved, ["surface"])
+        uniq = uniq.map_batches(
+            lambda t: t.append_column("is_gaz",
+                                      pa.array([False] * len(t))),
+            batch_format="pyarrow")
+        gaz_tbl = pa.table({"surface": list(gaz.keys()),
+                            "is_gaz": pa.array([True] * len(gaz))})
+        surfaces = uniq.union(ray.data.from_arrow(gaz_tbl))
+        pairs = candidate_pairs(surfaces, cfg.block)
+        if store:
+            store.write_stage("pairs", pairs, lineage={"input": "linked"})
+            pairs = store.read_stage("pairs")
+        resolution = build_resolution(pairs, gaz, cfg.block)
+        if res_path:
+            with open(res_path, "w") as f:
+                json.dump({"config_hash": cfg.config_hash(),
+                           "map": {s: list(v) for s, v in resolution.items()}},
+                          f)
+        return resolution
+
+    # ------------------------------------------------------------------
+    def _entities_stage(self, triples, gaz, resolution, store, resume):
+        if store and resume and store.is_done("entities"):
+            return store.read_stage("entities")
+        # eid -> (canon_key, ent_type, surface_forms) — small broadcast
+        meta: dict[str, tuple[str, str, list[str]]] = {}
+        true_surface = {eid: s for s, (eid, _t) in gaz.items()}
+        forms: dict[str, set] = {}
+        for surf, (eid, _via) in resolution.items():
+            forms.setdefault(eid, set()).add(surf)
+        for eid, ts in true_surface.items():
+            forms.setdefault(eid, set()).add(ts)
+            meta[eid] = (ts.lower(), gaz[ts][1], sorted(forms[eid]))
+        meta_ref = ray.put(meta)
+
+        def to_entity_rows(batch: pa.Table) -> pa.Table:
+            subj = batch["subj"]
+            obj = batch["obj"].filter(
+                pc.invert(pc.starts_with(batch["obj"], "media://")))
+            eids = pc.unique(pa.concat_arrays(
+                [subj.combine_chunks(), obj.combine_chunks()]))
+            return pa.table({"entity_id": eids})
+
+        used = triples.map_batches(to_entity_rows, batch_format="pyarrow")
+        used = distinct(used, ["entity_id"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = ray.get(meta_ref)
+            eids = batch["entity_id"].to_pylist()
+            canon, etype, sforms = [], [], []
+            for e in eids:
+                ck, ty, fs = m.get(e, ("", "", []))
+                canon.append(ck)
+                etype.append(ty)
+                sforms.append(fs)
+            return pa.table({
+                "entity_id": pa.array(eids, pa.string()),
+                "canon_key": pa.array(canon, pa.string()),
+                "surface_forms": pa.array(sforms, pa.list_(pa.string())),
+                "ent_type": pa.array(etype, pa.string()),
+                "part": pa.array(etype, pa.string()),
+            })
+
+        entities = used.map_batches(attach, batch_format="pyarrow")
+        if store:
+            store.write_stage("entities", entities,
+                              lineage={"input": "triples+resolution"})
+            entities = store.read_stage("entities")
+        return entities
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _media_vertices(triples, smart: SmartGraphConfig):
+        def media_rows(batch: pa.Table) -> pa.Table:
+            obj = batch["obj"].combine_chunks()
+            refs = pc.unique(obj.filter(pc.starts_with(obj, "media://")))
+            return pa.table({"entity_id": refs,
+                             "ent_type": pa.array(["MEDIA"] * len(refs))})
+
+        media = triples.map_batches(media_rows, batch_format="pyarrow")
+        media = distinct(media, ["entity_id"]).map_batches(
+            lambda t: t.append_column(
+                "ent_type", pa.array(["MEDIA"] * len(t))),
+            batch_format="pyarrow")
+        return sink.entities_to_vertices(media, smart)
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet"))
