@@ -1,0 +1,211 @@
+"""Reference-compat graph-file import path (Graphalytics + edge-list).
+
+Re-expresses the reference's line parsers as vectorized Arrow kernels over
+``ray.data.read_text`` blocks (blocks replace the reference's 10k-line bulks,
+``general.py:139-155``):
+
+- comment skipping: first char in {'#', '/', '%'}   (edge_list.py:26)
+- field split: ``split(' ', 2)`` — at most 3 fields; a 3rd field keeps any
+  further spaces verbatim                            (edge_list.py:28)
+- 2 fields -> {_from, _to}; 3 fields -> {_from, _to, weight: "<token>"}
+  with the weight kept as a *string*                 (edge_list.py:29-34)
+- graphalytics vertex line -> {smart_attr: str(vid), _key: f"{vid}:{vid}"}
+                                                      (graphalytics_importer.py:87,93)
+- plain ``_id``  = f"{vcoll}/{id}"                    (vertices_generator.py:159-160)
+- smart ``_id``  = f"{vcoll}/{id}:{id}"               (vertices_generator.py:153-157)
+- edge-list vertices: global exact dedup of src∪dst ids, materialized as
+  ``{smart_attr: v}`` docs (the dedup-insert layout of
+  vertices_generator.py:132-140), replacing the reference's per-bulk
+  O(N)-rescan AQL anti-join (J1) with one shuffle.
+
+Unparsed row order is not preserved within a block (2-field and 3-field rows
+are processed as two vectorized sub-tables); nothing in the reference's
+semantics depends on intra-bulk order.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from pathlib import PurePath
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_COMMENT_CHARS = pa.array(["#", "/", "%"])
+
+
+@dataclass(frozen=True)
+class CompatGraphConfig:
+    """The subset of the reference's DatabaseInfo that shapes documents."""
+
+    vertex_coll: str = "vertices"
+    edge_coll: str = "edges"
+    smart_attribute: str = "smartProp"
+    is_smart: bool = True
+
+
+# ------------------------------------------------------------------ parsing
+
+def _parse_edge_lines(batch: pa.Table, vcoll: str, smart: bool) -> pa.Table:
+    """Vectorized M1/M2 edge-line parse. Input column: ``text``."""
+    col = batch["text"].combine_chunks()
+    if len(col) == 0 or isinstance(col, pa.ChunkedArray):
+        col = pa.concat_arrays(col.chunks) if isinstance(
+            col, pa.ChunkedArray) else col
+    nonempty = pc.greater(pc.utf8_length(col), 0)
+    col = col.filter(nonempty)
+    first = pc.utf8_slice_codeunits(col, 0, 1)
+    keep = pc.invert(pc.is_in(first, value_set=_COMMENT_CHARS))
+    col = col.filter(keep)
+    split = pc.split_pattern(col, " ", max_splits=2)
+    lengths = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    values = pc.list_flatten(split)
+
+    def _ids(starts: np.ndarray) -> pa.Array:
+        return pc.take(values, pa.array(starts, pa.int64()))
+
+    def _vid(ids: pa.Array) -> pa.Array:
+        if smart:
+            return pc.binary_join_element_wise(
+                pa.scalar(f"{vcoll}/"), ids, pa.scalar(":"), ids, "")
+        return pc.binary_join_element_wise(pa.scalar(f"{vcoll}/"), ids, "")
+
+    out = []
+    starts = offsets[:-1]
+    for want3 in (False, True):
+        mask = lengths == 3 if want3 else lengths == 2
+        if not mask.any():
+            continue
+        s = starts[mask]
+        f_ids, t_ids = _ids(s), _ids(s + 1)
+        cols = {
+            "_from": _vid(f_ids),
+            "_to": _vid(t_ids),
+            "weight": (_ids(s + 2) if want3
+                       else pa.nulls(int(mask.sum()), pa.string())),
+            "_src_id": f_ids,
+            "_dst_id": t_ids,
+        }
+        out.append(pa.table(cols))
+    if not out:
+        return pa.table({"_from": pa.array([], pa.string()),
+                         "_to": pa.array([], pa.string()),
+                         "weight": pa.array([], pa.string()),
+                         "_src_id": pa.array([], pa.string()),
+                         "_dst_id": pa.array([], pa.string())})
+    return pa.concat_tables(out)
+
+
+def read_edge_file(path: str, cfg: CompatGraphConfig,
+                   smart_ids: bool | None = None) -> ray.data.Dataset:
+    """Edge file -> Dataset(_from, _to, weight?, _src_id, _dst_id).
+
+    ``smart_ids`` defaults to ``cfg.is_smart``: the graphalytics importer
+    uses smart ``_id``s (graphalytics_importer.py:131), the edge-list
+    importer uses plain ones (edge_list.py:44).
+    """
+    smart = cfg.is_smart if smart_ids is None else smart_ids
+    lines = ray.data.read_text(path)
+    vcoll = cfg.vertex_coll
+    return lines.map_batches(
+        lambda t: _parse_edge_lines(t, vcoll, smart),
+        batch_format="pyarrow")
+
+
+def edge_docs(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop the internal id side-columns, keeping the document layout."""
+    return edges.select_columns(["_from", "_to", "weight"])
+
+
+def read_graphalytics_vertices(path: str,
+                               cfg: CompatGraphConfig) -> ray.data.Dataset:
+    """``.v`` file -> vertex docs {smart_attr: str(vid), _key: "vid:vid"}."""
+    attr = cfg.smart_attribute
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch["text"].combine_chunks()
+        ids = ids.filter(pc.greater(pc.utf8_length(ids), 0))
+        return pa.table({
+            attr: ids,
+            "_key": pc.binary_join_element_wise(ids, pa.scalar(":"), ids, ""),
+        })
+
+    return ray.data.read_text(path).map_batches(
+        project, batch_format="pyarrow")
+
+
+def edge_list_vertices(edges: ray.data.Dataset,
+                       cfg: CompatGraphConfig) -> ray.data.Dataset:
+    """Global exact dedup of edge endpoints -> {smart_attr: v} docs.
+
+    Replaces J1's per-bulk AQL anti-join (vertices_generator.py:123-146)
+    with per-block partial dedup + one groupby shuffle on uniform int-like
+    string keys (no skew)."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ids = pc.unique(pa.concat_arrays([
+            batch["_src_id"].combine_chunks(),
+            batch["_dst_id"].combine_chunks()]))
+        return pa.table({"id": ids})
+
+    uniq = edges.map_batches(endpoints, batch_format="pyarrow")
+    uniq = uniq.groupby("id").count().drop_columns(["count()"])
+    attr = cfg.smart_attribute
+    return uniq.map_batches(
+        lambda t: pa.table({attr: t["id"]}), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ file plumbing
+
+def graphalytics_files(directory: str) -> tuple[str, str, str]:
+    """<dir>/<basename>.{v,e,properties} (graphalytics_importer.py:12-23)."""
+    name = PurePath(directory).name
+    return (os.path.join(directory, name + ".v"),
+            os.path.join(directory, name + ".e"),
+            os.path.join(directory, name + ".properties"))
+
+
+def read_properties(path: str, prop: str) -> int:
+    """Scrape ``.vertices = N`` / ``.edges = M``
+    (graphalytics_importer.py:26-46)."""
+    key = {"num_vertices": ".vertices = ", "num_edges": ".edges = "}[prop]
+    with open(path) as f:
+        contents = f.read()
+    pos = contents.index(key) + len(key)
+    return int(contents[pos:].split("\n", 1)[0].strip())
+
+
+# ------------------------------------------------------------ JSON boundary
+
+def docs_to_jsonl_rows(batch: pa.Table) -> list[dict]:
+    """Render docs with *absent* (not null) optional fields — the
+    reference's bulk-POST payload shape (weight absent when unweighted,
+    edge_list.py:31 comment)."""
+    rows = []
+    for row in batch.to_pylist():
+        rows.append({k: v for k, v in row.items() if v is not None})
+    return rows
+
+
+def import_graphalytics(directory: str, cfg: CompatGraphConfig):
+    """Full compat pipeline for a graphalytics dir: returns
+    (vertices_ds, edges_ds) with vertices materialized first (the
+    reference's ordering invariant, graphalytics_importer.py:173-175)."""
+    v_path, e_path, _props = graphalytics_files(directory)
+    vertices = read_graphalytics_vertices(v_path, cfg)
+    edges = edge_docs(read_edge_file(e_path, cfg, smart_ids=True))
+    return vertices, edges
+
+
+def import_edge_list(path: str, cfg: CompatGraphConfig):
+    """Edge-list compat pipeline: returns (vertices_ds, edges_ds); vertex
+    set is the deduped endpoints (edge_list.py:36-38 per-bulk set + J1
+    global dedup, collapsed into one shuffle)."""
+    parsed = read_edge_file(path, cfg, smart_ids=False)
+    vertices = edge_list_vertices(parsed, cfg)
+    return vertices, edge_docs(parsed)
