@@ -1,44 +1,250 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline; ``queries()`` maps
+every implemented operator/pipeline (SURVEY.md §2 + the training-data ops)
+to a callable over an sf dir; ``oracle_sql()`` provides DuckDB-checkable
+SQL for each SQL-expressible entry (KG/compat entries check against
+independently-constructed golden parquet: the corpus generator's
+by-construction truth and the pure-Python reference-semantics oracle in
+tests/oracle.py — both written before the Ray result is computed).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgeng import queries as Q  # noqa: E402
+from kgeng.synth.corpus import corpus_dir_for  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize the
+    interleaved corpus, run extract -> link -> block -> canonicalize ->
+    triples, return the triples Dataset."""
+    res = Q._kg_results("/root/testdata/sf0.001")
+    return res["triples"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / engine core
+        "q1_lineitem_agg": Q.q1_lineitem_agg,
+        "orders_by_custseg": Q.orders_by_custseg,
+        "events_tumbling_window": Q.events_tumbling_window,
+        "top_orders": Q.top_orders,
+        "distinct_event_types": Q.distinct_event_types,
+        # text analysis
+        "doc_token_count": Q.doc_token_count,
+        "doc_quality": Q.doc_quality,
+        "doc_stats_by_lang": Q.doc_stats_by_lang,
+        "lang_id_pred": Q.lang_id_pred,
+        "doc_fingerprints": Q.doc_fingerprints,
+        # dedup family
+        "dedup_exact_docs": Q.dedup_exact_docs,
+        "minhash_dedup_docs": Q.minhash_dedup_docs,
+        "simhash_docs": Q.simhash_docs,
+        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
+        # similarity search
+        "ann_topk": Q.ann_topk,
+        "ann_topk_lsh": Q.ann_topk_lsh,
+        # multimodal (stubbed decode, real plumbing)
+        "media_features": Q.media_features,
+        # reference-compat import path
+        "compat_edge_list_edges": Q.compat_edge_list_edges,
+        "compat_edge_list_vertices": Q.compat_edge_list_vertices,
+        "compat_graphalytics_vertices": Q.compat_graphalytics_vertices,
+        "compat_graphalytics_edges": Q.compat_graphalytics_edges,
+        # synthesis generators
+        "synth_clique_edges": Q.synth_clique_edges,
+        "synth_kpartite_edges": Q.synth_kpartite_edges,
+        "synth_clique_vertices_smart": Q.synth_clique_vertices_smart,
+        # KG construction stack
+        "kg_triples": Q.kg_triples,
+        "kg_entities": Q.kg_entities,
+        "kg_vertices_out": Q.kg_vertices_out,
+        "kg_edges_out": Q.kg_edges_out,
+        "kg_entity_mention_counts": Q.kg_entity_mention_counts,
+        "kg_mention_stats": Q.kg_mention_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fx = Q.ensure_compat_goldens()
+    # the driver's correctness pass runs at sf0.01 -> 1500-doc corpus
+    corpus = corpus_dir_for(Q.KG_N_DOCS["sf0.01"])
+    gt = os.path.join(corpus, "golden_triples.parquet")
+    ge = os.path.join(corpus, "golden_entities.parquet")
+    return {
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_revenue,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_custseg": """
+            SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS sum_price
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "events_tumbling_window": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS window_start_hour,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "doc_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS nc,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) AS na,
+                     CAST(length(text) - length(replace(text, ' ', ''))
+                          AS DOUBLE) AS ns,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+                          AS nt
+              FROM documents)
+            SELECT doc_id,
+                   CAST(nc AS BIGINT) AS n_chars_q,
+                   round(na / greatest(nc, 1), 6) AS alpha_ratio,
+                   round(ns / greatest(nc, 1), 6) AS space_ratio,
+                   round((nc - ns) / greatest(nt, 1), 6) AS avg_token_len,
+                   round((na / greatest(nc, 1)) *
+                         least(nt / 20.0, 1.0), 6) AS quality_score
+            FROM base
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+                       AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT CAST(a.vec_id AS VARCHAR) AS a,
+                   CAST(b.vec_id AS VARCHAR) AS b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b
+              ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
+            WHERE round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding
+              FROM embeddings ORDER BY vec_id LIMIT 4)
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS sim
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+              PARTITION BY q.query_id
+              ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                       e.vec_id) <= 5
+        """,
+        # compat path: golden written by the pure-Python oracle
+        "compat_edge_list_edges": f"""
+            SELECT "_from", "_to", weight
+            FROM read_parquet('{fx}/edge_list_edges.parquet')
+        """,
+        "compat_edge_list_vertices": f"""
+            SELECT smartProp
+            FROM read_parquet('{fx}/edge_list_vertices.parquet')
+        """,
+        "compat_graphalytics_vertices": f"""
+            SELECT smartProp, "_key"
+            FROM read_parquet('{fx}/ga_vertices.parquet')
+        """,
+        "compat_graphalytics_edges": f"""
+            SELECT "_from", "_to", weight
+            FROM read_parquet('{fx}/ga_edges.parquet')
+        """,
+        # synthesis: closed-form SQL
+        "synth_clique_edges": """
+            SELECT 'vertices/' || CAST(i AS VARCHAR) AS "_from",
+                   'vertices/' || CAST(j AS VARCHAR) AS "_to"
+            FROM range(50) t1(i) JOIN range(50) t2(j) ON j > i
+        """,
+        "synth_kpartite_edges": """
+            WITH v AS (
+              SELECT i, CASE WHEN i < 3 THEN 0
+                             WHEN i < 7 THEN 1 ELSE 2 END AS part
+              FROM range(12) t(i))
+            SELECT 'vertices/' || CAST(a.i AS VARCHAR) AS "_from",
+                   'vertices/' || CAST(b.i AS VARCHAR) AS "_to"
+            FROM v a JOIN v b ON a.part < b.part
+        """,
+        "synth_clique_vertices_smart": """
+            SELECT CAST(i AS VARCHAR) AS smartProp,
+                   CAST(i AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS "_key",
+                   '0' AS part
+            FROM range(20) t(i)
+        """,
+        # KG stack: golden = by-construction truth from the corpus generator
+        "kg_triples": f"""
+            SELECT DISTINCT subj, pred, obj FROM read_parquet('{gt}')
+        """,
+        "kg_entities": f"""
+            SELECT entity_id, canon_key,
+                   array_to_string(surface_forms, '|') AS surface_forms_str,
+                   ent_type, part
+            FROM read_parquet('{ge}')
+        """,
+        "kg_vertices_out": f"""
+            SELECT entity_id, entity_id || ':' || entity_id AS "_key",
+                   ent_type AS part
+            FROM read_parquet('{ge}')
+            UNION ALL
+            SELECT DISTINCT obj, obj || ':' || obj, 'MEDIA'
+            FROM read_parquet('{gt}') WHERE obj LIKE 'media://%'
+        """,
+        "kg_edges_out": f"""
+            SELECT 'entities/' || subj || ':' || subj AS "_from",
+                   'entities/' || obj || ':' || obj AS "_to",
+                   pred, doc_id
+            FROM read_parquet('{gt}')
+        """,
+        "kg_entity_mention_counts": f"""
+            SELECT subj, count(*) AS n_triples
+            FROM read_parquet('{gt}') GROUP BY subj
+        """,
+        # rows-only (non-SQL-expressible): lang_id_pred, doc_fingerprints,
+        # minhash_dedup_docs, simhash_docs, ann_topk_lsh, media_features,
+        # kg_mention_stats
+    }

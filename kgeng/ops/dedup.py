@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: content-hash partition + per-group min — ONE shuffle over
+  (hash, doc_id) pairs, never over full texts at scale.
+- MinHash-LSH near-dup: word-shingle minhash -> band buckets -> groupby ->
+  candidate pairs -> n-gram Jaccard verify -> union-find clusters.
+- SimHash near-dup: 64-bit simhash, banded into 4x16-bit chunks for
+  candidate generation, verified by Hamming distance.
+- n-gram Jaccard: the verify kernel, usable standalone.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from kgeng.config import BlockConfig
+from kgeng.ops.block import _perm_tables
+from kgeng.ops.canonicalize import UnionFind
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """One row per distinct text: (doc_id = min id in group, n_dups).
+
+    The shuffle key is a 64-bit content hash, so only (hash, id) pairs move
+    — equivalent to ``GROUP BY text`` assuming no 64-bit collisions (at
+    10^12 docs the expected collision count is ~0.03; acceptable and
+    documented)."""
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        h = [zlib.crc32(x.encode()) << 32 | (zlib.crc32(x[::-1].encode()))
+             for x in t[text_col].to_pylist()]
+        return pa.table({"h": pa.array(h, pa.uint64()), id_col: t[id_col]})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    agg = hashed.groupby("h").aggregate(
+        ray.data.aggregate.Min(id_col, alias_name=id_col),
+        ray.data.aggregate.Count(alias_name="n_dups"),
+    )
+    return agg.drop_columns(["h"])
+
+
+# ------------------------------------------------------- shingles/jaccard
+
+def word_ngrams(text: str, n: int = 3) -> set[int]:
+    toks = text.split()
+    if len(toks) < n:
+        return {zlib.crc32(" ".join(toks).encode())}
+    return {zlib.crc32(" ".join(toks[i:i + n]).encode())
+            for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = word_ngrams(a, n), word_ngrams(b, n)
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+# -------------------------------------------------------- MinHash-LSH dup
+
+def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 128,
+                           num_bands: int = 32, ngram: int = 3,
+                           max_band_group: int = 512) -> ray.data.Dataset:
+    """Candidate near-dup pairs (a, b) with a < b by id ordering.
+
+    Stage 1 (map): shingle -> minhash (vectorized reduceat) -> one row per
+    (band_idx, band_hash, doc_id). Stage 2 (shuffle): groupby band ->
+    pairwise candidates; oversized bands dropped with a sentinel row
+    (a = "", jac = -size) — counted, not silent.
+    """
+    a_t, b_t = _perm_tables(num_perm, seed=13)
+
+    def bands(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        hashes, bounds = [], [0]
+        for x in texts:
+            g = np.fromiter(word_ngrams(x, ngram), dtype=np.int64)
+            hashes.append(g)
+            bounds.append(bounds[-1] + len(g))
+        if not texts:
+            return pa.table({"band_idx": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.string())})
+        x = np.concatenate(hashes)
+        pm = (x[:, None] * a_t[None, :] + b_t[None, :]) % _MERSENNE
+        sig = np.minimum.reduceat(pm, bounds[:-1], axis=0).astype(np.uint64)
+        n = len(texts)
+        rows = num_perm // num_bands
+        sig3 = sig.reshape(n, num_bands, rows)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.zeros((n, num_bands), dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc * mult) ^ sig3[:, :, r]
+        return pa.table({
+            "band_idx": pa.array(
+                np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(acc.reshape(-1)),
+            "doc_id": pa.array(np.repeat([str(i) for i in ids], num_bands)),
+        })
+
+    banded = ds.map_batches(bands, batch_format="pyarrow", batch_size=4096)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_band_group:
+            return pd.DataFrame({"a": [""], "b": [""],
+                                 "skipped": [len(g)]})
+        ids = sorted(set(g["doc_id"]))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b,
+                             "skipped": [0] * len(out_a)})
+
+    pairs = banded.groupby(["band_idx", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas")
+    dedup = pairs.groupby(["a", "b"]).max("skipped")
+    return dedup.map_batches(
+        lambda t: t.rename_columns(["a", "b", "skipped"]),
+        batch_format="pyarrow")
+
+
+def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.7,
+                  ngram: int = 3, **kw):
+    """Full near-dup pipeline -> Dataset (doc_id, cluster_rep).
+
+    Candidates verified by true n-gram Jaccard (needs the texts: a
+    broadcast id->text map; documented assumption — candidate set and its
+    texts are small relative to the corpus; at larger scale the verify
+    becomes a repartition-join on id, same semantics)."""
+    import ray
+
+    cand = minhash_lsh_candidates(ds, text_col, id_col, ngram=ngram, **kw)
+    cand_rows = [r for r in cand.take_all() if r["a"] != ""]
+    need = {r["a"] for r in cand_rows} | {r["b"] for r in cand_rows}
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = [str(i) for i in t[id_col].to_pylist()]
+        keep = [i for i, x in enumerate(ids) if x in need]
+        return pa.table({
+            "id": pa.array([ids[i] for i in keep]),
+            "txt": pa.array([t[text_col].to_pylist()[i] for i in keep]),
+        })
+
+    texts = {r["id"]: r["txt"]
+             for r in ds.map_batches(project,
+                                     batch_format="pyarrow").take_all()}
+    uf = UnionFind()
+    for r in cand_rows:
+        if ngram_jaccard(texts[r["a"]], texts[r["b"]], ngram) >= threshold:
+            uf.union(r["a"], r["b"])
+    comp = {x: uf.find(x) for x in uf.parent}
+    comp_ref = ray.put(comp)
+
+    def label(t: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        ids = [str(i) for i in t[id_col].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "cluster_rep": pa.array([m.get(i, i) for i in ids]),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ SimHash dup
+
+def simhash_batch(texts: list[str], num_bits: int = 64) -> np.ndarray:
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = text.split()
+        if not toks:
+            continue
+        hs = np.fromiter((zlib.crc32(w.encode()) for w in toks),
+                         dtype=np.uint64, count=len(toks))
+        # re-mix crc32 into 64 bits
+        hs = (hs * np.uint64(0x9E3779B97F4A7C15)) ^ (hs >> np.uint64(7))
+        bits = ((hs[:, None] >> np.arange(num_bits, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(num_bits):
+            if v[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return out
+
+
+def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
+                out: str = "simhash") -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out, pa.array(simhash_batch(t[text_col].to_pylist()),
+                          pa.uint64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs by simhash: band the 64-bit signature into 4 16-bit
+    chunks (any pair within Hamming<=3 shares at least one chunk), groupby
+    chunk, verify Hamming distance inside the group."""
+    with_sig = add_simhash(ds, text_col)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = [str(i) for i in t[id_col].to_pylist()]
+        parts = []
+        for c in range(4):
+            chunk = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            parts.append(pa.table({
+                "chunk_idx": pa.array(np.full(len(sig), c, dtype=np.int32)),
+                "chunk_val": pa.array(chunk),
+                "doc_id": pa.array(ids),
+                "sig": pa.array(sig),
+            }))
+        return pa.concat_tables(parts)
+
+    banded = with_sig.map_batches(chunks, batch_format="pyarrow")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g["doc_id"], g["sig"])))
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
+                if d <= max_hamming:
+                    out_a.append(rows[i][0])
+                    out_b.append(rows[j][0])
+                    out_d.append(d)
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_d})
+
+    pairs = banded.groupby(["chunk_idx", "chunk_val"]).map_groups(
+        emit, batch_format="pandas")
+    dedup = pairs.groupby(["a", "b"]).min("hamming")
+    return dedup.map_batches(
+        lambda t: t.rename_columns(["a", "b", "hamming"]),
+        batch_format="pyarrow")

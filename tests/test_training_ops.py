@@ -1,0 +1,203 @@
+"""Training-data operators: dedup family, text analysis, similarity,
+salted aggregation, multimodal stubs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kgeng.ops import agg, dedup, media, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+# ------------------------------------------------------------------ text
+
+def test_token_count_matches_python(docs):
+    out = text.add_token_count(docs).take_all()
+    for r in out[:50]:
+        assert r["n_tokens"] == len(r["text"].split())
+
+
+def test_quality_score_deterministic(docs):
+    a = text.add_quality_score(docs).to_pandas().sort_values("doc_id")
+    b = text.add_quality_score(docs).to_pandas().sort_values("doc_id")
+    assert np.array_equal(a["quality_score"].values,
+                          b["quality_score"].values)
+    assert (a["alpha_ratio"] <= 1.0).all()
+
+
+def test_lang_id_runs(docs):
+    out = text.add_lang_id(docs).take_all()
+    assert all(r["lang_pred"] in {"en", "de", "fr", "es", "zh", "unknown"}
+               for r in out)
+
+
+def test_fingerprint_stable_under_paraphrase_prefix():
+    t = pa.table({"doc_id": [1, 2], "text": ["a b c d e f g h"] * 2})
+    out = text.add_fingerprint(ray.data.from_arrow(t)).take_all()
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup_counts():
+    t = pa.table({"doc_id": [3, 1, 2, 10, 5],
+                  "text": ["x", "x", "y", "y", "z"]})
+    out = dedup.exact_dedup(ray.data.from_arrow(t)).take_all()
+    got = {(r["doc_id"], r["n_dups"]) for r in out}
+    assert got == {(1, 2), (2, 2), (5, 1)}
+
+
+def test_minhash_dedup_clusters_near_duplicates():
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    near = base.replace("green", "dark")
+    other = "completely different words about spark ray data engines " \
+            "processing huge tables quickly with arrow batches"
+    t = pa.table({"doc_id": ["d1", "d2", "d3"],
+                  "text": [base, near, other]})
+    out = dedup.minhash_dedup(ray.data.from_arrow(t), threshold=0.5,
+                              num_perm=64, num_bands=32).take_all()
+    rep = {r["doc_id"]: r["cluster_rep"] for r in out}
+    assert rep["d1"] == rep["d2"]
+    assert rep["d3"] != rep["d1"]
+
+
+def test_simhash_near_dup():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "kappa", 1)
+    other = "one two three four five six seven eight nine ten " * 3
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "text": [base, near, other]})
+    pairs = dedup.simhash_near_dup_pairs(
+        ray.data.from_arrow(t), max_hamming=8).take_all()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert ("a", "b") in got
+    assert not any("c" in p for p in got)
+
+
+def test_ngram_jaccard_kernel():
+    assert dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def embeddings():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_topk_exact(embeddings):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = tbl["vec_id"].to_pylist()
+    q = m[:2]
+    out = similarity.brute_force_topk(
+        embeddings, q, query_ids=ids[:2], k=5).to_pandas()
+    # numpy reference
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = np.round(mn @ qn.T, 6)
+    for qi, qid in enumerate(ids[:2]):
+        order = np.lexsort((np.asarray(ids), -sims[:, qi]))[:5]
+        want = [ids[i] for i in order]
+        got = out[out["query_id"] == qid].sort_values(
+            ["sim", "vec_id"], ascending=[False, True])["vec_id"].tolist()
+        assert got == want
+        # self-similarity 1.0 at the top
+        assert got[0] == qid
+
+
+def test_lsh_topk_recall(embeddings):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = tbl["vec_id"].to_pylist()
+    exact = similarity.brute_force_topk(
+        embeddings, m[:4], ids[:4], k=5).to_pandas()
+    approx = similarity.lsh_topk(
+        embeddings, m[:4], ids[:4], k=5, num_planes=4,
+        num_tables=16).to_pandas()
+    # recall of the approximate result vs exact, averaged over queries
+    recs = []
+    for qid in ids[:4]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recs.append(len(e & a) / len(e))
+    assert np.mean(recs) >= 0.5  # approximate path finds most neighbours
+    # and always finds the vector itself
+    for qid in ids[:4]:
+        assert qid in set(approx[approx["query_id"] == qid]["vec_id"])
+
+
+def test_embedding_near_dup_finds_duplicated_vector():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    base[7] = base[3] + rng.standard_normal(16) * 0.01  # near-dup pair
+    t = pa.table({"vec_id": [str(i) for i in range(20)],
+                  "embedding": [r.tolist() for r in base]})
+    pairs = similarity.embedding_near_dup(
+        ray.data.from_arrow(t), threshold=0.99,
+        num_planes=0).take_all()  # num_planes=0 => exact
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert ("3", "7") in got
+
+
+# -------------------------------------------------------------- salted agg
+
+def test_salted_count_matches_naive():
+    keys = (["hot"] * 500) + [f"k{i}" for i in range(50)] * 2
+    t = pa.table({"k": keys})
+    out = agg.salted_count(ray.data.from_arrow(t), "k",
+                           salt=8).to_pandas()
+    m = dict(zip(out["k"], out["n"]))
+    assert m["hot"] == 500
+    assert m["k0"] == 2 and len(m) == 51
+
+
+def test_partial_sum_matches_naive():
+    t = pa.table({"k": ["a", "b", "a", "a"], "v": [1.0, 2.0, 3.0, 4.0]})
+    out = agg.partial_sum(ray.data.from_arrow(t), "k", "v").to_pandas()
+    m = dict(zip(out["k"], out["total"]))
+    assert m == {"a": 8.0, "b": 2.0}
+
+
+# ------------------------------------------------------------------ media
+
+def test_media_featurizer_deterministic():
+    refs = [f"media://{i:03d}" for i in range(10)]
+    tbl = media.synth_media_table(refs)
+    ds = ray.data.from_arrow(tbl)
+    a = media.featurize_media(ds, dim=16).to_pandas().sort_values("media_ref")
+    b = media.featurize_media(ds, dim=16).to_pandas().sort_values("media_ref")
+    assert a["features"].map(tuple).tolist() == \
+        b["features"].map(tuple).tolist()
+    assert all(len(f) == 16 for f in a["features"])
+    assert (a["n_bytes"] > 0).all()
+
+
+def test_real_decode_seam_raises():
+    with pytest.raises(NotImplementedError):
+        media.decode_real(b"bytes", "image")
+
+
+def test_frame_sampler():
+    tbl = media.synth_media_table([f"media://{i}" for i in range(20)])
+    vids = tbl.filter(pa.compute.equal(tbl["kind"], "video"))
+    if vids.num_rows == 0:
+        pytest.skip("no synthetic videos at this seed")
+    out = ray.data.from_arrow(vids).map_batches(
+        media.FrameSampler, fn_constructor_kwargs={"stride_ms": 5000},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert len(out) >= vids.num_rows  # at least one frame per video
+    assert all(r["frame_ms"] % 5000 == 0 for r in out)
