@@ -1,0 +1,165 @@
+"""Benchmark driver (repo contract).
+
+Default mode: one fresh ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``, runs
+the headline KG-construction pipeline end-to-end on the deterministic bench
+corpus plus a set of representative queries over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), and prints ONE JSON line::
+
+    {"metric": "kg_e2e_sec", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the headline job in fresh subprocesses at num_cpus=8
+and num_cpus=32 on the SAME corpus (best of ``--repeats`` runs each, the
+host shows +/-20% run-to-run noise), reports both throughputs, the scaling
+efficiency T8/(4*T32), and the measured hardware ceiling (raw
+multiprocessing scaling of a regex kernel on this box — CPU frequency
+scaling caps ANY 4x-CPU speedup at ~0.79 here, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_NDOCS = int(os.environ.get("KG_BENCH_NDOCS", "200000"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _init_ray():
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def headline_kg(n_docs: int) -> tuple[float, int]:
+    """KG pipeline end-to-end (fresh checkpoints) on the bench corpus;
+    returns (wall_sec, n_triples). A tiny warmup run first spawns workers
+    so steady-state throughput is measured, not cluster cold-start."""
+    from kgeng.pipeline import KGPipeline
+    from kgeng.synth.corpus import ensure_bench_corpus, ensure_corpus
+
+    d = ensure_bench_corpus(n_docs)
+    wd = ensure_corpus(100)
+    warm_ck = f"/tmp/kgeng_bench_warm_{NCPU}"
+    shutil.rmtree(warm_ck, ignore_errors=True)
+    KGPipeline(checkpoint_root=warm_ck, num_shards=1).run(
+        os.path.join(wd, "corpus"), os.path.join(wd, "gazetteer.parquet"))
+    ck = f"/tmp/kgeng_bench_ckpt_{NCPU}"
+    shutil.rmtree(ck, ignore_errors=True)
+    p = KGPipeline(checkpoint_root=ck, num_shards=4)
+    t0 = time.monotonic()
+    res = p.run(os.path.join(d, "corpus"),
+                os.path.join(d, "gazetteer.parquet"))
+    n = res["triples"].count()
+    return time.monotonic() - t0, n
+
+
+def timed_queries() -> dict[str, float]:
+    """Representative per-operator timings over $GRAFT_SF_DIR."""
+    from kgeng import queries as Q
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("q1_lineitem_agg", Q.q1_lineitem_agg),
+        ("events_tumbling_window", Q.events_tumbling_window),
+        ("orders_by_custseg", Q.orders_by_custseg),
+        ("doc_quality", Q.doc_quality),
+        ("dedup_exact_docs", Q.dedup_exact_docs),
+        ("minhash_dedup_docs", Q.minhash_dedup_docs),
+        ("ann_topk", Q.ann_topk),
+        ("top_orders", Q.top_orders),
+    ]:
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        # consume the result (Datasets are lazy)
+        import pandas as pd
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        elif isinstance(res, pd.DataFrame):
+            len(res)
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main():
+    _init_ray()
+    import ray
+
+    kg_only = os.environ.get("KG_BENCH_ONLY") == "1"
+    wall, n_triples = headline_kg(BENCH_NDOCS)
+    result = {
+        "metric": "kg_e2e_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NCPU,
+        "bench_docs": BENCH_NDOCS,
+        "n_triples": n_triples,
+        "docs_per_sec": round(BENCH_NDOCS / wall, 1),
+    }
+    if not kg_only:
+        result["queries"] = timed_queries()
+        result["queries"]["kg_e2e"] = result["value"]
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling(repeats: int = 2, n_docs: int = 1_000_000):
+    def run(ncpu: int) -> dict:
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       KG_BENCH_NDOCS=str(n_docs), KG_BENCH_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    lo, hi = run(8), run(32)
+    eff = lo["value"] / (4 * hi["value"])
+    # hardware ceiling: raw multiprocessing scaling of a regex kernel
+    hw = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "cpu_ceiling.py")],
+        capture_output=True, text=True).stdout.strip()
+    try:
+        hw_ceiling = float(hw.splitlines()[-1])
+    except (ValueError, IndexError):
+        hw_ceiling = None
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "bench_docs": n_docs,
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_4x": hw_ceiling,
+        "efficiency_vs_hardware": (round(eff / hw_ceiling, 3)
+                                   if hw_ceiling else None),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling(n_docs=int(os.environ.get("KG_SCALE_NDOCS", "1000000")))
+    else:
+        main()

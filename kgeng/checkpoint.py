@@ -31,6 +31,27 @@ import time
 
 import ray.data
 
+# Concurrency guard: ray's path_util imports fsspec.implementations.http on
+# every write; in this env that module fails mid-import (no aiohttp), which
+# is fine single-threaded (ModuleNotFoundError is caught) but racy when two
+# Dataset executions start concurrently (the half-initialized module raises
+# a plain ImportError that ray does not catch). Pre-install a stub with a
+# sentinel HTTPFileSystem class so the import always succeeds and the
+# isinstance check correctly returns False.
+try:  # pragma: no cover - environment-dependent
+    import fsspec.implementations.http  # noqa: F401
+except ImportError:  # pragma: no cover
+    import sys as _sys
+    import types as _types
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    class _NoHTTPFileSystem:  # never instantiated; isinstance() -> False
+        pass
+
+    _stub.HTTPFileSystem = _NoHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _stub
+
 
 class CheckpointStore:
     def __init__(self, root: str, config_hash: str):
@@ -96,10 +117,17 @@ class CheckpointStore:
 
     def read_all_shards(self, stage: str) -> ray.data.Dataset:
         base = os.path.join(self.root, stage)
-        dirs = sorted(
-            os.path.join(base, d) for d in os.listdir(base)
-            if d.startswith("shard="))
-        return ray.data.read_parquet(dirs)
+        files = []
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("shard="):
+                continue
+            sd = os.path.join(base, d)
+            files.extend(sorted(
+                os.path.join(sd, f) for f in os.listdir(sd)
+                if f.endswith(".parquet")))
+        # explicit file list: a list of directories is not portable across
+        # pyarrow dataset versions (and skips _MANIFEST/_SUCCESS sidecars)
+        return ray.data.read_parquet(files)
 
     def manifest(self, stage: str, shard: int | None = None) -> dict:
         with open(os.path.join(self.stage_dir(stage, shard),

@@ -73,7 +73,7 @@ class PipelineConfig:
     # execution
     detect_batch_size: int = 1024
     link_batch_size: int = 4096
-    link_concurrency: int = 4
+    link_concurrency: int = 8
 
     def config_hash(self) -> str:
         """Stable hash of the config — part of every checkpoint manifest."""

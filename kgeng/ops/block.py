@@ -138,3 +138,37 @@ def candidate_pairs(surfaces: ray.data.Dataset,
     return deduped.map_batches(
         lambda t: t.rename_columns(["a", "b", "jac"]),
         batch_format="pyarrow")
+
+
+def candidate_pairs_driver(surfaces: list[tuple[str, bool]],
+                           cfg: BlockConfig) -> list[tuple[str, str, float]]:
+    """Driver-side LSH banding + verify over an already-distinct surface
+    list — the default plan when the unique-surface set fits the driver
+    (SURVEY.md §7.5 plan A; the distributed ``candidate_pairs`` is the
+    fallback for extreme cardinalities). Same kernels, zero Ray stages.
+    """
+    surfs = [s for s, _g in surfaces]
+    sig = minhash_batch(surfs, cfg)
+    band_idx, band_hash = band_keys(sig, cfg)
+    B = cfg.num_bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for row in range(len(surfs)):
+        for b in range(B):
+            key = (b, int(band_hash[row * B + b]))
+            buckets.setdefault(key, []).append(row)
+    seen: set[tuple[int, int]] = set()
+    out = []
+    for key, members in buckets.items():
+        if len(members) > cfg.max_band_group:
+            out.append(("", "", -float(len(members))))
+            continue
+        for ii in range(len(members)):
+            for jj in range(ii + 1, len(members)):
+                a, b = sorted((members[ii], members[jj]))
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                jc = jaccard(surfs[a], surfs[b], cfg.shingle_k)
+                if jc >= cfg.jaccard_threshold:
+                    out.append((surfs[a], surfs[b], jc))
+    return out

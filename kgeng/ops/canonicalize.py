@@ -127,6 +127,20 @@ def label_propagation_components(pairs: ray.data.Dataset,
     return labels
 
 
+def build_resolution_from_pairs(pairs: list[tuple[str, str, float]],
+                                gazetteer: dict[str, tuple[str, str]],
+                                cfg: BlockConfig) -> dict[str, tuple[str, bool]]:
+    """Driver-side variant: union-find directly over an in-memory verified
+    pair list (the default path — the candidate graph is small by
+    construction; see candidate_pairs_driver)."""
+    uf = UnionFind()
+    for a, b, _j in pairs:
+        if a and b:
+            uf.union(a, b)
+    comp = {x: uf.find(x) for x in list(uf.parent)}
+    return _resolve_components(comp, gazetteer, cfg)
+
+
 def build_resolution(pairs: ray.data.Dataset,
                      gazetteer: dict[str, tuple[str, str]],
                      cfg: BlockConfig) -> dict[str, tuple[str, bool]]:
@@ -137,6 +151,12 @@ def build_resolution(pairs: ray.data.Dataset,
     components split by best Jaccard against in-component gazetteer surfaces.
     """
     comp = connected_components(pairs)
+    return _resolve_components(comp, gazetteer, cfg)
+
+
+def _resolve_components(comp: dict[str, str],
+                        gazetteer: dict[str, tuple[str, str]],
+                        cfg: BlockConfig) -> dict[str, tuple[str, bool]]:
     members: dict[str, list[str]] = {}
     for surf, root in comp.items():
         members.setdefault(root, []).append(surf)

@@ -112,21 +112,36 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
 
     banded = ds.map_batches(bands, batch_format="pyarrow", batch_size=4096)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > max_band_group:
-            return pd.DataFrame({"a": [""], "b": [""],
-                                 "skipped": [len(g)]})
-        ids = sorted(set(g["doc_id"]))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b,
-                             "skipped": [0] * len(out_a)})
+    # Millions of tiny band groups make per-group map_groups calls the
+    # bottleneck; instead hash-partition bands into ~64 coarse buckets
+    # (one shuffle, few groups) and do C-level pandas grouping INSIDE each
+    # bucket to enumerate same-band pairs.
+    def bucketed(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int32)))
 
-    pairs = banded.groupby(["band_idx", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas")
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_skip = [], [], []
+        grouped = g.groupby(["band_idx", "band_hash"])["doc_id"]
+        for _key, ids in grouped:
+            uids = sorted(set(ids))
+            if len(uids) < 2:
+                continue
+            if len(uids) > max_band_group:
+                out_a.append("")
+                out_b.append("")
+                out_skip.append(len(uids))
+                continue
+            for i in range(len(uids)):
+                for j in range(i + 1, len(uids)):
+                    out_a.append(uids[i])
+                    out_b.append(uids[j])
+                    out_skip.append(0)
+        return pd.DataFrame({"a": out_a, "b": out_b, "skipped": out_skip})
+
+    pairs = banded.map_batches(bucketed, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(emit_bucket, batch_format="pandas")
     dedup = pairs.groupby(["a", "b"]).max("skipped")
     return dedup.map_batches(
         lambda t: t.rename_columns(["a", "b", "skipped"]),
@@ -234,20 +249,29 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
 
     banded = with_sig.map_batches(chunks, batch_format="pyarrow")
 
+    # same coarse-bucket trick as minhash_lsh_candidates: few shuffle
+    # groups, C-level grouping inside
+    def bucketed(t: pa.Table) -> pa.Table:
+        v = t["chunk_val"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((v % np.uint64(64)).astype(np.int32)))
+
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["doc_id"], g["sig"])))
         out_a, out_b, out_d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
-                if d <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_d.append(d)
+        for _key, sub in g.groupby(["chunk_idx", "chunk_val"]):
+            rows = sorted(set(zip(sub["doc_id"], sub["sig"])))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = int(bin(int(rows[i][1]) ^ int(rows[j][1]))
+                            .count("1"))
+                    if d <= max_hamming:
+                        out_a.append(rows[i][0])
+                        out_b.append(rows[j][0])
+                        out_d.append(d)
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_d})
 
-    pairs = banded.groupby(["chunk_idx", "chunk_val"]).map_groups(
-        emit, batch_format="pandas")
+    pairs = banded.map_batches(bucketed, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(emit, batch_format="pandas")
     dedup = pairs.groupby(["a", "b"]).min("hamming")
     return dedup.map_batches(
         lambda t: t.rename_columns(["a", "b", "hamming"]),

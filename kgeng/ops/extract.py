@@ -24,6 +24,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from kgeng.config import DetectConfig
@@ -66,57 +67,77 @@ class Extract:
             "|".join(f"(?P<{p}>{re.escape(s)})" for p, s in phrases))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {name: [] for name in RECORD_SCHEMA.names}
-
-        def emit(kind, doc_id, span_idx, offset=0, surface="", ent_type="",
-                 source="", subj="", pred="", obj=""):
-            cols["rec_kind"].append(kind)
-            cols["doc_id"].append(doc_id)
-            cols["span_idx"].append(span_idx)
-            cols["offset"].append(offset)
-            cols["surface"].append(surface)
-            cols["ent_type"].append(ent_type)
-            cols["source"].append(source)
-            cols["subj"].append(subj)
-            cols["pred"].append(pred)
-            cols["obj"].append(obj)
-
+        # flatten the list<struct> column ONCE via Arrow (zero-copy) and
+        # convert each child to a flat Python list — no per-span dicts,
+        # which is what dominates allocation cost in this hot stage
+        spans_col = batch["spans"].combine_chunks()
+        flat = pc.list_flatten(spans_col)
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        media = flat.field("media_ref").to_pylist()
+        offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
         doc_ids = batch["doc_id"].to_pylist()
-        spans_col = batch["spans"].to_pylist()
-        for doc_id, spans in zip(doc_ids, spans_col):
-            first_entity_surface: str | None = None
-            media_spans: list[tuple[int, str]] = []
-            for si, span in enumerate(spans):
-                if span["kind"] != "text":
-                    media_spans.append((si, span["media_ref"]))
+
+        rows: list[tuple] = []  # RECORD_SCHEMA field order
+        append = rows.append
+        gaz_get = self.gaz.get
+        cap_finditer = self.cap_run.finditer
+        phrase_search = self.phrase_re.search
+
+        for di, doc_id in enumerate(doc_ids):
+            lo, hi = offsets[di], offsets[di + 1]
+            first_entity_surface = None
+            media_spans = []
+            for si in range(lo, hi):
+                if kinds[si] != "text":
+                    media_spans.append((si - lo, media[si]))
                     continue
-                text = span["text"]
-                ent_mentions: list[tuple[int, str]] = []
-                for m in self.cap_run.finditer(text):
+                text = texts[si]
+                span_idx = si - lo
+                ent_mentions = []
+                for m in cap_finditer(text):
                     surf = m.group()
-                    hit = self.gaz.get(surf)
-                    emit("mention", doc_id, si, m.start(), surf,
-                         hit[1] if hit else "",
-                         "gazetteer" if hit else "ner")
+                    hit = gaz_get(surf)
+                    if hit is not None:
+                        append(("mention", doc_id, span_idx, m.start(),
+                                surf, hit[1], "gazetteer", "", "", ""))
+                    else:
+                        append(("mention", doc_id, span_idx, m.start(),
+                                surf, "", "ner", "", "", ""))
                     ent_mentions.append((m.start(), surf))
                     if first_entity_surface is None:
                         first_entity_surface = surf
                 for name, rex in self.detectors:
                     for m in rex.finditer(text):
-                        emit("mention", doc_id, si, m.start(), m.group(),
-                             name, "regex")
+                        append(("mention", doc_id, span_idx, m.start(),
+                                m.group(), name, "regex", "", "", ""))
                 if len(ent_mentions) >= 2:
-                    pm = self.phrase_re.search(text)
+                    pm = phrase_search(text)
                     if pm is not None:
                         ent_mentions.sort()
-                        emit("relation", doc_id, si,
-                             subj=ent_mentions[0][1], pred=pm.lastgroup,
-                             obj=ent_mentions[1][1])
-            for si, ref in media_spans:
-                if first_entity_surface is not None:
-                    emit("media", doc_id, si,
-                         subj=first_entity_surface, obj=ref)
-        return pa.Table.from_pydict(cols, schema=RECORD_SCHEMA)
+                        append(("relation", doc_id, span_idx, 0, "", "",
+                                "", ent_mentions[0][1], pm.lastgroup,
+                                ent_mentions[1][1]))
+            if first_entity_surface is not None:
+                for span_idx, ref in media_spans:
+                    append(("media", doc_id, span_idx, 0, "", "", "",
+                            first_entity_surface, "", ref))
+        if not rows:
+            return RECORD_SCHEMA.empty_table()
+        cols = list(zip(*rows))  # C-level transpose
+        arrays = [
+            pa.array(cols[0], pa.string()),
+            pa.array(cols[1], pa.string()),
+            pa.array(cols[2], pa.int32()),
+            pa.array(cols[3], pa.int32()),
+            pa.array(cols[4], pa.string()),
+            pa.array(cols[5], pa.string()),
+            pa.array(cols[6], pa.string()),
+            pa.array(cols[7], pa.string()),
+            pa.array(cols[8], pa.string()),
+            pa.array(cols[9], pa.string()),
+        ]
+        return pa.Table.from_arrays(arrays, schema=RECORD_SCHEMA)
 
 
 def load_gazetteer_dict(gazetteer_parquet: str) -> dict[str, tuple[str, str]]:
@@ -132,22 +153,38 @@ def load_gazetteer_dict(gazetteer_parquet: str) -> dict[str, tuple[str, str]]:
     }
 
 
+# worker-local detector cache: stateless tasks re-use the compiled
+# detector across batches within a worker process, so there is no actor
+# pool to spin up per shard (pools re-created per map_batches call cost
+# ~2s each; tasks amortize to zero) while state is still built once per
+# worker, not per batch
+_DETECTOR_CACHE: dict[str, Extract] = {}
+
+
+def _cached_extract(key: str, gaz_ref, cfg, batch: pa.Table) -> pa.Table:
+    det = _DETECTOR_CACHE.get(key)
+    if det is None:
+        det = Extract(gaz_ref, cfg)
+        _DETECTOR_CACHE.clear()
+        _DETECTOR_CACHE[key] = det
+    return det(batch)
+
+
 def extract_records(docs: ray.data.Dataset, gazetteer: dict,
                     batch_size: int = 1024,
-                    concurrency=None) -> ray.data.Dataset:
+                    concurrency=None,
+                    detect_cfg: DetectConfig | None = None) -> ray.data.Dataset:
     """documents Dataset -> records Dataset (mention | relation | media).
 
-    The gazetteer is broadcast once with ``ray.put`` and read in each actor's
-    ``__init__`` — never re-shipped per batch.
+    The gazetteer is broadcast once with ``ray.put`` and read once per
+    worker (cached) — never re-shipped per batch.
     """
     gaz_ref = ray.put(gazetteer)
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    return docs.map_batches(
-        Extract,
-        fn_constructor_args=(gaz_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        **kwargs,
-    )
+    key = gaz_ref.hex()
+    cfg = detect_cfg
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_extract(key, gaz_ref, cfg, batch)
+
+    return docs.map_batches(fn, batch_format="pyarrow",
+                            batch_size=batch_size)

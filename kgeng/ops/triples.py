@@ -2,8 +2,9 @@
 
 Relation/media records (surface-level, from ops/extract.py) are rewritten
 into entity-level triples using the broadcast resolution map — a pure
-``map_batches`` with no shuffle. Records whose subject or object surface
-does not resolve are dropped (noise candidates).
+vectorized ``map_batches`` (``pc.index_in`` lookups) with no shuffle.
+Records whose subject or object surface does not resolve are dropped
+(noise candidates).
 
 Confidence rule (mirrors the synthetic-truth construction): 1.0 when both
 sides resolved via exact gazetteer surfaces, 0.9 when either side resolved
@@ -13,6 +14,7 @@ through alias canonicalization; media triples are 1.0.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 TRIPLE_SCHEMA = pa.schema([
@@ -28,48 +30,73 @@ class ResolveTriples:
     def __init__(self, resolution_ref):
         res = ray.get(resolution_ref) if isinstance(
             resolution_ref, ray.ObjectRef) else resolution_ref
-        self.res: dict[str, tuple[str, bool]] = res
+        surfaces = list(res.keys())
+        self.surface_arr = pa.array(surfaces, pa.string())
+        self.eid_arr = pa.array([res[s][0] for s in surfaces], pa.string())
+        self.alias_arr = pa.array([res[s][1] for s in surfaces], pa.bool_())
+
+    def _resolve(self, col):
+        idx = pc.index_in(col, value_set=self.surface_arr)
+        ok = pc.is_valid(idx)
+        safe = pc.fill_null(idx, 0)
+        return (ok, pc.take(self.eid_arr, safe),
+                pc.take(self.alias_arr, safe))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {n: [] for n in TRIPLE_SCHEMA.names}
-        kinds = batch["rec_kind"].to_pylist()
-        doc_ids = batch["doc_id"].to_pylist()
-        subjs = batch["subj"].to_pylist()
-        preds = batch["pred"].to_pylist()
-        objs = batch["obj"].to_pylist()
-        for kind, doc_id, s, p, o in zip(kinds, doc_ids, subjs, preds, objs):
-            if kind == "relation":
-                rs = self.res.get(s)
-                ro = self.res.get(o)
-                if rs is None or ro is None:
-                    continue
-                conf = 0.9 if (rs[1] or ro[1]) else 1.0
-                cols["subj"].append(rs[0])
-                cols["pred"].append(p)
-                cols["obj"].append(ro[0])
-                cols["doc_id"].append(doc_id)
-                cols["confidence"].append(conf)
-            elif kind == "media":
-                rs = self.res.get(s)
-                if rs is None:
-                    continue
-                cols["subj"].append(rs[0])
-                cols["pred"].append("mentions_media")
-                cols["obj"].append(o)
-                cols["doc_id"].append(doc_id)
-                cols["confidence"].append(1.0)
-        return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
+        out = []
+        rel = batch.filter(pc.equal(batch["rec_kind"], "relation"))
+        if len(rel):
+            s_ok, s_eid, s_alias = self._resolve(rel["subj"])
+            o_ok, o_eid, o_alias = self._resolve(rel["obj"])
+            keep = pc.and_(s_ok, o_ok)
+            conf = pc.if_else(
+                pc.or_(s_alias, o_alias),
+                pa.scalar(0.9, pa.float32()), pa.scalar(1.0, pa.float32()))
+            t = pa.table({
+                "subj": s_eid, "pred": rel["pred"], "obj": o_eid,
+                "doc_id": rel["doc_id"],
+                "confidence": pc.cast(conf, pa.float32()),
+            }).filter(keep)
+            out.append(t)
+        med = batch.filter(pc.equal(batch["rec_kind"], "media"))
+        if len(med):
+            s_ok, s_eid, _sa = self._resolve(med["subj"])
+            t = pa.table({
+                "subj": s_eid,
+                "pred": pa.array(["mentions_media"] * len(med)),
+                "obj": med["obj"],
+                "doc_id": med["doc_id"],
+                "confidence": pa.array([1.0] * len(med), pa.float32()),
+            }).filter(s_ok)
+            out.append(t)
+        if not out:
+            return TRIPLE_SCHEMA.empty_table()
+        return pa.concat_tables([t.cast(TRIPLE_SCHEMA) for t in out])
+
+
+# worker-local cache (same pattern as ops/extract.py): stateless tasks,
+# resolution tables deserialized once per worker, zero pool spin-up cost
+_RESOLVER_CACHE: dict[str, ResolveTriples] = {}
+
+
+def _cached_resolve(key: str, res_ref, batch: pa.Table) -> pa.Table:
+    r = _RESOLVER_CACHE.get(key)
+    if r is None:
+        r = ResolveTriples(res_ref)
+        _RESOLVER_CACHE.clear()
+        _RESOLVER_CACHE[key] = r
+    return r(batch)
 
 
 def emit_triples(records: ray.data.Dataset,
                  resolution: dict[str, tuple[str, bool]],
-                 batch_size: int = 8192,
-                 concurrency=(1, 8)) -> ray.data.Dataset:
+                 batch_size: int = 16384,
+                 concurrency: int | None = None) -> ray.data.Dataset:
     res_ref = ray.put(resolution)
-    return records.map_batches(
-        ResolveTriples,
-        fn_constructor_args=(res_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    key = res_ref.hex()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_resolve(key, res_ref, batch)
+
+    return records.map_batches(fn, batch_format="pyarrow",
+                               batch_size=batch_size)

@@ -54,10 +54,13 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
 class KGPipeline:
     def __init__(self, cfg: PipelineConfig | None = None,
                  checkpoint_root: str | None = None,
-                 num_shards: int = 4):
+                 num_shards: int = 4,
+                 driver_max_surfaces: int = 2_000_000):
         self.cfg = cfg or PipelineConfig()
         self.checkpoint_root = checkpoint_root
         self.num_shards = num_shards
+        # cutover between driver-side and distributed canonicalization
+        self.driver_max_surfaces = driver_max_surfaces
 
     # ------------------------------------------------------------------
     def run(self, corpus_path: str, gazetteer_path: str,
@@ -67,6 +70,11 @@ class KGPipeline:
         the documents table; returns dict with the result Datasets."""
         cfg = self.cfg
         gaz = load_gazetteer_dict(gazetteer_path)
+        # size actor pools to a fraction of the cluster so they never
+        # starve the task-based read/write stages (a pool that reserves
+        # every CPU stalls the pipeline)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        pool_size = max(2, min(16, ncpu // 2))
         store = None
         if self.checkpoint_root:
             store = CheckpointStore(self.checkpoint_root, cfg.config_hash())
@@ -75,13 +83,15 @@ class KGPipeline:
         records = self._extract_stage(corpus_path, gaz, store, resume)
 
         # ---- stage 2: link mentions (actor pool) ----------------------
-        mentions = _filter_kind(records, ("mention",))
+        mentions = _filter_kind(records, ("mention",)).select_columns(
+            ["rec_kind", "doc_id", "span_idx", "offset", "surface",
+             "ent_type", "source"])
         if store and resume and store.is_done("linked"):
             linked = store.read_stage("linked")
         else:
             linked = link_mentions(
                 mentions, gaz, batch_size=cfg.link_batch_size,
-                concurrency=(1, cfg.link_concurrency))
+                concurrency=pool_size)
             if store:
                 store.write_stage("linked", linked,
                                   lineage={"input": "records"})
@@ -128,13 +138,35 @@ class KGPipeline:
         files = _list_parquet_files(corpus_path)
         shards = [files[i::self.num_shards] for i in range(self.num_shards)]
         shards = [s for s in shards if s]
-        for i, shard_files in enumerate(shards):
-            if resume and store.is_done("records", shard=i):
-                continue
-            docs = ray.data.read_parquet(shard_files)
+
+        todo = [(i, sf) for i, sf in enumerate(shards)
+                if not (resume and store.is_done("records", shard=i))]
+        # build the lazy per-shard pipelines on the MAIN thread (dataset
+        # construction does eager path resolution that is not thread-safe
+        # in this environment); only the executions run concurrently
+        jobs = []
+        for i, shard_files in todo:
+            # split each file into several read blocks (row-group level) so
+            # one shard saturates the CPUs even with few files
+            docs = ray.data.read_parquet(
+                shard_files,
+                override_num_blocks=max(len(shard_files) * 2, 16))
             recs = extract_records(docs, gaz,
-                                   batch_size=cfg.detect_batch_size,
-                                   concurrency=(1, 8))
+                                   batch_size=cfg.detect_batch_size)
+            jobs.append((i, shard_files, recs))
+        if len(jobs) > 1:
+            # shards execute concurrently (independent Dataset pipelines;
+            # the streaming executor interleaves their tasks) — keeps
+            # per-shard resume granularity without serializing
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as ex:
+                list(ex.map(
+                    lambda j: store.write_stage(
+                        "records", j[2], shard=j[0],
+                        lineage={"files": j[1]}), jobs))
+        elif jobs:
+            i, shard_files, recs = jobs[0]
             store.write_stage("records", recs, shard=i,
                               lineage={"files": shard_files})
         return store.read_all_shards("records")
@@ -152,24 +184,54 @@ class KGPipeline:
         # unique unresolved *entity-candidate* surfaces (small by
         # construction); regex detector hits (dates, emails, ids) are not
         # entity candidates and must not enter blocking
-        unresolved = linked.map_batches(
-            lambda t: t.filter(pc.and_(
+        # per-block vectorized dedup, then a driver-side union of the
+        # (small by construction) per-block unique sets — no shuffle; the
+        # distributed `distinct` is only needed on the fallback path below
+        def block_unique(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.and_(
                 pc.equal(t["cand_id"], pa.scalar("")),
-                pc.equal(t["source"], pa.scalar("ner")))),
-            batch_format="pyarrow")
-        uniq = distinct(unresolved, ["surface"])
-        uniq = uniq.map_batches(
-            lambda t: t.append_column("is_gaz",
-                                      pa.array([False] * len(t))),
-            batch_format="pyarrow")
-        gaz_tbl = pa.table({"surface": list(gaz.keys()),
-                            "is_gaz": pa.array([True] * len(gaz))})
-        surfaces = uniq.union(ray.data.from_arrow(gaz_tbl))
-        pairs = candidate_pairs(surfaces, cfg.block)
-        if store:
-            store.write_stage("pairs", pairs, lineage={"input": "linked"})
-            pairs = store.read_stage("pairs")
-        resolution = build_resolution(pairs, gaz, cfg.block)
+                pc.equal(t["source"], pa.scalar("ner"))))
+            return pa.table({"surface": pc.unique(
+                f["surface"].combine_chunks())})
+
+        uniq = linked.map_batches(block_unique, batch_format="pyarrow")
+        surf_set: set[str] = set()
+        for b in uniq.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+            surf_set.update(b["surface"].to_pylist())
+        uniq_surfaces = list(surf_set)
+        if len(uniq_surfaces) <= self.driver_max_surfaces:
+            from kgeng.ops.block import candidate_pairs_driver
+            from kgeng.ops.canonicalize import build_resolution_from_pairs
+
+            surface_list = ([(s, False) for s in sorted(uniq_surfaces)]
+                            + [(s, True) for s in gaz])
+            pair_list = candidate_pairs_driver(surface_list, cfg.block)
+            if store:
+                tbl = pa.table({
+                    "a": [p[0] for p in pair_list],
+                    "b": [p[1] for p in pair_list],
+                    "jac": pa.array([p[2] for p in pair_list],
+                                    pa.float64())})
+                store.write_stage("pairs", ray.data.from_arrow(tbl),
+                                  lineage={"input": "linked",
+                                           "path": "driver"})
+            resolution = build_resolution_from_pairs(pair_list, gaz,
+                                                     cfg.block)
+        else:  # pragma: no cover - extreme-cardinality fallback
+            uniq = uniq.map_batches(
+                lambda t: t.append_column(
+                    "is_gaz", pa.array([False] * len(t))),
+                batch_format="pyarrow")
+            gaz_tbl = pa.table({"surface": list(gaz.keys()),
+                                "is_gaz": pa.array([True] * len(gaz))})
+            surfaces = uniq.union(ray.data.from_arrow(gaz_tbl))
+            pairs = candidate_pairs(surfaces, cfg.block)
+            if store:
+                store.write_stage("pairs", pairs,
+                                  lineage={"input": "linked"})
+                pairs = store.read_stage("pairs")
+            resolution = build_resolution(pairs, gaz, cfg.block)
         if res_path:
             with open(res_path, "w") as f:
                 json.dump({"config_hash": cfg.config_hash(),
@@ -200,27 +262,25 @@ class KGPipeline:
                 [subj.combine_chunks(), obj.combine_chunks()]))
             return pa.table({"entity_id": eids})
 
+        # per-block unique + driver union (entity-id set is small); at a
+        # cardinality where it were not, swap in distinct() + a broadcast-
+        # map attach — same semantics, one groupby shuffle more
         used = triples.map_batches(to_entity_rows, batch_format="pyarrow")
-        used = distinct(used, ["entity_id"])
-
-        def attach(batch: pa.Table) -> pa.Table:
-            m = ray.get(meta_ref)
-            eids = batch["entity_id"].to_pylist()
-            canon, etype, sforms = [], [], []
-            for e in eids:
-                ck, ty, fs = m.get(e, ("", "", []))
-                canon.append(ck)
-                etype.append(ty)
-                sforms.append(fs)
-            return pa.table({
-                "entity_id": pa.array(eids, pa.string()),
-                "canon_key": pa.array(canon, pa.string()),
-                "surface_forms": pa.array(sforms, pa.list_(pa.string())),
-                "ent_type": pa.array(etype, pa.string()),
-                "part": pa.array(etype, pa.string()),
-            })
-
-        entities = used.map_batches(attach, batch_format="pyarrow")
+        eid_set: set[str] = set()
+        for b in used.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+            eid_set.update(b["entity_id"].to_pylist())
+        m = ray.get(meta_ref)
+        eids = sorted(eid_set)
+        rows = [m.get(e, ("", "", [])) for e in eids]
+        entities = ray.data.from_arrow(pa.table({
+            "entity_id": pa.array(eids, pa.string()),
+            "canon_key": pa.array([r[0] for r in rows], pa.string()),
+            "surface_forms": pa.array([r[2] for r in rows],
+                                      pa.list_(pa.string())),
+            "ent_type": pa.array([r[1] for r in rows], pa.string()),
+            "part": pa.array([r[1] for r in rows], pa.string()),
+        }))
         if store:
             store.write_stage("entities", entities,
                               lineage={"input": "triples+resolution"})

@@ -163,7 +163,8 @@ def _media_ref(doc_idx: int, span_idx: int, seed: int) -> str:
         f"{seed}|{doc_idx}|{span_idx}".encode()).hexdigest()[:12]
 
 
-def generate_doc(doc_idx: int, gaz: Gazetteer, seed: int = SEED):
+def generate_doc(doc_idx: int, gaz: Gazetteer, seed: int = SEED,
+                 spans_lo: int = 1, spans_hi: int = 12):
     """Return (doc_row, golden_triples, used_aliases) for one document.
 
     doc_row = {"doc_id": str, "spans": [ {kind,text,media_ref,offset} ]}
@@ -172,7 +173,7 @@ def generate_doc(doc_idx: int, gaz: Gazetteer, seed: int = SEED):
     """
     rng = np.random.default_rng([seed, doc_idx])
     doc_id = f"doc-{doc_idx:08d}"
-    n_spans = int(rng.integers(1, 13))
+    n_spans = int(rng.integers(spans_lo, spans_hi + 1))
     spans, triples, used_aliases = [], [], []
     offset = 0
     media_refs = []          # media spans awaiting the doc's first entity
@@ -354,3 +355,105 @@ def corpus_dir_for(n_docs: int, seed: int = SEED, base: str = "/tmp/kgeng_corpus
 def ensure_corpus(n_docs: int, seed: int = SEED) -> str:
     d = corpus_dir_for(n_docs, seed)
     return generate_corpus(d, n_docs, seed)
+
+
+# ------------------------------------------------- Ray-parallel generation
+
+def generate_corpus_ray(out_dir: str, n_docs: int, seed: int = SEED,
+                        n_entities: int = 200, part_rows: int = 4096,
+                        spans_lo: int = 1, spans_hi: int = 12,
+                        force: bool = False) -> str:
+    """Parallel corpus generation: one Ray task per part file. Every doc is
+    content-keyed on (seed, doc_idx), so the output is bit-identical to the
+    serial generator at any parallelism. Golden triples/aliases are emitted
+    as the task results (small relative to the corpus) and concatenated on
+    the driver."""
+    import ray
+    import ray.data
+
+    success = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(success) and not force:
+        with open(success) as f:
+            meta = json.load(f)
+        if (meta.get("n_docs") == n_docs and meta.get("seed") == seed
+                and meta.get("version") == CORPUS_VERSION
+                and meta.get("spans") == [spans_lo, spans_hi]):
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    corpus_dir = os.path.join(out_dir, "corpus")
+    os.makedirs(corpus_dir, exist_ok=True)
+    gaz = build_gazetteer(n_entities)
+    gaz_ref = ray.put(gaz)
+    n_parts = (n_docs + part_rows - 1) // part_rows
+
+    @ray.remote
+    def gen_part(part: int):
+        g = ray.get(gaz_ref)
+        lo, hi = part * part_rows, min((part + 1) * part_rows, n_docs)
+        doc_rows, triples, aliases = [], [], {}
+        for di in range(lo, hi):
+            row, tr, al = generate_doc(di, g, seed, spans_lo, spans_hi)
+            doc_rows.append(row)
+            triples.extend(tr)
+            for a, eid in al:
+                aliases[a] = eid
+        pq.write_table(docs_to_table(doc_rows),
+                       os.path.join(corpus_dir, f"part-{part:05d}.parquet"),
+                       row_group_size=512)
+        tr_tbl = pa.Table.from_pylist(
+            [{"subj": s, "pred": p, "obj": o, "doc_id": d, "confidence": c}
+             for (s, p, o, d, c) in triples], schema=TRIPLE_SCHEMA)
+        return tr_tbl, aliases
+
+    results = ray.get([gen_part.remote(p) for p in range(n_parts)])
+    all_tr = pa.concat_tables([r[0] for r in results])
+    alias_use: dict[str, str] = {}
+    for _t, al in results:
+        alias_use.update(al)
+    pq.write_table(all_tr, os.path.join(out_dir, "golden_triples.parquet"))
+    pq.write_table(pa.table({
+        "surface": list(gaz.surfaces),
+        "entity_id": list(gaz.entity_ids),
+        "ent_type": list(gaz.ent_types),
+    }), os.path.join(out_dir, "gazetteer.parquet"))
+    _write_golden_entities(out_dir, gaz, all_tr, alias_use)
+    with open(success, "w") as f:
+        json.dump({"n_docs": n_docs, "seed": seed,
+                   "version": CORPUS_VERSION,
+                   "spans": [spans_lo, spans_hi],
+                   "n_triples": all_tr.num_rows,
+                   "n_aliases_used": len(alias_use)}, f)
+    return out_dir
+
+
+def _write_golden_entities(out_dir: str, gaz: Gazetteer, tr: pa.Table,
+                           alias_use: dict[str, str]):
+    forms: dict[str, set] = {eid: set() for eid in gaz.entity_ids}
+    subj = set(tr["subj"].to_pylist())
+    objs = {o for o in tr["obj"].to_pylist()
+            if not o.startswith("media://")}
+    used_eids = subj | objs
+    s2e = gaz.surface_to_entity()
+    for s, eid in s2e.items():
+        forms[eid].add(s)
+    for a, eid in alias_use.items():
+        forms[eid].add(a)
+    ents = [{"entity_id": eid,
+             "canon_key": gaz.surfaces[gaz.entity_ids.index(eid)].lower(),
+             "surface_forms": sorted(forms[eid]),
+             "ent_type": gaz.ent_types[gaz.entity_ids.index(eid)],
+             "part": gaz.ent_types[gaz.entity_ids.index(eid)]}
+            for eid in sorted(used_eids)]
+    pq.write_table(pa.Table.from_pylist(ents),
+                   os.path.join(out_dir, "golden_entities.parquet"))
+
+
+def ensure_bench_corpus(n_docs: int, seed: int = SEED,
+                        spans_lo: int = 4, spans_hi: int = 20) -> str:
+    """Bench-tier corpus: denser documents (4-20 spans) so per-doc compute
+    reflects realistic web-document sizes. Generated in parallel, cached."""
+    d = os.path.join("/tmp/kgeng_corpus",
+                     f"v{CORPUS_VERSION}_n{n_docs}_s{seed}"
+                     f"_sp{spans_lo}-{spans_hi}")
+    return generate_corpus_ray(d, n_docs, seed, spans_lo=spans_lo,
+                               spans_hi=spans_hi)
