@@ -1,0 +1,87 @@
+"""Document-sink backends beyond parquet: JSONL collections and the HTTP
+bulk-POST seam (the reference's ``insert_documents``, general.py:122-136).
+
+At the JSON boundary, optional fields render as ABSENT, not null — the
+reference's bulk-POST payload shape ("Null will be inserted" really means
+the field is omitted; edge_list.py:31 comment, README.md:101-103).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data
+
+from kgeng.io.graph_files import docs_to_jsonl_rows
+
+
+def write_jsonl_collection(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Materialize a document Dataset as a directory of JSONL part files
+    (one line per document, optional fields absent). Returns row count."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batch: pa.Table, *, _dir=out_dir) -> pa.Table:
+        import uuid
+
+        rows = docs_to_jsonl_rows(batch)
+        path = os.path.join(_dir, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        with open(path + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r, separators=(",", ":")) + "\n")
+        os.rename(path + ".tmp", path)
+        return pa.table({"rows": pa.array([len(rows)], pa.int64())})
+
+    counts = ds.map_batches(write_part, batch_format="pyarrow",
+                            batch_size=10000)  # the reference bulk_size
+    return sum(r["rows"] for r in counts.take_all())
+
+
+class BulkHttpSink:
+    """The ``insert_documents`` seam: POST bulks of documents to
+    ``<endpoint>/_api/document/<collection>`` (general.py:117,122-136).
+
+    No network exists in this sandbox, so by default the sink collects
+    payload stats only (``dry_run=True``); a deployment passes
+    ``dry_run=False`` and a real endpoint. Runs as a terminal
+    ``map_batches`` stage — each block POSTs independently, which is the
+    parallel-bulk-write the reference faked with immediately-joined
+    threads (general.py:132-135)."""
+
+    def __init__(self, endpoint: str, collection: str,
+                 auth: tuple[str, str] | None = None,
+                 dry_run: bool = True):
+        self.url = f"{endpoint.rstrip('/')}/_api/document/{collection}"
+        self.auth = auth
+        self.dry_run = dry_run
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = docs_to_jsonl_rows(batch)
+        if self.dry_run:
+            return pa.table({
+                "posted": pa.array([0], pa.int64()),
+                "would_post": pa.array([len(rows)], pa.int64()),
+            })
+        import requests  # pragma: no cover - env-gated (no network here)
+
+        resp = requests.post(self.url, json=rows, auth=self.auth)
+        if resp.status_code != 202:  # the reference's accept code
+            raise RuntimeError(
+                f"bulk POST failed ({resp.status_code}): {resp.text[:200]}")
+        return pa.table({"posted": pa.array([len(rows)], pa.int64()),
+                         "would_post": pa.array([0], pa.int64())})
+
+
+def post_documents(ds: ray.data.Dataset, endpoint: str, collection: str,
+                   auth=None, dry_run: bool = True,
+                   bulk_size: int = 10000) -> dict:
+    """Drive the BulkHttpSink over a Dataset; returns totals."""
+    sink = BulkHttpSink(endpoint, collection, auth, dry_run)
+    out = ds.map_batches(sink, batch_format="pyarrow",
+                         batch_size=bulk_size, concurrency=4)
+    posted = would = 0
+    for r in out.take_all():
+        posted += r["posted"]
+        would += r["would_post"]
+    return {"posted": posted, "dry_run_rows": would}

@@ -242,3 +242,81 @@ def create_k_partite_graph(k: int, min_size: int, max_size: int,
     edges = connect_parts_edges(starts, cfg, 0.0, 0.0, seed,
                                 part_labels=labels if part_mode else None)
     return vertices, edges
+
+
+# --------------------------------------------- vertex/edge property values
+
+def uniform_str(seed: int, ids: np.ndarray, lo: float, hi: float,
+                tag: int = 0) -> pa.Array:
+    """Content-keyed uniform floats, STRINGIFIED — the reference stores all
+    random property values as strings (vertices_generator.py:32-33,39-40,
+    edges_generator.py:60,72). Keyed on (seed, id), not call order."""
+    h = splitmix64(_U64(seed ^ tag) ^ ids.astype(_U64))
+    u = h.astype(np.float64) / float(2 ** 64)
+    vals = lo + u * (hi - lo)
+    return pa.array([str(v) for v in vals])
+
+
+def make_vertices_with_property(n: int, cfg: CompatGraphConfig,
+                                attr_name: str,
+                                prop_type: str = "none",
+                                prop_min: float = 0.0,
+                                prop_max: float = 1.0,
+                                values: list | None = None,
+                                part_label: str = "",
+                                start: int = 0,
+                                seed: int = 0) -> ray.data.Dataset:
+    """M4 + M9: vertex docs with the optional additional attribute —
+    'none' | 'random' (stringified uniform) | 'list' (explicit values),
+    mirroring VertexOrEdgeProperty (helper_classes.py / arguments.py)."""
+    base = make_vertices(n, cfg, part_label=part_label, start=start)
+    if prop_type == "none":
+        return base
+    if prop_type == "list":
+        if values is None or len(values) < n:
+            raise ValueError(
+                "'list' property needs one value per vertex "
+                "(vertices_generator.py:112-116 validation)")
+        vals_arr = [str(v) for v in values[:n]]
+
+        def attach_list(batch: pa.Table) -> pa.Table:
+            key = batch["_key"].to_pylist()
+            idx = [int(k.split(":")[-1]) - start for k in key]
+            return batch.append_column(
+                attr_name, pa.array([vals_arr[i] for i in idx]))
+
+        return base.map_batches(attach_list, batch_format="pyarrow")
+    if prop_type == "random":
+        def attach(batch: pa.Table) -> pa.Table:
+            key = batch["_key"].to_pylist()
+            ids = np.array([int(k.split(":")[-1]) for k in key],
+                           dtype=np.int64)
+            return batch.append_column(
+                attr_name, uniform_str(seed, ids, prop_min, prop_max))
+
+        return base.map_batches(attach, batch_format="pyarrow")
+    raise ValueError(f"unknown prop_type {prop_type!r}")
+
+
+def clique_edges_with_weight(n: int, cfg: CompatGraphConfig,
+                             attr_name: str,
+                             prob_missing: float = 0.0,
+                             w_min: float = 0.0, w_max: float = 1.0,
+                             seed: int = 0,
+                             start: int = 0) -> ray.data.Dataset:
+    """M7: clique edges with a random stringified weight attribute
+    (edges_generator.py:58-60,70-72)."""
+    edges = clique_edges(n, cfg, prob_missing, seed, start=start)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        f = batch["_from"].to_pylist()
+        t = batch["_to"].to_pylist()
+        # content-key on the endpoint strings, not python hash (randomized)
+        import zlib
+
+        key = np.array([zlib.crc32(f"{a}|{b}".encode())
+                        for a, b in zip(f, t)], dtype=np.int64)
+        return batch.append_column(
+            attr_name, uniform_str(seed, key, w_min, w_max, tag=0xE))
+
+    return edges.map_batches(attach, batch_format="pyarrow")

@@ -1,0 +1,117 @@
+"""Property generators, JSONL/HTTP sinks, CLI, plan-B label propagation,
+permutation invariance."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import ray.data
+
+from kgeng.io.bulk_sink import post_documents, write_jsonl_collection
+from kgeng.io.graph_files import CompatGraphConfig
+from kgeng.synth import graphs
+
+SMART = CompatGraphConfig(vertex_coll="v", smart_attribute="smartProp",
+                          is_smart=True)
+
+
+def test_vertex_random_property_stringified_and_deterministic():
+    a = graphs.make_vertices_with_property(
+        10, SMART, "weight", "random", 2.0, 5.0, seed=3).take_all()
+    b = graphs.make_vertices_with_property(
+        10, SMART, "weight", "random", 2.0, 5.0, seed=3).take_all()
+    av = {r["_key"]: r["weight"] for r in a}
+    bv = {r["_key"]: r["weight"] for r in b}
+    assert av == bv  # content-keyed, not order-keyed
+    for v in av.values():
+        assert isinstance(v, str) and 2.0 <= float(v) <= 5.0
+
+
+def test_vertex_list_property():
+    vals = [f"v{i}" for i in range(5)]
+    out = graphs.make_vertices_with_property(
+        5, SMART, "tag", "list", values=vals).take_all()
+    got = {r["_key"]: r["tag"] for r in out}
+    assert got == {f"{i}:{i}": f"v{i}" for i in range(5)}
+
+
+def test_clique_edges_random_weight_string():
+    out = graphs.clique_edges_with_weight(
+        6, SMART, "w", w_min=1.0, w_max=2.0, seed=9).take_all()
+    assert len(out) == 15
+    for r in out:
+        assert isinstance(r["w"], str) and 1.0 <= float(r["w"]) <= 2.0
+
+
+def test_jsonl_sink_absent_not_null(tmp_path):
+    t = pa.table({"_from": ["v/1", "v/2"], "_to": ["v/2", "v/3"],
+                  "weight": ["0.5", None]})
+    n = write_jsonl_collection(ray.data.from_arrow(t), str(tmp_path / "e"))
+    assert n == 2
+    lines = []
+    for f in os.listdir(tmp_path / "e"):
+        lines += open(tmp_path / "e" / f).read().splitlines()
+    docs = sorted((json.loads(ln) for ln in lines),
+                  key=lambda d: d["_from"])
+    assert docs[0] == {"_from": "v/1", "_to": "v/2", "weight": "0.5"}
+    assert docs[1] == {"_from": "v/2", "_to": "v/3"}  # weight ABSENT
+
+
+def test_http_bulk_sink_dry_run():
+    t = pa.table({"_key": [str(i) for i in range(25)]})
+    res = post_documents(ray.data.from_arrow(t), "http://db:8529",
+                         "vertices", dry_run=True, bulk_size=10)
+    assert res == {"posted": 0, "dry_run_rows": 25}
+
+
+def test_label_propagation_matches_union_find():
+    from kgeng.ops.canonicalize import (UnionFind,
+                                        label_propagation_components)
+
+    pairs = pa.table({"a": ["a", "b", "x", "m"],
+                      "b": ["b", "c", "y", "n"],
+                      "jac": [1.0, 1.0, 1.0, 1.0]})
+    labels = {r["node"]: r["label"]
+              for r in label_propagation_components(
+                  ray.data.from_arrow(pairs)).take_all()}
+    uf = UnionFind()
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        uf.union(a, b)
+    for x, y in (("a", "c"), ("x", "y"), ("m", "n")):
+        assert labels[x] == labels[y]
+    assert labels["a"] != labels["x"] != labels["m"]
+
+
+def test_triples_invariant_under_input_partition_reshuffle(tiny_corpus):
+    """Permutation invariance: shuffling input blocks does not change the
+    triple set (SURVEY.md §5.4)."""
+    import glob
+
+    from kgeng.ops.extract import extract_records, load_gazetteer_dict
+
+    files = sorted(glob.glob(os.path.join(tiny_corpus, "corpus",
+                                          "*.parquet")))
+    gaz = load_gazetteer_dict(os.path.join(tiny_corpus,
+                                           "gazetteer.parquet"))
+    a = extract_records(ray.data.read_parquet(files), gaz)
+    b = extract_records(
+        ray.data.read_parquet(files).random_shuffle(seed=5), gaz)
+    rows_a = sorted(tuple(sorted(r.items())) for r in a.take_all())
+    rows_b = sorted(tuple(sorted(r.items())) for r in b.take_all())
+    assert rows_a == rows_b
+
+
+def test_cli_status_and_generate(tmp_path):
+    out = tmp_path / "g"
+    r = subprocess.run(
+        [sys.executable, "-m", "kgeng.run", "--num-cpus", "2",
+         "generate", "--graphtype", "clique", "--size", "8",
+         "--out", str(out)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr[-500:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload == {"vertices": 8, "edges": 28}
