@@ -83,7 +83,8 @@ class CheckpointStore:
     def write_stage(self, stage: str, ds: ray.data.Dataset,
                     shard: int | None = None,
                     lineage: dict | None = None,
-                    metrics: dict | None = None) -> str:
+                    metrics: dict | None = None,
+                    partition_cols: list[str] | None = None) -> str:
         d = self.stage_dir(stage, shard)
         tmp = d + ".tmp"
         if os.path.exists(tmp):
@@ -91,10 +92,11 @@ class CheckpointStore:
         if os.path.exists(d):
             shutil.rmtree(d)
         t0 = time.monotonic()
-        ds.write_parquet(tmp)
+        ds.write_parquet(tmp, partition_cols=partition_cols)
         wall = time.monotonic() - t0
-        n_files = len([f for f in os.listdir(tmp) if f.endswith(".parquet")])
-        rows = _count_rows(tmp)
+        files = _parquet_files(tmp)
+        n_files = len(files)
+        rows = _count_rows(files)
         os.rename(tmp, d)
         with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
             json.dump({
@@ -115,19 +117,26 @@ class CheckpointStore:
     def read_stage(self, stage: str, shard: int | None = None) -> ray.data.Dataset:
         return ray.data.read_parquet(self.stage_dir(stage, shard))
 
-    def read_all_shards(self, stage: str) -> ray.data.Dataset:
+    def shard_files(self, stage: str,
+                    path_contains: str | None = None) -> list[str]:
+        """Parquet files across all shards; ``path_contains`` filters by a
+        path component (e.g. a hive partition like 'rec_kind=mention')."""
         base = os.path.join(self.root, stage)
         files = []
         for d in sorted(os.listdir(base)):
             if not d.startswith("shard="):
                 continue
-            sd = os.path.join(base, d)
-            files.extend(sorted(
-                os.path.join(sd, f) for f in os.listdir(sd)
-                if f.endswith(".parquet")))
+            files.extend(_parquet_files(os.path.join(base, d)))
+        if path_contains is not None:
+            files = [f for f in files if path_contains in f]
+        return files
+
+    def read_all_shards(self, stage: str,
+                        path_contains: str | None = None) -> ray.data.Dataset:
         # explicit file list: a list of directories is not portable across
         # pyarrow dataset versions (and skips _MANIFEST/_SUCCESS sidecars)
-        return ray.data.read_parquet(files)
+        return ray.data.read_parquet(
+            self.shard_files(stage, path_contains))
 
     def manifest(self, stage: str, shard: int | None = None) -> dict:
         with open(os.path.join(self.stage_dir(stage, shard),
@@ -146,11 +155,16 @@ class CheckpointStore:
         return out
 
 
-def _count_rows(parquet_dir: str) -> int:
+def _parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def _count_rows(files: list[str]) -> int:
     import pyarrow.parquet as pq
 
-    total = 0
-    for f in os.listdir(parquet_dir):
-        if f.endswith(".parquet"):
-            total += pq.read_metadata(os.path.join(parquet_dir, f)).num_rows
-    return total
+    return sum(pq.read_metadata(f).num_rows for f in files)

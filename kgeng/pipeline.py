@@ -40,6 +40,8 @@ def _filter_kind(ds: ray.data.Dataset, kinds: tuple[str, ...]) -> ray.data.Datas
         batch_format="pyarrow")
 
 
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     """Distinct rows over ``cols``: per-batch partial dedup (vectorized Arrow
     group_by) to shrink the shuffle, then a global groupby — the
@@ -83,8 +85,16 @@ class KGPipeline:
         records = self._extract_stage(corpus_path, gaz, store, resume)
 
         # ---- stage 2: link mentions (actor pool) ----------------------
-        mentions = _filter_kind(records, ("mention",)).select_columns(
-            ["rec_kind", "doc_id", "span_idx", "offset", "surface",
+        # records are checkpointed hive-partitioned by rec_kind, so each
+        # branch reads ONLY its partition (no filter scan over the union)
+        if store is not None:
+            mentions = store.read_all_shards(
+                "records", path_contains="rec_kind=mention")
+        else:
+            mentions = _filter_kind(records, ("mention",)).drop_columns(
+                ["rec_kind"])
+        mentions = mentions.select_columns(
+            ["doc_id", "span_idx", "offset", "surface",
              "ent_type", "source"])
         if store and resume and store.is_done("linked"):
             linked = store.read_stage("linked")
@@ -94,14 +104,27 @@ class KGPipeline:
                 concurrency=pool_size)
             if store:
                 store.write_stage("linked", linked,
-                                  lineage={"input": "records"})
+                                  lineage={"input": "records/mention"})
                 linked = store.read_stage("linked")
 
         # ---- stage 3: blocking + canonicalization ---------------------
         resolution = self._canonicalize_stage(linked, gaz, store, resume)
 
         # ---- stage 4: triples -----------------------------------------
-        rel_media = _filter_kind(records, ("relation", "media"))
+        if store is not None:
+            # ray's parquet reader re-infers the hive partition column from
+            # the paths, so rec_kind is already present in these reads
+            parts = [store.read_all_shards("records", path_contains=p)
+                     for p in ("rec_kind=relation", "rec_kind=media")
+                     if store.shard_files("records", p)]
+            if parts:
+                rel_media = parts[0]
+                for extra in parts[1:]:
+                    rel_media = rel_media.union(extra)
+            else:  # corpus produced no relations/media at all
+                rel_media = _filter_kind(records, ("relation", "media"))
+        else:
+            rel_media = _filter_kind(records, ("relation", "media"))
         if store and resume and store.is_done("triples"):
             triples = store.read_stage("triples")
         else:
@@ -150,7 +173,7 @@ class KGPipeline:
             # one shard saturates the CPUs even with few files
             docs = ray.data.read_parquet(
                 shard_files,
-                override_num_blocks=max(len(shard_files) * 2, 16))
+                override_num_blocks=max(len(shard_files), 16))
             recs = extract_records(docs, gaz,
                                    batch_size=cfg.detect_batch_size)
             jobs.append((i, shard_files, recs))
@@ -164,11 +187,13 @@ class KGPipeline:
                 list(ex.map(
                     lambda j: store.write_stage(
                         "records", j[2], shard=j[0],
-                        lineage={"files": j[1]}), jobs))
+                        lineage={"files": j[1]},
+                        partition_cols=["rec_kind"]), jobs))
         elif jobs:
             i, shard_files, recs = jobs[0]
             store.write_stage("records", recs, shard=i,
-                              lineage={"files": shard_files})
+                              lineage={"files": shard_files},
+                              partition_cols=["rec_kind"])
         return store.read_all_shards("records")
 
     # ------------------------------------------------------------------
