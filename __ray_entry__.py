@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_out": Q.kg_edges_out,
         "kg_entity_mention_counts": Q.kg_entity_mention_counts,
         "kg_mention_stats": Q.kg_mention_stats,
+        "kg_media_features": Q.kg_media_features,
     }
 
 

@@ -55,6 +55,8 @@ def _parse_edge_lines(batch: pa.Table, vcoll: str, smart: bool) -> pa.Table:
     if len(col) == 0 or isinstance(col, pa.ChunkedArray):
         col = pa.concat_arrays(col.chunks) if isinstance(
             col, pa.ChunkedArray) else col
+    # the reference's file_reader strips every line (general.py:150)
+    col = pc.utf8_trim_whitespace(col)
     nonempty = pc.greater(pc.utf8_length(col), 0)
     col = col.filter(nonempty)
     first = pc.utf8_slice_codeunits(col, 0, 1)

@@ -473,3 +473,28 @@ def kg_mention_stats(sf_dir: str):
     res = _kg_results(sf_dir)
     linked = res["linked"]
     return linked.groupby(["source", "ent_type"]).count()
+
+
+def kg_media_features(sf_dir: str):
+    """Multimodal integration: every media_ref the KG pipeline emitted is
+    decoded (stubbed) and featurized — media blobs synthesized
+    deterministically per ref, featurizer is the actor-pool stage. The
+    blobs never shuffle; only (media_ref, feat stats) rows come back."""
+    res = _kg_results(sf_dir)
+    triples = res["triples"]
+
+    def media_refs(t: pa.Table) -> pa.Table:
+        obj = t["obj"].combine_chunks()
+        refs = pc.unique(obj.filter(pc.starts_with(obj, "media://")))
+        return pa.table({"ref": refs})
+
+    refs = sorted({r["ref"] for r in triples.map_batches(
+        media_refs, batch_format="pyarrow").take_all()})
+    tbl = media_ops.synth_media_table(refs)
+    out = media_ops.featurize_media(ray.data.from_arrow(tbl), dim=16)
+    return out.map_batches(
+        lambda t: t.drop_columns(["features"]).append_column(
+            "feat_sum", pc.round(pa.array(
+                [float(np.sum(f)) for f in t["features"].to_pylist()],
+                pa.float64()), ndigits=4)),
+        batch_format="pyarrow")

@@ -90,3 +90,16 @@ def docs_to_jsonl_rows_from_ds(ds):
     for batch in ds.iter_batches(batch_format="pyarrow"):
         out.extend(docs_to_jsonl_rows(batch))
     return out
+
+
+def test_trailing_whitespace_stripped(tmp_path):
+    """file_reader strips lines (general.py:150): 'a b ' is a 2-field
+    edge, not a 3-field edge with an empty weight."""
+    p = tmp_path / "ws.txt"
+    p.write_text("a b \n c d\n\te f\t\n")
+    _v, ds_e = import_edge_list(str(p), CFG)
+    rows = docs_to_jsonl_rows_from_ds(ds_e)
+    assert all("weight" not in r for r in rows)
+    assert {(r["_from"], r["_to"]) for r in rows} == {
+        ("vertices/a", "vertices/b"), ("vertices/c", "vertices/d"),
+        ("vertices/e", "vertices/f")}
