@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": Q.events_tumbling_window,
         "top_orders": Q.top_orders,
         "distinct_event_types": Q.distinct_event_types,
+        "revenue_by_orderpriority": Q.revenue_by_orderpriority,
+        "sessionize_events": Q.sessionize_events,
         # text analysis
         "doc_token_count": Q.doc_token_count,
         "doc_quality": Q.doc_quality,
@@ -112,6 +114,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "revenue_by_orderpriority": """
+            SELECT o.o_orderpriority, count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS sum_revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "sessionize_events": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                         AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gaps)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY user_id, session_id
+        """,
         "doc_token_count": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)

@@ -105,7 +105,8 @@ def events_tumbling_window(sf_dir: str):
     ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64())
+        # normalize to µs (ns-born timestamps would silently mis-bucket)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         hour = pc.divide(us, 3600_000_000)
         return pa.table({"event_type": t["event_type"],
                          "window_start_hour": hour,
@@ -498,3 +499,52 @@ def kg_media_features(sf_dir: str):
                 [float(np.sum(f)) for f in t["features"].to_pylist()],
                 pa.float64()), ndigits=4)),
         batch_format="pyarrow")
+
+
+def revenue_by_orderpriority(sf_dir: str):
+    """Large x large join: lineitem x orders via the explicit
+    hash-partitioned join (ops/join.py), then grouped revenue."""
+    from kgeng.ops.join import hash_join
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, "o_orderkey", num_buckets=32)
+    out = joined.groupby("o_orderpriority").aggregate(
+        _Count(alias_name="n_items"),
+        _Sum("rev", alias_name="sum_revenue"))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = _round_col(t, "sum_revenue", 2)
+        return t.set_column(t.column_names.index("n_items"), "n_items",
+                            pc.cast(t["n_items"], pa.int64()))
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str):
+    """Session windows (30 min gap) per user over the events log."""
+    from kgeng.ops.window import sessionize
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "session_id": pc.cast(t["session_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "session_start": t["session_start"],
+            "session_end": t["session_end"],
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
