@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_topk_lsh": Q.ann_topk_lsh,
+        "ann_topk_ivf": Q.ann_topk_ivf,
         # multimodal (stubbed decode, real plumbing)
         "media_features": Q.media_features,
         # reference-compat import path

@@ -176,3 +176,71 @@ def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95,
     return dedup.map_batches(
         lambda t: t.rename_columns(["a", "b", "sim"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 5) -> np.ndarray:
+    """Small numpy k-means for IVF coarse centroids (driver-side, on a
+    sample). Deterministic: seeded init, fixed iteration count."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    cents = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
+             k: int = 10, emb_col: str = "embedding", id_col: str = "vec_id",
+             num_cells: int = 16, nprobe: int = 4,
+             sample_size: int = 2048, seed: int = 5,
+             round_to: int = 6) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate top-k — the other scale path next to
+    ``lsh_topk``: coarse k-means cells built once from a driver-side sample
+    and broadcast; each block scores a query only against its vectors in
+    the query's ``nprobe`` nearest cells. Recall < 1 by construction."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = _normalize(np.asarray(
+        [r[emb_col] for r in sample_rows], dtype=np.float64))
+    cents = _kmeans(sample, num_cells, seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    state_ref = ray.put((qn, list(query_ids), cents, q_cells))
+
+    def local(t: pa.Table) -> pa.Table:
+        q, qids, c, qc = ray.get(state_ref)
+        m = _normalize(_stack(t[emb_col]))
+        ids = np.asarray(t[id_col].to_pylist())
+        cell = (m @ c.T).argmax(axis=1)  # nearest centroid per vector
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            cand = np.isin(cell, qc[qi])
+            if not cand.any():
+                continue
+            sims = np.round(m[cand] @ q[qi], round_to)
+            cids = ids[cand]
+            kk = min(k, len(cids))
+            order = np.lexsort((cids, -sims))[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_v.extend(cids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "vec_id": pa.array(out_v),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow",
+                              batch_size=8192)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"],
+                             ascending=[False, True]).head(k)
+
+    return local_ds.groupby("query_id").map_groups(
+        global_topk, batch_format="pandas")

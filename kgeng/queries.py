@@ -548,3 +548,10 @@ def sessionize_events(sf_dir: str):
         })
 
     return out.map_batches(final, batch_format="pyarrow")
+
+
+def ann_topk_ivf(sf_dir: str):
+    """IVF-cell approximate ANN — the second scale path (rows-only)."""
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _load_queries(sf_dir)
+    return sim_ops.ivf_topk(emb, q, qids, k=5, num_cells=16, nprobe=6)

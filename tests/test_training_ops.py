@@ -201,3 +201,24 @@ def test_frame_sampler():
         batch_format="pyarrow", concurrency=1).take_all()
     assert len(out) >= vids.num_rows  # at least one frame per video
     assert all(r["frame_ms"] % 5000 == 0 for r in out)
+
+
+def test_ivf_topk_recall(embeddings):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = tbl["vec_id"].to_pylist()
+    exact = similarity.brute_force_topk(
+        embeddings, m[:4], ids[:4], k=5).to_pandas()
+    approx = similarity.ivf_topk(
+        embeddings, m[:4], ids[:4], k=5, num_cells=8,
+        nprobe=4).to_pandas()
+    recs = []
+    for qid in ids[:4]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recs.append(len(e & a) / len(e))
+    assert np.mean(recs) >= 0.5
+    for qid in ids[:4]:  # the vector itself is always in its own cell
+        assert qid in set(approx[approx["query_id"] == qid]["vec_id"])
