@@ -50,12 +50,16 @@ def triples_to_edges(triples: ray.data.Dataset,
     def project(batch: pa.Table) -> pa.Table:
         subj = batch["subj"].combine_chunks()
         obj = batch["obj"].combine_chunks()
+        # f-string formatting like the reference (f'{w}' -> '1.0', not the
+        # Arrow cast's shortest-repr '1')
+        conf = pa.array([f"{float(v)}" for v in
+                         batch["confidence"].to_pylist()], pa.string())
         return pa.table({
             "_from": keys.idx_to_smart_vertex(cfg.vertex_coll, subj),
             "_to": keys.idx_to_smart_vertex(cfg.vertex_coll, obj),
             "pred": batch["pred"],
             "doc_id": batch["doc_id"],
-            "confidence": pc.cast(batch["confidence"], pa.string()),
+            "confidence": conf,
         })
 
     return triples.map_batches(project, batch_format="pyarrow")

@@ -86,7 +86,7 @@ class Extract:
 
         for di, doc_id in enumerate(doc_ids):
             lo, hi = offsets[di], offsets[di + 1]
-            first_entity_surface = None
+            rel_subjects: list[str] = []  # relation subjects in span order
             media_spans = []
             for si in range(lo, hi):
                 if kinds[si] != "text":
@@ -105,8 +105,6 @@ class Extract:
                         append(("mention", doc_id, span_idx, m.start(),
                                 surf, "", "ner", "", "", ""))
                     ent_mentions.append((m.start(), surf))
-                    if first_entity_surface is None:
-                        first_entity_surface = surf
                 for name, rex in self.detectors:
                     for m in rex.finditer(text):
                         append(("mention", doc_id, span_idx, m.start(),
@@ -118,10 +116,15 @@ class Extract:
                         append(("relation", doc_id, span_idx, 0, "", "",
                                 "", ent_mentions[0][1], pm.lastgroup,
                                 ent_mentions[1][1]))
-            if first_entity_surface is not None:
+                        rel_subjects.append(ent_mentions[0][1])
+            if rel_subjects:
+                # media subject = first RESOLVABLE relation subject; which
+                # candidate resolves is only known after canonicalization,
+                # so carry the ordered head of the candidate list
+                cand = "|".join(rel_subjects[:8])
                 for span_idx, ref in media_spans:
                     append(("media", doc_id, span_idx, 0, "", "", "",
-                            first_entity_surface, "", ref))
+                            cand, "", ref))
         if not rows:
             return RECORD_SCHEMA.empty_table()
         cols = list(zip(*rows))  # C-level transpose

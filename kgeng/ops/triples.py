@@ -35,6 +35,12 @@ class ResolveTriples:
         self.eid_arr = pa.array([res[s][0] for s in surfaces], pa.string())
         self.alias_arr = pa.array([res[s][1] for s in surfaces], pa.bool_())
 
+    def _res_map(self) -> dict[str, str]:
+        if not hasattr(self, "_map"):
+            self._map = dict(zip(self.surface_arr.to_pylist(),
+                                 self.eid_arr.to_pylist()))
+        return self._map
+
     def _resolve(self, col):
         idx = pc.index_in(col, value_set=self.surface_arr)
         ok = pc.is_valid(idx)
@@ -60,14 +66,28 @@ class ResolveTriples:
             out.append(t)
         med = batch.filter(pc.equal(batch["rec_kind"], "media"))
         if len(med):
-            s_ok, s_eid, _sa = self._resolve(med["subj"])
+            # subj carries "|"-joined ordered candidates; the triple's
+            # subject is the first one that resolves (media rows are few —
+            # the per-row loop is not a hot path)
+            res_map = self._res_map()
+            subs, objs, docs = [], [], []
+            for cand, obj, doc in zip(med["subj"].to_pylist(),
+                                      med["obj"].to_pylist(),
+                                      med["doc_id"].to_pylist()):
+                for s in cand.split("|"):
+                    hit = res_map.get(s)
+                    if hit is not None:
+                        subs.append(hit)
+                        objs.append(obj)
+                        docs.append(doc)
+                        break
             t = pa.table({
-                "subj": s_eid,
-                "pred": pa.array(["mentions_media"] * len(med)),
-                "obj": med["obj"],
-                "doc_id": med["doc_id"],
-                "confidence": pa.array([1.0] * len(med), pa.float32()),
-            }).filter(s_ok)
+                "subj": pa.array(subs, pa.string()),
+                "pred": pa.array(["mentions_media"] * len(subs)),
+                "obj": pa.array(objs, pa.string()),
+                "doc_id": pa.array(docs, pa.string()),
+                "confidence": pa.array([1.0] * len(subs), pa.float32()),
+            })
             out.append(t)
         if not out:
             return TRIPLE_SCHEMA.empty_table()

@@ -36,7 +36,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260817
-CORPUS_VERSION = 3  # bump to invalidate cached corpora in /tmp
+CORPUS_VERSION = 4  # bump to invalidate cached corpora in /tmp
+
+# decoy phrases: capitalized two-word runs that are NOT entities and NOT
+# aliases (word pools disjoint from every gazetteer pool) — the NER
+# heuristic will surface them as candidates, LSH must NOT resolve them,
+# and the pipeline must drop their relation records (precision path)
+_DECOY_A = ["Quantum", "Vortex", "Nimbus", "Zephyr", "Obsidian", "Crimson"]
+_DECOY_B = ["Mesa", "Grove", "Spire", "Atlas", "Harbor", "Summit"]
 
 # ---------------------------------------------------------------- gazetteer
 
@@ -192,12 +199,21 @@ def generate_doc(doc_idx: int, gaz: Gazetteer, seed: int = SEED,
             continue
         starter = _STARTERS[int(rng.integers(0, len(_STARTERS)))]
         kind_roll = rng.random()
-        if kind_roll < 0.70:
+        if kind_roll < 0.63:
             text, tr, als = _relation_sentence(rng, gaz, by_type, starter, doc_id)
             triples.extend(tr)
             used_aliases.extend(als)
             if first_entity is None and tr:
                 first_entity = tr[0][0]
+        elif kind_roll < 0.70:
+            # decoy relation: capitalized non-entity phrases around a real
+            # predicate phrase -> the pipeline must NOT emit a triple
+            d1 = (f"{_DECOY_A[int(rng.integers(0, len(_DECOY_A)))]} "
+                  f"{_DECOY_B[int(rng.integers(0, len(_DECOY_B)))]}")
+            d2 = (f"{_DECOY_A[int(rng.integers(0, len(_DECOY_A)))]} "
+                  f"{_DECOY_B[int(rng.integers(0, len(_DECOY_B)))]}")
+            pred = list(PRED_PHRASES)[int(rng.integers(0, len(PRED_PHRASES)))]
+            text = f"{starter} {d1}{PRED_PHRASES[pred]}{d2}."
         elif kind_roll < 0.85:
             text = _regex_sentence(rng, starter, doc_idx, si)
         else:

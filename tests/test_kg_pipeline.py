@@ -139,3 +139,23 @@ def test_graph_materialization(tiny_run):
     assert set(edges["_to"]) <= vkeys
     # confidence stored as string (weight-as-string, edge_list.py:33)
     assert edges["confidence"].map(type).eq(str).all()
+
+
+def test_decoys_are_dropped(tiny_run):
+    """Decoy capitalized phrases (non-entities) produce NER candidates and
+    even relation records, but must never resolve to entities or emit
+    triples (precision path)."""
+    _p, res, _root = tiny_run
+    from kgeng.synth.corpus import _DECOY_A
+
+    decoy_words = set(_DECOY_A)
+    # no decoy ever resolves
+    for surf, (eid, _via) in res["resolution"].items():
+        assert surf.split(" ")[0] not in decoy_words, (surf, eid)
+    # but decoy candidates WERE seen by the pipeline (the path is live)
+    linked = res["linked"].to_pandas()
+    ner = linked[linked["source"] == "ner"]["surface"]
+    assert any(s.split(" ")[0] in decoy_words for s in ner)
+    # and no triple references a decoy pseudo-entity
+    tri = res["triples"].to_pandas()
+    assert not tri["subj"].str.startswith("Quantum").any()
