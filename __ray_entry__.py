@@ -82,7 +82,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     fx = Q.ensure_compat_goldens()
-    # the driver's correctness pass runs at sf0.01 -> 1500-doc corpus
+    # the driver's correctness pass runs at sf0.01 -> 1500-doc corpus;
+    # generate it here too (serial, pure-python, no Ray needed) so the
+    # golden parquet exists even if the oracle runs before the Ray query
+    from kgeng.synth.corpus import ensure_corpus
+
+    ensure_corpus(Q.KG_N_DOCS["sf0.01"])
     corpus = corpus_dir_for(Q.KG_N_DOCS["sf0.01"])
     gt = os.path.join(corpus, "golden_triples.parquet")
     ge = os.path.join(corpus, "golden_entities.parquet")

@@ -84,7 +84,8 @@ class CheckpointStore:
                     shard: int | None = None,
                     lineage: dict | None = None,
                     metrics: dict | None = None,
-                    partition_cols: list[str] | None = None) -> str:
+                    partition_cols: list[str] | None = None,
+                    partition_projections: dict | None = None) -> str:
         d = self.stage_dir(stage, shard)
         tmp = d + ".tmp"
         if os.path.exists(tmp):
@@ -92,7 +93,13 @@ class CheckpointStore:
         if os.path.exists(d):
             shutil.rmtree(d)
         t0 = time.monotonic()
-        ds.write_parquet(tmp, partition_cols=partition_cols)
+        if partition_cols and os.environ.get("KGENG_RAY_PARTITION_WRITE"):
+            ds.write_parquet(tmp, partition_cols=partition_cols)
+        elif partition_cols:
+            _write_partitioned(ds, tmp, partition_cols,
+                               partition_projections)
+        else:
+            ds.write_parquet(tmp)
         wall = time.monotonic() - t0
         files = _parquet_files(tmp)
         n_files = len(files)
@@ -128,7 +135,9 @@ class CheckpointStore:
                 continue
             files.extend(_parquet_files(os.path.join(base, d)))
         if path_contains is not None:
-            files = [f for f in files if path_contains in f]
+            opts = ((path_contains,) if isinstance(path_contains, str)
+                    else tuple(path_contains))
+            files = [f for f in files if any(p in f for p in opts)]
         return files
 
     def read_all_shards(self, stage: str,
@@ -153,6 +162,51 @@ class CheckpointStore:
                 with open(os.path.join(dirpath, "_MANIFEST.json")) as f:
                     out.append(json.load(f))
         return out
+
+
+def _write_partitioned(ds: ray.data.Dataset, out_dir: str,
+                       partition_cols: list[str],
+                       projections: dict | None = None):
+    """Hive-partitioned write without the per-block pandas conversion that
+    ray's ``partition_cols`` path performs: each map task splits its Arrow
+    batch with vectorized filters and writes one file per partition value.
+    Filenames are content-hashed (first row + count), so a retried task
+    overwrites its own output instead of duplicating it."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    assert len(partition_cols) == 1, "single partition column supported"
+    col = partition_cols[0]
+
+    def write_split(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        written = []
+        for val in pc.unique(batch[col].combine_chunks()).to_pylist():
+            part = batch.filter(pc.equal(batch[col], val))
+            if projections and val in projections:
+                # per-partition projection: drop columns meaningless for
+                # this record kind (they would encode as 10^7 empty strings)
+                part = part.select(projections[val])
+            else:
+                part = part.drop_columns([col])
+            d = os.path.join(out_dir, f"{col}={val}")
+            os.makedirs(d, exist_ok=True)
+            sig = hashlib.sha1(
+                f"{part.column(0)[0]}|{len(part)}|{val}".encode()
+            ).hexdigest()[:16]
+            path = os.path.join(d, f"part-{sig}.parquet")
+            pq.write_table(part, path + ".tmp", row_group_size=65536)
+            os.replace(path + ".tmp", path)
+            written.append(len(part))
+        return pa.table({"rows": pa.array(written, pa.int64())})
+
+    os.makedirs(out_dir, exist_ok=True)
+    # consume to drive the writes; the returned counts are tiny
+    ds.map_batches(write_split, batch_format="pyarrow").count()
 
 
 def _parquet_files(root: str) -> list[str]:

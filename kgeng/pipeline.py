@@ -42,6 +42,16 @@ def _filter_kind(ds: ray.data.Dataset, kinds: tuple[str, ...]) -> ray.data.Datas
 
 
 
+# per-kind checkpoint projections: each record kind keeps only its own
+# meaningful columns (the union schema's other fields are empty strings)
+_REC_PROJECTIONS = {
+    "mention": ["doc_id", "span_idx", "offset", "surface", "ent_type",
+                "source"],
+    "relation": ["doc_id", "span_idx", "subj", "pred", "obj"],
+    "media": ["doc_id", "span_idx", "subj", "obj"],
+}
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     """Distinct rows over ``cols``: per-batch partial dedup (vectorized Arrow
     group_by) to shrink the shuffle, then a global groupby — the
@@ -111,23 +121,17 @@ class KGPipeline:
         resolution = self._canonicalize_stage(linked, gaz, store, resume)
 
         # ---- stage 4: triples -----------------------------------------
-        if store is not None:
-            # ray's parquet reader re-infers the hive partition column from
-            # the paths, so rec_kind is already present in these reads
-            parts = [store.read_all_shards("records", path_contains=p)
-                     for p in ("rec_kind=relation", "rec_kind=media")
-                     if store.shard_files("records", p)]
-            if parts:
-                rel_media = parts[0]
-                for extra in parts[1:]:
-                    rel_media = rel_media.union(extra)
-            else:  # corpus produced no relations/media at all
-                rel_media = _filter_kind(records, ("relation", "media"))
-        else:
-            rel_media = _filter_kind(records, ("relation", "media"))
         if store and resume and store.is_done("triples"):
             triples = store.read_stage("triples")
         else:
+            if store is not None:
+                # one scan over both kinds; the parquet reader unifies the
+                # projected per-kind schemas (media's missing pred -> null)
+                rel_media = store.read_all_shards(
+                    "records", path_contains=("rec_kind=relation",
+                                              "rec_kind=media"))
+            else:
+                rel_media = _filter_kind(records, ("relation", "media"))
             triples = emit_triples(rel_media, resolution)
             if store:
                 store.write_stage("triples", triples,
@@ -188,12 +192,14 @@ class KGPipeline:
                     lambda j: store.write_stage(
                         "records", j[2], shard=j[0],
                         lineage={"files": j[1]},
-                        partition_cols=["rec_kind"]), jobs))
+                        partition_cols=["rec_kind"],
+                        partition_projections=_REC_PROJECTIONS), jobs))
         elif jobs:
             i, shard_files, recs = jobs[0]
             store.write_stage("records", recs, shard=i,
                               lineage={"files": shard_files},
-                              partition_cols=["rec_kind"])
+                              partition_cols=["rec_kind"],
+                              partition_projections=_REC_PROJECTIONS)
         return store.read_all_shards("records")
 
     # ------------------------------------------------------------------
