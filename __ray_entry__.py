@@ -94,17 +94,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_revenue,
+                   sum(l_quantity) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / 100.0 AS sum_base_price,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS sum_revenue,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "orders_by_custseg": """
             SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
                    count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 2) AS sum_price
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       / 100.0 AS sum_price
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
@@ -112,7 +114,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    epoch_us(ts) // 3600000000 AS window_start_hour,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   sum(CAST(round(value * 10000) AS BIGINT))
+                       / 10000.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "top_orders": """
@@ -122,8 +125,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
         "revenue_by_orderpriority": """
             SELECT o.o_orderpriority, count(*) AS n_items,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS sum_revenue
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT)) / 100.0 AS sum_revenue
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         """,

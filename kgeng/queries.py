@@ -35,6 +35,18 @@ def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
     return t.set_column(i, col, pc.round(t[col], ndigits=nd, round_mode="half_towards_infinity"))
 
 
+def _cents(arr, scale: float = 100.0) -> pa.Array:
+    """Order-independent money/value sums: round to scaled int64 per row
+    (half away from zero, matching DuckDB round())."""
+    return pc.cast(pc.round(pc.multiply(arr, scale), ndigits=0,
+                            round_mode="half_towards_infinity"),
+                   pa.int64())
+
+
+def _uncents(arr, scale: float = 100.0) -> pa.Array:
+    return pc.divide(pc.cast(arr, pa.float64()), scale)
+
+
 def _pq(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
@@ -49,25 +61,37 @@ def q1_lineitem_agg(sf_dir: str):
              ["l_returnflag", "l_linestatus", "l_quantity",
               "l_extendedprice", "l_discount"])
 
-    def add_rev(t: pa.Table) -> pa.Table:
+    # float sums are summation-order-dependent; per-row integer cents sum
+    # exactly and identically in any order (and in DuckDB)
+    def add_cents(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(1.0, t["l_discount"]))
-        return t.append_column("rev", rev)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "price_c": _cents(t["l_extendedprice"]),
+            "rev_c": _cents(rev),
+        })
 
-    out = ds.map_batches(add_rev, batch_format="pyarrow") \
+    out = ds.map_batches(add_cents, batch_format="pyarrow") \
         .groupby(["l_returnflag", "l_linestatus"]).aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("rev", alias_name="sum_revenue"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("rev_c", alias_name="rev_c"),
             Count(alias_name="count_order"),
         )
 
     def final(t: pa.Table) -> pa.Table:
-        for c in ("sum_qty", "sum_base_price", "sum_revenue"):
-            t = _round_col(t, c, 2)
-        return t.set_column(t.column_names.index("count_order"),
-                            "count_order",
-                            pc.cast(t["count_order"], pa.int64()))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            # qty values are integral doubles -> the sum is exact
+            "sum_qty": t["sum_qty"],
+            "sum_base_price": _uncents(t["price_c"]),
+            "sum_revenue": _uncents(t["rev_c"]),
+            "count_order": pc.cast(t["count_order"], pa.int64()),
+        })
 
     return out.map_batches(final, batch_format="pyarrow")
 
@@ -83,17 +107,19 @@ def orders_by_custseg(sf_dir: str):
         m = ray.get(seg_map_ref)
         segs = [m.get(k, "UNKNOWN") for k in t["o_custkey"].to_pylist()]
         return pa.table({"c_mktsegment": pa.array(segs, pa.string()),
-                         "o_totalprice": t["o_totalprice"]})
+                         "price_c": _cents(t["o_totalprice"])})
 
     out = orders.map_batches(join, batch_format="pyarrow") \
         .groupby("c_mktsegment").aggregate(
             Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_price"))
+            Sum("price_c", alias_name="price_c"))
 
     def final(t: pa.Table) -> pa.Table:
-        t = _round_col(t, "sum_price", 2)
-        return t.set_column(t.column_names.index("n_orders"), "n_orders",
-                            pc.cast(t["n_orders"], pa.int64()))
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "sum_price": _uncents(t["price_c"]),
+        })
 
     return out.map_batches(final, batch_format="pyarrow")
 
@@ -110,17 +136,20 @@ def events_tumbling_window(sf_dir: str):
         hour = pc.divide(us, 3600_000_000)
         return pa.table({"event_type": t["event_type"],
                          "window_start_hour": hour,
-                         "value": t["value"]})
+                         "value_s": _cents(t["value"], 10000.0)})
 
     out = ds.map_batches(bucket, batch_format="pyarrow") \
         .groupby(["event_type", "window_start_hour"]).aggregate(
             Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"))
+            Sum("value_s", alias_name="value_s"))
 
     def final(t: pa.Table) -> pa.Table:
-        t = _round_col(t, "sum_value", 4)
-        return t.set_column(t.column_names.index("n_events"), "n_events",
-                            pc.cast(t["n_events"], pa.int64()))
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start_hour": t["window_start_hour"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": _uncents(t["value_s"], 10000.0),
+        })
 
     return out.map_batches(final, batch_format="pyarrow")
 
@@ -514,19 +543,22 @@ def revenue_by_orderpriority(sf_dir: str):
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t["l_extendedprice"],
                         pc.subtract(1.0, t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "rev_c": _cents(r)})
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(li, orders, "o_orderkey", num_buckets=32)
     out = joined.groupby("o_orderpriority").aggregate(
         _Count(alias_name="n_items"),
-        _Sum("rev", alias_name="sum_revenue"))
+        _Sum("rev_c", alias_name="rev_c"))
 
     def final(t: pa.Table) -> pa.Table:
-        t = _round_col(t, "sum_revenue", 2)
-        return t.set_column(t.column_names.index("n_items"), "n_items",
-                            pc.cast(t["n_items"], pa.int64()))
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "sum_revenue": _uncents(t["rev_c"]),
+        })
 
     return out.map_batches(final, batch_format="pyarrow")
 
