@@ -181,25 +181,31 @@ class KGPipeline:
             recs = extract_records(docs, gaz,
                                    batch_size=cfg.detect_batch_size)
             jobs.append((i, shard_files, recs))
-        if len(jobs) > 1:
+        # shard-execution concurrency adapts to cluster size: at low CPU
+        # counts concurrent shard pipelines just contend (each shard has
+        # ample internal parallelism), at high counts overlap amortizes
+        # per-execution startup
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        workers = min(len(jobs), max(1, ncpu // 8))
+        if len(jobs) > 1 and workers > 1:
             # shards execute concurrently (independent Dataset pipelines;
             # the streaming executor interleaves their tasks) — keeps
             # per-shard resume granularity without serializing
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as ex:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
                 list(ex.map(
                     lambda j: store.write_stage(
                         "records", j[2], shard=j[0],
                         lineage={"files": j[1]},
                         partition_cols=["rec_kind"],
                         partition_projections=_REC_PROJECTIONS), jobs))
-        elif jobs:
-            i, shard_files, recs = jobs[0]
-            store.write_stage("records", recs, shard=i,
-                              lineage={"files": shard_files},
-                              partition_cols=["rec_kind"],
-                              partition_projections=_REC_PROJECTIONS)
+        else:
+            for i, shard_files, recs in jobs:
+                store.write_stage("records", recs, shard=i,
+                                  lineage={"files": shard_files},
+                                  partition_cols=["rec_kind"],
+                                  partition_projections=_REC_PROJECTIONS)
         return store.read_all_shards("records")
 
     # ------------------------------------------------------------------

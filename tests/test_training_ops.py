@@ -222,3 +222,21 @@ def test_ivf_topk_recall(embeddings):
     assert np.mean(recs) >= 0.5
     for qid in ids[:4]:  # the vector itself is always in its own cell
         assert qid in set(approx[approx["query_id"] == qid]["vec_id"])
+
+
+def test_minhash_dedup_idempotent():
+    """Dedup is a fixpoint: re-running clustering on the same input yields
+    identical cluster assignments (SURVEY.md §5.4)."""
+    texts = [f"common words shared {i % 3} alpha beta gamma delta epsilon "
+             f"zeta eta theta" for i in range(12)]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(12)], "text": texts})
+    a = {r["doc_id"]: r["cluster_rep"] for r in dedup.minhash_dedup(
+        ray.data.from_arrow(t), threshold=0.6).take_all()}
+    b = {r["doc_id"]: r["cluster_rep"] for r in dedup.minhash_dedup(
+        ray.data.from_arrow(t), threshold=0.6).take_all()}
+    assert a == b
+    # docs with identical text cluster together
+    for i in range(12):
+        for j in range(12):
+            if texts[i] == texts[j]:
+                assert a[f"d{i}"] == a[f"d{j}"]
