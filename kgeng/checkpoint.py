@@ -104,6 +104,16 @@ class CheckpointStore:
         files = _parquet_files(tmp)
         n_files = len(files)
         rows = _count_rows(files)
+        metrics = dict(metrics or {})
+        if partition_cols:
+            # per-partition row counts -> stage metrics (e.g. mentions vs
+            # relations vs media per shard)
+            by_part: dict[str, int] = {}
+            for f in files:
+                part = os.path.basename(os.path.dirname(f))
+                by_part[part] = by_part.get(part, 0) + \
+                    _count_rows([f])
+            metrics["rows_by_partition"] = by_part
         os.rename(tmp, d)
         with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
             json.dump({

@@ -159,3 +159,17 @@ def test_decoys_are_dropped(tiny_run):
     # and no triple references a decoy pseudo-entity
     tri = res["triples"].to_pandas()
     assert not tri["subj"].str.startswith("Quantum").any()
+
+
+def test_distributed_canonicalization_fallback_matches_driver_path(
+        tiny_corpus, tmp_path_factory):
+    """Forcing the extreme-cardinality fallback (driver_max_surfaces=0 ->
+    distributed candidate_pairs + Dataset union-find) must produce the
+    same triple set as the default driver-side plan A."""
+    root = str(tmp_path_factory.mktemp("ckpt_fallback"))
+    p = KGPipeline(checkpoint_root=root, driver_max_surfaces=0)
+    res = p.run(os.path.join(tiny_corpus, "corpus"),
+                os.path.join(tiny_corpus, "gazetteer.parquet"))
+    ps, gs = _triple_sets(res, tiny_corpus)
+    assert len(ps & gs) / len(ps) >= 0.95
+    assert len(ps & gs) / len(gs) >= 0.95
