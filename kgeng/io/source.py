@@ -49,3 +49,29 @@ def read_documents(
             )
         return ray.data.read_lance(path, columns=columns)
     raise ValueError(f"unknown format: {format!r}")
+
+
+def wrap_flat_documents(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Adapt a flat text table (e.g. the driver's ``documents.parquet``:
+    doc_id:int64, text) into the engine's interleaved span schema — one
+    text span per document. Lets every KG stage run over plain text
+    corpora unchanged."""
+    import pyarrow as pa
+
+    def wrap(t: pa.Table) -> pa.Table:
+        ids = [str(x) for x in t[id_col].to_pylist()]
+        texts = t[text_col].to_pylist()
+        spans = [[{"kind": "text", "text": x, "media_ref": "",
+                   "offset": 0}] for x in texts]
+        from kgeng.synth.corpus import SPAN_TYPE
+
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "spans": pa.array(spans, pa.list_(SPAN_TYPE)),
+        })
+
+    return ds.map_batches(wrap, batch_format="pyarrow")
