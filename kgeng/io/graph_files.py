@@ -112,7 +112,11 @@ def read_edge_file(path: str, cfg: CompatGraphConfig,
     importer uses plain ones (edge_list.py:44).
     """
     smart = cfg.is_smart if smart_ids is None else smart_ids
-    lines = ray.data.read_text(path)
+    # split large files into many read blocks so the parse parallelizes
+    # (read_text alone yields ~one block per file)
+    size = os.path.getsize(path) if os.path.isfile(path) else 0
+    nblocks = max(16, min(256, size // (4 << 20))) if size else None
+    lines = ray.data.read_text(path, override_num_blocks=nblocks)
     vcoll = cfg.vertex_coll
     return lines.map_batches(
         lambda t: _parse_edge_lines(t, vcoll, smart),
@@ -149,17 +153,30 @@ def edge_list_vertices(edges: ray.data.Dataset,
     with per-block partial dedup + one groupby shuffle on uniform int-like
     string keys (no skew)."""
 
+    import zlib
+
     def endpoints(batch: pa.Table) -> pa.Table:
         ids = pc.unique(pa.concat_arrays([
             batch["_src_id"].combine_chunks(),
             batch["_dst_id"].combine_chunks()]))
-        return pa.table({"id": ids})
+        # coarse hash bucket: a groupby over 256 buckets with C-level
+        # in-bucket dedup beats a sort-shuffle over millions of distinct
+        # string keys by an order of magnitude
+        b = np.fromiter((zlib.crc32(x.encode()) & 0xFF
+                         for x in ids.to_pylist()),
+                        dtype=np.int32, count=len(ids))
+        return pa.table({"id": ids, "bucket": pa.array(b)})
 
     uniq = edges.map_batches(endpoints, batch_format="pyarrow")
-    uniq = uniq.groupby("id").count().drop_columns(["count()"])
     attr = cfg.smart_attribute
-    return uniq.map_batches(
-        lambda t: pa.table({attr: t["id"]}), batch_format="pyarrow")
+
+    def dedup_bucket(g, attr=attr):
+        import pandas as pd
+
+        return pd.DataFrame({attr: sorted(set(g["id"]))})
+
+    return uniq.groupby("bucket").map_groups(
+        dedup_bucket, batch_format="pandas")
 
 
 # ------------------------------------------------------------ file plumbing
