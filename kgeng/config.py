@@ -72,7 +72,7 @@ class PipelineConfig:
     canon: CanonicalizeConfig = field(default_factory=CanonicalizeConfig)
     # execution
     detect_batch_size: int = 1024
-    link_batch_size: int = 4096
+    link_batch_size: int = 16384
     link_concurrency: int = 8
 
     def config_hash(self) -> str:
