@@ -170,5 +170,8 @@ def candidate_pairs_driver(surfaces: list[tuple[str, bool]],
                 seen.add((a, b))
                 jc = jaccard(surfs[a], surfs[b], cfg.shingle_k)
                 if jc >= cfg.jaccard_threshold:
-                    out.append((surfs[a], surfs[b], jc))
+                    # lexicographic pair order — same canonical form as
+                    # the distributed candidate_pairs path
+                    sa, sb = sorted((surfs[a], surfs[b]))
+                    out.append((sa, sb, jc))
     return out
