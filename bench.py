@@ -121,7 +121,8 @@ def main():
     ray.shutdown()
 
 
-def scaling(repeats: int = 2, n_docs: int = 1_000_000):
+def scaling(repeats: int = 2, n_docs: int = 1_000_000,
+            lo_cpus: int = 8, hi_cpus: int = 32):
     def run(ncpu: int) -> dict:
         best = None
         for _ in range(repeats):
@@ -135,7 +136,7 @@ def scaling(repeats: int = 2, n_docs: int = 1_000_000):
                 best = r
         return best
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(lo_cpus), run(hi_cpus)
     eff = lo["value"] / (4 * hi["value"])
     # hardware ceiling: raw multiprocessing scaling of a regex kernel
     hw = subprocess.run(
@@ -146,11 +147,12 @@ def scaling(repeats: int = 2, n_docs: int = 1_000_000):
     except (ValueError, IndexError):
         hw_ceiling = None
     print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}",
         "bench_docs": n_docs,
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
+        "lo_cpus": lo_cpus, "hi_cpus": hi_cpus,
+        "sec_lo": lo["value"], "sec_hi": hi["value"],
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "hardware_ceiling_4x": hw_ceiling,
         "efficiency_vs_hardware": (round(eff / hw_ceiling, 3)
@@ -160,6 +162,9 @@ def scaling(repeats: int = 2, n_docs: int = 1_000_000):
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling(n_docs=int(os.environ.get("KG_SCALE_NDOCS", "1000000")))
+        pair = os.environ.get("KG_SCALE_PAIR", "8,32").split(",")
+        scaling(n_docs=int(os.environ.get("KG_SCALE_NDOCS", "1000000")),
+                repeats=int(os.environ.get("KG_SCALE_REPEATS", "2")),
+                lo_cpus=int(pair[0]), hi_cpus=int(pair[1]))
     else:
         main()

@@ -86,7 +86,7 @@ class KGPipeline:
         # starve the task-based read/write stages (a pool that reserves
         # every CPU stalls the pipeline)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        pool_size = max(2, min(16, ncpu // 2))
+        pool_size = max(1, min(16, ncpu // 2))  # never the whole cluster
         store = None
         if self.checkpoint_root:
             store = CheckpointStore(self.checkpoint_root, cfg.config_hash())
