@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": Q.doc_token_count,
         "doc_quality": Q.doc_quality,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
+        "doc_length_histogram": Q.doc_length_histogram,
         "lang_id_pred": Q.lang_id_pred,
         "doc_fingerprints": Q.doc_fingerprints,
         # dedup family
@@ -181,6 +182,10 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
                        AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "doc_length_histogram": """
+            SELECT n_chars // 50 AS bucket, count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

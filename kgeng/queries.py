@@ -587,3 +587,21 @@ def ann_topk_ivf(sf_dir: str):
     emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     q, qids = _load_queries(sf_dir)
     return sim_ops.ivf_topk(emb, q, qids, k=5, num_cells=16, nprobe=6)
+
+
+def doc_length_histogram(sf_dir: str):
+    """Histogram of document lengths (50-char buckets) — the classic
+    bucketed-aggregate shape, partial+final via groupby."""
+    ds = _pq(sf_dir, "documents", ["n_chars"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(pc.cast(t["n_chars"], pa.int64()), 50)
+        return pa.table({"bucket": b})
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bucket").count()
+    return out.map_batches(
+        lambda t: pa.table({
+            "bucket": t["bucket"],
+            "n_docs": pc.cast(t["count()"], pa.int64())}),
+        batch_format="pyarrow")
