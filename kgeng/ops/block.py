@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray
 
 from kgeng.config import BlockConfig
+from kgeng.ops.hashing import mask63, mulmod_mersenne61
 
 _MERSENNE = (1 << 61) - 1
 
@@ -54,15 +55,18 @@ def minhash_batch(surfaces: list[str], cfg: BlockConfig) -> np.ndarray:
     if not surfaces:
         return np.zeros((0, cfg.num_perm), dtype=np.uint64)
     x = np.concatenate(hashes)  # (M,)
-    # (M, P) permuted values mod mersenne prime
-    pm = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    # (M, P) permuted values, EXACT mod-mersenne arithmetic (a plain
+    # x*a+b would wrap mod 2^64 and leave the claimed universal family)
+    pm = mulmod_mersenne61(x[:, None], a, b)
     sig = np.minimum.reduceat(pm, bounds[:-1], axis=0)
     return sig.astype(np.uint64)
 
 
 def band_keys(sig: np.ndarray, cfg: BlockConfig) -> tuple[np.ndarray, np.ndarray]:
-    """Collapse each band's rows into one uint64 key. Returns
-    (band_idx[n*B], band_hash[n*B]) row-major per surface."""
+    """Collapse each band's rows into one 63-bit int64 key (63 bits, not
+    64: Ray's block boundaries round-trip key values through Python ints
+    and int64 — uint64 values above 2^63-1 crash the Arrow conversion).
+    Returns (band_idx[n*B], band_hash[n*B]) row-major per surface."""
     n, p = sig.shape
     rows = p // cfg.num_bands
     sig3 = sig.reshape(n, cfg.num_bands, rows)
@@ -71,7 +75,7 @@ def band_keys(sig: np.ndarray, cfg: BlockConfig) -> tuple[np.ndarray, np.ndarray
     for r in range(rows):
         acc = (acc * mult) ^ sig3[:, :, r]
     band_idx = np.tile(np.arange(cfg.num_bands, dtype=np.int32), n)
-    return band_idx, acc.reshape(-1)
+    return band_idx, mask63(acc.reshape(-1))
 
 
 class BandEmitter:
@@ -90,7 +94,7 @@ class BandEmitter:
             "surface": pa.array(np.repeat(surfaces, B), pa.string()),
             "is_gaz": pa.array(np.repeat(is_gaz, B), pa.bool_()),
             "band_idx": pa.array(band_idx, pa.int32()),
-            "band_hash": pa.array(band_hash, pa.uint64()),
+            "band_hash": pa.array(band_hash, pa.int64()),
         })
 
 

@@ -21,6 +21,8 @@ import ray.data
 from kgeng.config import BlockConfig
 from kgeng.ops.block import _perm_tables
 from kgeng.ops.canonicalize import UnionFind
+from kgeng.ops.hashing import (as_int64, as_uint64, mask63,
+                               mulmod_mersenne61, xor64)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -31,15 +33,18 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """One row per distinct text: (doc_id = min id in group, n_dups).
 
-    The shuffle key is a 64-bit content hash, so only (hash, id) pairs move
-    — equivalent to ``GROUP BY text`` assuming no 64-bit collisions (at
-    10^12 docs the expected collision count is ~0.03; acceptable and
-    documented)."""
+    The shuffle key is a 63-bit content hash (63, not 64: Ray shuffle
+    boundaries re-infer int64, and uint64 values above 2^63-1 crash the
+    Arrow conversion), so only (hash, id) pairs move — equivalent to
+    ``GROUP BY text`` assuming no 63-bit collisions (at 10^12 docs the
+    expected collision count is ~0.05; acceptable and documented)."""
 
     def hash_batch(t: pa.Table) -> pa.Table:
-        h = [zlib.crc32(x.encode()) << 32 | (zlib.crc32(x[::-1].encode()))
+        m63 = (1 << 63) - 1
+        h = [(zlib.crc32(x.encode()) << 32
+              | zlib.crc32(x[::-1].encode())) & m63
              for x in t[text_col].to_pylist()]
-        return pa.table({"h": pa.array(h, pa.uint64()), id_col: t[id_col]})
+        return pa.table({"h": pa.array(h, pa.int64()), id_col: t[id_col]})
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
     agg = hashed.groupby("h").aggregate(
@@ -91,10 +96,11 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
             bounds.append(bounds[-1] + len(g))
         if not texts:
             return pa.table({"band_idx": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.uint64()),
+                             "band_hash": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.string())})
         x = np.concatenate(hashes)
-        pm = (x[:, None] * a_t[None, :] + b_t[None, :]) % _MERSENNE
+        # exact mod-mersenne permutation (plain x*a+b wraps mod 2^64)
+        pm = mulmod_mersenne61(x[:, None], a_t, b_t)
         sig = np.minimum.reduceat(pm, bounds[:-1], axis=0).astype(np.uint64)
         n = len(texts)
         rows = num_perm // num_bands
@@ -106,7 +112,8 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
         return pa.table({
             "band_idx": pa.array(
                 np.tile(np.arange(num_bands, dtype=np.int32), n)),
-            "band_hash": pa.array(acc.reshape(-1)),
+            # 63-bit int64 band keys: Ray-shuffle-safe (see exact_dedup)
+            "band_hash": pa.array(mask63(acc.reshape(-1))),
             "doc_id": pa.array(np.repeat([str(i) for i in ids], num_bands)),
         })
 
@@ -119,7 +126,7 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
     def bucketed(t: pa.Table) -> pa.Table:
         h = t["band_hash"].to_numpy(zero_copy_only=False)
         return t.append_column(
-            "bucket", pa.array((h % np.uint64(64)).astype(np.int32)))
+            "bucket", pa.array((h % 64).astype(np.int32)))
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_skip = [], [], []
@@ -217,10 +224,13 @@ def simhash_batch(texts: list[str], num_bits: int = 64) -> np.ndarray:
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
                 out: str = "simhash") -> ray.data.Dataset:
+    """Signature stored as two's-complement int64 (all 64 bits preserved;
+    uint64 columns crash Ray's shuffle-boundary Arrow conversion)."""
+
     def f(t: pa.Table) -> pa.Table:
         return t.append_column(
-            out, pa.array(simhash_batch(t[text_col].to_pylist()),
-                          pa.uint64()))
+            out, pa.array(as_int64(simhash_batch(t[text_col].to_pylist())),
+                          pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -234,16 +244,18 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
     with_sig = add_simhash(ds, text_col)
 
     def chunks(t: pa.Table) -> pa.Table:
-        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sig_i64 = t["simhash"].to_numpy(zero_copy_only=False)
+        sig = as_uint64(sig_i64)
         ids = [str(i) for i in t[id_col].to_pylist()]
         parts = []
         for c in range(4):
-            chunk = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            chunk = ((sig >> np.uint64(16 * c))
+                     & np.uint64(0xFFFF)).astype(np.int64)
             parts.append(pa.table({
                 "chunk_idx": pa.array(np.full(len(sig), c, dtype=np.int32)),
                 "chunk_val": pa.array(chunk),
                 "doc_id": pa.array(ids),
-                "sig": pa.array(sig),
+                "sig": pa.array(sig_i64, pa.int64()),
             }))
         return pa.concat_tables(parts)
 
@@ -254,7 +266,7 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
     def bucketed(t: pa.Table) -> pa.Table:
         v = t["chunk_val"].to_numpy(zero_copy_only=False)
         return t.append_column(
-            "bucket", pa.array((v % np.uint64(64)).astype(np.int32)))
+            "bucket", pa.array((v % 64).astype(np.int32)))
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
@@ -262,8 +274,8 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
             rows = sorted(set(zip(sub["doc_id"], sub["sig"])))
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
-                    d = int(bin(int(rows[i][1]) ^ int(rows[j][1]))
-                            .count("1"))
+                    # sig is int64 two's complement; XOR as uint64 bits
+                    d = bin(xor64(rows[i][1], rows[j][1])).count("1")
                     if d <= max_hamming:
                         out_a.append(rows[i][0])
                         out_b.append(rows[j][0])

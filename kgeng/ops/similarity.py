@@ -152,6 +152,9 @@ def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95,
             sig = hyperplane_signatures(m, planes)
         else:
             sig = np.zeros(len(m), dtype=np.uint64)
+        # 63-bit int64 shuffle key (uint64 > 2^63-1 breaks Ray's
+        # block-boundary Arrow conversion; relevant at num_planes >= 63)
+        sig = (sig & np.uint64((1 << 63) - 1)).astype(np.int64)
         return pa.table({
             "bucket": pa.array(sig),
             "vec_id": pa.array([str(i) for i in t[id_col].to_pylist()]),

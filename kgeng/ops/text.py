@@ -119,7 +119,8 @@ def add_lang_id(ds: ray.data.Dataset, concurrency=(1, 4),
 
 def _doc_fingerprint(text: str, k: int = 4, window: int = 8) -> int:
     """Winnowing-style fingerprint: min crc32 over each sliding window of
-    token k-gram hashes, XOR-folded to one u64. Deterministic."""
+    token k-gram hashes, XOR-folded to one 63-bit value (int64-safe for
+    Ray shuffle boundaries). Deterministic."""
     toks = text.split()
     if len(toks) < k:
         return zlib.crc32(" ".join(toks).encode())
@@ -134,13 +135,13 @@ def _doc_fingerprint(text: str, k: int = 4, window: int = 8) -> int:
     out = np.uint64(0xcbf29ce484222325)
     for m in np.unique(mins):
         out = np.uint64((int(out) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF) ^ m
-    return int(out)
+    return int(out) & ((1 << 63) - 1)
 
 
 def add_fingerprint(ds: ray.data.Dataset, col: str = "text",
                     out: str = "fingerprint") -> ray.data.Dataset:
     def f(t: pa.Table) -> pa.Table:
         fps = [_doc_fingerprint(x) for x in t[col].to_pylist()]
-        return t.append_column(out, pa.array(fps, pa.uint64()))
+        return t.append_column(out, pa.array(fps, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
