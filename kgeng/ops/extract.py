@@ -14,6 +14,24 @@ table ever reaches a wide operator):
   entity-candidate surface (the subject of the later
   ``(entity, mentions_media, media_ref)`` triple).
 
+Hot-path layout (this stage is the pipeline's scaling limiter — it touches
+every byte of the corpus):
+
+1. **Arrow prefilter**: ``pc.match_substring_regex`` (re2, vectorized)
+   marks the text spans that can possibly yield a record; non-candidate
+   spans never reach Python at all (their strings are never materialized).
+2. **Megastring scan**: all candidate span texts of a batch are joined
+   with ``\\n`` and each compiled pattern runs ONE ``finditer`` over the
+   joined string, so Python loop overhead is per *match*, not per span ×
+   pattern. Matches map back to (doc, span, offset) via vectorized
+   ``np.searchsorted`` — no per-span Python. (Safe because no pattern can
+   match across ``\\n``: detector/phrase patterns are gated on containing
+   no ``\\n``/``\\s``; if a custom detector fails the gate, the kernel
+   falls back to per-span scanning with identical semantics.)
+3. **Columnar assembly**: records are built as parallel per-kind column
+   arrays (doc references as int32 indices resolved via ``pc.take``), not
+   per-record tuples.
+
 The detector state (gazetteer dict + compiled regexes) is built once per
 actor in ``__init__`` — the actor-pool pattern the reference lacks (its
 parser re-evaluates per line, ``graphalytics_importer.py:112-124``).
@@ -23,6 +41,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -48,8 +67,24 @@ RECORD_SCHEMA = pa.schema([
 _CAP_RUN = r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b"
 
 
+def _newline_safe(pattern: str) -> bool:
+    """True if the pattern cannot match across a '\\n' join boundary
+    (conservative: rejects any explicit newline/whitespace-class use)."""
+    return not any(tok in pattern for tok in ("\\n", "\n", "\\s", "\\S",
+                                              "(?s", "[^"))
+
+
+def _arrow_compilable(pattern: str) -> bool:
+    try:
+        pc.match_substring_regex(pa.array([""], pa.string()),
+                                 pattern=pattern)
+        return True
+    except pa.ArrowException:
+        return False
+
+
 class Extract:
-    """Actor-pool callable: documents batch -> records batch."""
+    """Stateless-task / actor-pool callable: documents batch -> records."""
 
     def __init__(self, gazetteer_ref, detect_cfg: DetectConfig | None = None):
         cfg = detect_cfg or DetectConfig()
@@ -65,82 +100,181 @@ class Extract:
         phrases = sorted(PRED_PHRASES.items(), key=lambda kv: -len(kv[1]))
         self.phrase_re = re.compile(
             "|".join(f"(?P<{p}>{re.escape(s)})" for p, s in phrases))
+        # Arrow prefilter is sound only if EVERY detector is re2-compilable
+        # (else a span matched only by the odd detector would be skipped)
+        self.prefilter = ([_CAP_RUN] + [p for _n, p in cfg.regex_detectors]
+                          if all(_arrow_compilable(p)
+                                 for _n, p in cfg.regex_detectors)
+                          else None)
+        # megastring join is sound only if no pattern can match across \n
+        self.mega_ok = all(_newline_safe(p) for _n, p in cfg.regex_detectors)
+
+    # ---------------------------------------------------------- scanning
+    @staticmethod
+    def _join(texts: list[str]):
+        """('\\n'-joined megastring, span start offsets) — built once per
+        batch and shared by every pattern scan."""
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        if texts:
+            np.cumsum([len(t) + 1 for t in texts], out=starts[1:])
+        return "\n".join(texts), starts
+
+    def _scan(self, texts: list[str], mega: str, starts: np.ndarray,
+              rex: re.Pattern, want_group: bool):
+        """All matches of ``rex`` over ``texts``: returns (span_i, offset,
+        surface-or-lastgroup) parallel lists. Fast path: one finditer over
+        the joined megastring, mapped back via searchsorted."""
+        if not texts:
+            return np.empty(0, np.int64), np.empty(0, np.int64), []
+        if self.mega_ok:
+            pos, val = [], []
+            if want_group:
+                for m in rex.finditer(mega):
+                    pos.append(m.start())
+                    val.append(m.group())
+            else:
+                for m in rex.finditer(mega):
+                    pos.append(m.start())
+                    val.append(m.lastgroup)
+            if not pos:
+                return np.empty(0, np.int64), np.empty(0, np.int64), []
+            p = np.asarray(pos, dtype=np.int64)
+            span_i = np.searchsorted(starts, p, side="right") - 1
+            return span_i, p - starts[span_i], val
+        # fallback: per-span scans (identical semantics, exotic detectors)
+        span_i, off, val = [], [], []
+        for i, text in enumerate(texts):
+            for m in rex.finditer(text):
+                span_i.append(i)
+                off.append(m.start())
+                val.append(m.group() if want_group else m.lastgroup)
+        return (np.asarray(span_i, dtype=np.int64),
+                np.asarray(off, dtype=np.int64), val)
+
+    # ---------------------------------------------------------- assembly
+    @staticmethod
+    def _tbl(kind: str, doc_ids: pa.Array, span_idx, offset, surface,
+             ent_type, source, subj, pred, obj) -> pa.Table:
+        n = len(doc_ids)
+
+        def col(v):
+            if isinstance(v, str):  # constant
+                return pa.array([v] * n, pa.string())
+            return v if isinstance(v, pa.Array) else pa.array(v, pa.string())
+
+        return pa.Table.from_arrays([
+            col(kind), doc_ids,
+            pa.array(np.asarray(span_idx, dtype=np.int32), pa.int32()),
+            pa.array(np.asarray(offset, dtype=np.int32), pa.int32()),
+            col(surface), col(ent_type), col(source),
+            col(subj), col(pred), col(obj),
+        ], schema=RECORD_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # flatten the list<struct> column ONCE via Arrow (zero-copy) and
-        # convert each child to a flat Python list — no per-span dicts,
-        # which is what dominates allocation cost in this hot stage
         spans_col = batch["spans"].combine_chunks()
         flat = pc.list_flatten(spans_col)
-        kinds = flat.field("kind").to_pylist()
-        texts = flat.field("text").to_pylist()
-        media = flat.field("media_ref").to_pylist()
         offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
-        doc_ids = batch["doc_id"].to_pylist()
+        doc_id_arr = batch["doc_id"].combine_chunks()
 
-        rows: list[tuple] = []  # RECORD_SCHEMA field order
-        append = rows.append
-        gaz_get = self.gaz.get
-        cap_finditer = self.cap_run.finditer
-        phrase_search = self.phrase_re.search
+        kind_arr = flat.field("kind")
+        text_arr = flat.field("text")
+        is_text = pc.equal(kind_arr, "text")
+        if self.prefilter is not None:
+            m = pc.match_substring_regex(text_arr, pattern=self.prefilter[0])
+            for pat in self.prefilter[1:]:
+                m = pc.or_kleene(
+                    m, pc.match_substring_regex(text_arr, pattern=pat))
+            cand = pc.fill_null(pc.and_kleene(is_text, m), False)
+        else:
+            cand = is_text
+        cand_np = cand.to_numpy(zero_copy_only=False)
+        cand_idx = np.flatnonzero(cand_np)
+        texts = (text_arr.take(pa.array(cand_idx)).to_pylist()
+                 if len(cand_idx) else [])
+        mega, starts = self._join(texts)
 
-        for di, doc_id in enumerate(doc_ids):
-            lo, hi = offsets[di], offsets[di + 1]
-            rel_subjects: list[str] = []  # relation subjects in span order
-            media_spans = []
-            for si in range(lo, hi):
-                if kinds[si] != "text":
-                    media_spans.append((si - lo, media[si]))
-                    continue
-                text = texts[si]
-                span_idx = si - lo
-                ent_mentions = []
-                for m in cap_finditer(text):
-                    surf = m.group()
-                    hit = gaz_get(surf)
-                    if hit is not None:
-                        append(("mention", doc_id, span_idx, m.start(),
-                                surf, hit[1], "gazetteer", "", "", ""))
-                    else:
-                        append(("mention", doc_id, span_idx, m.start(),
-                                surf, "", "ner", "", "", ""))
-                    ent_mentions.append((m.start(), surf))
-                for name, rex in self.detectors:
-                    for m in rex.finditer(text):
-                        append(("mention", doc_id, span_idx, m.start(),
-                                m.group(), name, "regex", "", "", ""))
-                if len(ent_mentions) >= 2:
-                    pm = phrase_search(text)
-                    if pm is not None:
-                        ent_mentions.sort()
-                        append(("relation", doc_id, span_idx, 0, "", "",
-                                "", ent_mentions[0][1], pm.lastgroup,
-                                ent_mentions[1][1]))
-                        rel_subjects.append(ent_mentions[0][1])
-            if rel_subjects:
-                # media subject = first RESOLVABLE relation subject; which
-                # candidate resolves is only known after canonicalization,
-                # so carry the ordered head of the candidate list
-                cand = "|".join(rel_subjects[:8])
-                for span_idx, ref in media_spans:
-                    append(("media", doc_id, span_idx, 0, "", "", "",
-                            cand, "", ref))
-        if not rows:
+        def to_doc(span_i: np.ndarray):
+            """candidate-span index array -> (doc_idx, span_idx_in_doc)."""
+            g = cand_idx[span_i]
+            d = np.searchsorted(offsets, g, side="right") - 1
+            return d, g - offsets[d]
+
+        parts: list[pa.Table] = []
+
+        # ---- entity-candidate mentions (capitalized runs) --------------
+        cap_span, cap_off, cap_surf = self._scan(texts, mega, starts,
+                                                 self.cap_run, True)
+        if len(cap_span):
+            gaz_get = self.gaz.get
+            hits = [gaz_get(s) for s in cap_surf]
+            ent_type = [h[1] if h is not None else "" for h in hits]
+            source = ["gazetteer" if h is not None else "ner" for h in hits]
+            d, s = to_doc(cap_span)
+            parts.append(self._tbl(
+                "mention", pc.take(doc_id_arr, pa.array(d)), s, cap_off,
+                cap_surf, ent_type, source, "", "", ""))
+
+        # ---- regex detector mentions (separate pass per detector keeps
+        # cross-detector overlap semantics identical to one-scan-each) ----
+        for name, rex in self.detectors:
+            d_span, d_off, d_surf = self._scan(texts, mega, starts, rex,
+                                               True)
+            if len(d_span):
+                d, s = to_doc(d_span)
+                parts.append(self._tbl(
+                    "mention", pc.take(doc_id_arr, pa.array(d)), s, d_off,
+                    d_surf, name, "regex", "", "", ""))
+
+        # ---- relations: first phrase in a span with >= 2 cap mentions --
+        rel_doc_subjects: dict[int, list[str]] = {}
+        if len(cap_span):
+            ph_span, _ph_off, ph_name = self._scan(texts, mega, starts,
+                                                   self.phrase_re, False)
+            if len(ph_span):
+                # first phrase per span (matches arrive position-ordered)
+                ph_u, ph_first = np.unique(ph_span, return_index=True)
+                n_cand = len(texts)
+                cap_counts = np.bincount(cap_span, minlength=n_cand)
+                keep = cap_counts[ph_u] >= 2
+                rel_spans = ph_u[keep]
+                if len(rel_spans):
+                    preds = [ph_name[i] for i in ph_first[keep]]
+                    first_cap = np.searchsorted(cap_span, rel_spans,
+                                                side="left")
+                    subj = [cap_surf[i] for i in first_cap]
+                    obj = [cap_surf[i + 1] for i in first_cap]
+                    d, s = to_doc(rel_spans)
+                    parts.append(self._tbl(
+                        "relation", pc.take(doc_id_arr, pa.array(d)), s,
+                        np.zeros(len(d), np.int32), "", "", "",
+                        subj, preds, obj))
+                    # relation subjects per doc, span order (d is sorted)
+                    for di, sj in zip(d.tolist(), subj):
+                        rel_doc_subjects.setdefault(di, []).append(sj)
+
+        # ---- media records (docs that produced a relation subject) ------
+        media_idx = np.flatnonzero(
+            pc.invert(is_text).to_numpy(zero_copy_only=False))
+        if len(media_idx) and rel_doc_subjects:
+            m_doc = np.searchsorted(offsets, media_idx, side="right") - 1
+            keep = np.isin(m_doc, np.fromiter(rel_doc_subjects, np.int64,
+                                              len(rel_doc_subjects)))
+            if keep.any():
+                m_doc = m_doc[keep]
+                m_g = media_idx[keep]
+                refs = flat.field("media_ref").take(pa.array(m_g)).to_pylist()
+                # media subject = ordered head of the doc's relation-subject
+                # candidates; which one resolves is known post-canonicalize
+                cands = ["|".join(rel_doc_subjects[di][:8])
+                         for di in m_doc.tolist()]
+                parts.append(self._tbl(
+                    "media", pc.take(doc_id_arr, pa.array(m_doc)),
+                    m_g - offsets[m_doc], np.zeros(len(m_doc), np.int32),
+                    "", "", "", cands, "", refs))
+
+        if not parts:
             return RECORD_SCHEMA.empty_table()
-        cols = list(zip(*rows))  # C-level transpose
-        arrays = [
-            pa.array(cols[0], pa.string()),
-            pa.array(cols[1], pa.string()),
-            pa.array(cols[2], pa.int32()),
-            pa.array(cols[3], pa.int32()),
-            pa.array(cols[4], pa.string()),
-            pa.array(cols[5], pa.string()),
-            pa.array(cols[6], pa.string()),
-            pa.array(cols[7], pa.string()),
-            pa.array(cols[8], pa.string()),
-            pa.array(cols[9], pa.string()),
-        ]
-        return pa.Table.from_arrays(arrays, schema=RECORD_SCHEMA)
+        return pa.concat_tables(parts)
 
 
 def load_gazetteer_dict(gazetteer_parquet: str) -> dict[str, tuple[str, str]]:
