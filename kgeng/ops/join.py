@@ -4,12 +4,19 @@ large x large inputs.
 Pattern (Ray Data has no always-available Dataset.join across versions):
 add ``bucket = hash(key) % B`` to both sides, tag each side, union,
 ``groupby(bucket)`` (ONE shuffle moves both sides), and merge the two
-sides pairwise inside each bucket with a C-level pandas merge. Skewed
-keys split across sub-buckets by salting the bucket id with a secondary
-hash when a side exceeds ``max_bucket_rows`` (documented, not silent).
+sides pairwise inside each bucket with a C-level pandas merge.
+
+Skew handling: with ``salt > 1`` each LEFT row is assigned a sub-bucket
+(row-position mod salt — any deterministic spread works, the join result
+is assignment-invariant) and the RIGHT side is replicated into every
+sub-bucket, so a hot key's probe rows split across ``salt`` groups
+instead of landing in one. ``max_bucket_rows`` derives the salt from the
+left row count (one extra counting pass over the left lineage).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -17,7 +24,8 @@ import pyarrow as pa
 import ray.data
 
 
-def _bucket_col(t: pa.Table, key: str, B: int) -> pa.Table:
+def _bucket_ids(t: pa.Table, key: str, B: int) -> np.ndarray:
+    """Deterministic bucket id per row (exposed for tests)."""
     vals = t[key].to_numpy(zero_copy_only=False)
     if vals.dtype.kind in "iu":
         h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
@@ -27,31 +35,52 @@ def _bucket_col(t: pa.Table, key: str, B: int) -> pa.Table:
 
         b = np.array([zlib.crc32(str(v).encode()) % B for v in vals],
                      dtype=np.uint64)
-    return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+    return b.astype(np.int64)
 
 
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
               num_buckets: int = 32, how: str = "inner",
-              suffix: str = "_r") -> ray.data.Dataset:
+              suffix: str = "_r", salt: int = 1,
+              max_bucket_rows: int | None = None) -> ray.data.Dataset:
     """Hash-partitioned equi-join of two Datasets on ``key``.
 
     Column collisions on the right side get ``suffix``. ``how`` is any
     pandas merge mode whose semantics survive per-bucket decomposition
-    ('inner', 'left').
+    ('inner', 'left'). ``salt`` > 1 splits each bucket's left rows into
+    sub-buckets and replicates the (small) right side into each — use
+    when the left side has hot keys. ``max_bucket_rows`` computes the
+    salt as ceil(left_count / max_bucket_rows) (counts the left side
+    first), guaranteeing no merge group holds more than ~max_bucket_rows
+    left rows even if every row shares one key.
     """
+    if max_bucket_rows is not None:
+        n_left = left.count()
+        salt = max(salt, math.ceil(max(n_left, 1) / max_bucket_rows))
+    salt = max(1, salt)
     lcols = [c for c in left.schema().names]
     rcols = [c for c in right.schema().names]
 
-    def tag(side: str):
-        def f(t: pa.Table) -> pa.Table:
-            t = _bucket_col(t, key, num_buckets)
-            return t.append_column("__side",
-                                   pa.array([side] * len(t)))
+    def tag_left(t: pa.Table) -> pa.Table:
+        b = _bucket_ids(t, key, num_buckets)
+        if salt > 1:
+            b = b * salt + (np.arange(len(t), dtype=np.int64) % salt)
+        t = t.append_column("__bucket", pa.array(b.astype(np.int32)))
+        return t.append_column("__side", pa.array(["l"] * len(t)))
 
-        return f
+    def tag_right(t: pa.Table) -> pa.Table:
+        b = _bucket_ids(t, key, num_buckets)
+        t = t.append_column("__side", pa.array(["r"] * len(t)))
+        if salt == 1:
+            return t.append_column("__bucket",
+                                   pa.array(b.astype(np.int32)))
+        reps = []
+        for s in range(salt):
+            reps.append(t.append_column(
+                "__bucket", pa.array((b * salt + s).astype(np.int32))))
+        return pa.concat_tables(reps)
 
-    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
-        right.map_batches(tag("r"), batch_format="pyarrow"))
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][[c for c in lcols if c in g.columns]]

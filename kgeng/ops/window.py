@@ -16,28 +16,51 @@ import ray.data
 
 def sessionize(events: ray.data.Dataset, key: str = "user_id",
                ts: str = "ts", gap_minutes: float = 30.0,
-               ) -> ray.data.Dataset:
+               num_buckets: int = 64) -> ray.data.Dataset:
     """Session windows per key: a new session starts when the gap since
     the previous event exceeds ``gap_minutes``. Returns one row per
     session: (key, session_id, n_events, session_start, session_end),
     ``session_id`` = 1-based rank of the session within the key.
+
+    The shuffle groups by ``hash(key) % num_buckets`` — a bounded number
+    of coarse groups — and sessionizes every key inside a bucket with
+    ONE vectorized pandas pass (sort + per-key diff + cumsum), instead
+    of ``groupby(key).map_groups`` spawning one Python call per key
+    (millions of tiny groups at scale).
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="mergesort")
-        new_sess = (g[ts].diff() > gap) | g[ts].diff().isna()
-        sess_id = new_sess.cumsum()
-        out = g.groupby(sess_id.values).agg(
-            n_events=(ts, "size"),
-            session_start=(ts, "min"),
-            session_end=(ts, "max"))
-        out = out.reset_index(drop=True)
-        out.insert(0, "session_id", np.arange(1, len(out) + 1))
-        out.insert(0, key, g[key].iloc[0])
-        return out
+    def bucket(t):
+        import pyarrow as pa
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+        vals = t[key].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iu":
+            h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            b = ((h >> np.uint64(33)) % np.uint64(num_buckets))
+        else:
+            import zlib
+
+            b = np.array([zlib.crc32(str(v).encode()) % num_buckets
+                          for v in vals], dtype=np.uint64)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="mergesort")
+        d = g.groupby(key, sort=False)[ts].diff()
+        sess = (d.isna() | (d > gap)).cumsum()  # unique ids within bucket
+        grouped = g.groupby(sess.values, sort=True)
+        out = grouped.agg(**{key: (key, "first"),
+                             "n_events": (ts, "size"),
+                             "session_start": (ts, "min"),
+                             "session_end": (ts, "max")})
+        out = out.reset_index(drop=True)
+        sid = out.groupby(key, sort=False).cumcount() + 1
+        out.insert(1, "session_id", sid.astype(np.int64))
+        return out[[key, "session_id", "n_events",
+                    "session_start", "session_end"]]
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def tumbling(events: ray.data.Dataset, key: str, ts: str, value: str,

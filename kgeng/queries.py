@@ -100,13 +100,16 @@ def orders_by_custseg(sf_dir: str):
     """Broadcast hash join (small side = customer, shipped once via
     ray.put) + grouped aggregate — the SURVEY §2.4 lookup-join pattern."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    lookup_ref = ray.put((pa.array(cust["c_custkey"].to_numpy()),
+                          pa.array(cust["c_mktsegment"], pa.string())))
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def join(t: pa.Table) -> pa.Table:
-        m = ray.get(seg_map_ref)
-        segs = [m.get(k, "UNKNOWN") for k in t["o_custkey"].to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(segs, pa.string()),
+        keys, segs = ray.get(lookup_ref)
+        # vectorized lookup: index_in + take (misses -> null -> UNKNOWN)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        seg = pc.fill_null(pc.take(segs, idx), "UNKNOWN")
+        return pa.table({"c_mktsegment": seg,
                          "price_c": _cents(t["o_totalprice"])})
 
     out = orders.map_batches(join, batch_format="pyarrow") \

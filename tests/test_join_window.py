@@ -28,6 +28,45 @@ def test_hash_join_string_key():
     assert got[["k", "x", "y"]].values.tolist() == [["b", 2, 10]]
 
 
+def test_hash_join_salted_skew():
+    """90%-one-key left side: salting must keep every merge group's left
+    rows under the cap AND produce the identical join result."""
+    import numpy as np
+
+    from kgeng.ops.join import _bucket_ids
+
+    n = 1000
+    keys = np.where(np.arange(n) < 900, 7, np.arange(n) % 50)
+    left = pa.table({"k": keys, "a": np.arange(n)})
+    right = pa.table({"k": np.arange(50), "b": np.arange(50) * 10})
+    got = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    "k", num_buckets=4, max_bucket_rows=100).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    cols = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)  # empty merge groups upcast ints to float64
+    # the cap math: salt = ceil(1000/100) = 10, so even the 900-row hot
+    # key splits into sub-buckets of <= ceil(900/10) = 90 left rows
+    salt = 10
+    b = _bucket_ids(left, "k", 4) * salt + (np.arange(n) % salt)
+    assert np.bincount(b).max() <= 100
+
+
+def test_hash_join_salted_left_mode():
+    left = pa.table({"k": [1, 1, 1, 2, 9], "a": list("vwxyz")})
+    right = pa.table({"k": [1, 2], "b": ["p", "q"]})
+    got = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    "k", num_buckets=2, how="left", salt=3).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k", how="left")
+    cols = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_sessionize_gap_splits():
     ts = pd.to_datetime([
         "2024-01-01 10:00", "2024-01-01 10:10",   # session 1
@@ -39,6 +78,25 @@ def test_sessionize_gap_splits():
     out = out.sort_values("session_id")
     assert out["n_events"].tolist() == [2, 2]
     assert out["session_id"].tolist() == [1, 2]
+
+
+def test_sessionize_multi_user_bucketed():
+    """Many keys per coarse bucket: per-key session ids must still be
+    independent and 1-based."""
+    rows = []
+    for u in range(20):
+        base = pd.Timestamp("2024-03-01 08:00") + pd.Timedelta(minutes=u)
+        rows += [(u, base), (u, base + pd.Timedelta(minutes=5)),
+                 (u, base + pd.Timedelta(hours=2))]
+    ev = pa.table({"user_id": [r[0] for r in rows],
+                   "ts": [r[1] for r in rows]})
+    out = sessionize(ray.data.from_arrow(ev), gap_minutes=30,
+                     num_buckets=4).to_pandas()
+    assert len(out) == 40  # 2 sessions per user
+    for u in range(20):
+        sub = out[out["user_id"] == u].sort_values("session_id")
+        assert sub["session_id"].tolist() == [1, 2]
+        assert sub["n_events"].tolist() == [2, 1]
 
 
 def test_tumbling_counts():

@@ -69,6 +69,35 @@ def test_minhash_dedup_clusters_near_duplicates():
     assert rep["d3"] != rep["d1"]
 
 
+def test_minhash_dedup_distributed_verify_parity():
+    """Plan B (hash-join verify, no driver text dict) must produce the
+    same clustering as plan A on a ~50%-duplication corpus."""
+    rng = np.random.default_rng(11)
+    vocab = [f"word{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(40):
+        base = " ".join(rng.choice(vocab, size=25))
+        ids.append(f"o{i:03d}")
+        texts.append(base)
+        # near-duplicate: one token swapped
+        toks = base.split()
+        toks[int(rng.integers(0, len(toks)))] = "swapped"
+        ids.append(f"d{i:03d}")
+        texts.append(" ".join(toks))
+    t = pa.table({"doc_id": ids, "text": texts})
+    ds = ray.data.from_arrow(t)
+    plan_a = {r["doc_id"]: r["cluster_rep"]
+              for r in dedup.minhash_dedup(ds, threshold=0.5).take_all()}
+    plan_b = {r["doc_id"]: r["cluster_rep"]
+              for r in dedup.minhash_dedup(
+                  ds, threshold=0.5, driver_max_pairs=0).take_all()}
+    assert plan_a == plan_b
+    # and the dups actually clustered with their originals
+    n_clustered = sum(1 for i in range(40)
+                      if plan_b[f"o{i:03d}"] == plan_b[f"d{i:03d}"])
+    assert n_clustered >= 35  # LSH recall at J~0.55 with r=2 bands
+
+
 def test_simhash_near_dup():
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     near = base.replace("kappa", "kappa", 1)
