@@ -80,9 +80,18 @@ def label_propagation_components(pairs: ray.data.Dataset,
     """Plan B: distributed min-label propagation (for huge candidate graphs).
 
     Returns a Dataset (surface, label) at fixpoint or after ``max_iter``
-    rounds. Each round is one groupby-min shuffle over the pair list.
+    rounds. Fully distributed: each round joins the adjacency list to the
+    current labels on the neighbour key (hash-partitioned join) and takes
+    a groupby-min — the driver never materializes the label table, it only
+    sees a per-round convergence fingerprint (a commutative int64 sum of
+    per-row crc32s, so it is partition-order independent).
     """
+    import zlib
+
+    import numpy as np
     import pyarrow.compute as pc
+
+    from kgeng.ops.join import hash_join
 
     def explode(batch: pa.Table) -> pa.Table:
         mask = pc.not_equal(batch["a"], pa.scalar(""))
@@ -94,36 +103,55 @@ def label_propagation_components(pairs: ray.data.Dataset,
                                      batch["a"].combine_chunks()]),
         })
 
-    adj = pairs.map_batches(explode, batch_format="pyarrow")
-    # label(node) starts as node itself; each round:
-    # label <- min(label, min over neighbours' labels)
+    # adjacency is reused every round — pin its blocks once
+    adj = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+
     def _rename(ds):
         return ds.map_batches(
             lambda t: t.rename_columns(["node", "label"]),
             batch_format="pyarrow")
 
+    def fingerprint(ds) -> int:
+        """Order-independent digest of the (node, label) assignment."""
+
+        def f(t: pa.Table) -> pa.Table:
+            v = np.fromiter(
+                (zlib.crc32(f"{n}\x00{lb}".encode())
+                 for n, lb in zip(t["node"].to_pylist(),
+                                  t["label"].to_pylist())),
+                dtype=np.int64, count=len(t))
+            return pa.table({"s": pa.array([int(v.sum())], pa.int64())})
+
+        return sum(r["s"] for r in
+                   ds.map_batches(f, batch_format="pyarrow").take_all())
+
+    # per-round block budget: union + groupby otherwise DOUBLE the block
+    # count every round (1 -> 3 -> 7 -> ... -> 2^r), drowning the cluster
+    # in empty blocks; a cheap split/coalesce repartition caps it
+    n_blocks = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+    # label(node) starts as min(node, min over neighbours)
     labels = _rename(adj.groupby("node").min("nbr"))
     labels = labels.map_batches(
         lambda t: t.set_column(1, "label",
                                pc.min_element_wise(t["label"], t["node"])),
-        batch_format="pyarrow")
+        batch_format="pyarrow").repartition(n_blocks).materialize()
+    prev = fingerprint(labels)
     for _ in range(max_iter - 1):
-        lab_map = {r["node"]: r["label"] for r in labels.take_all()}
-        changed = False
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            nbrl = [lab_map.get(x, x) for x in batch["nbr"].to_pylist()]
-            return pa.table({"node": batch["node"],
-                             "nbr": pa.array(nbrl, pa.string())})
-
-        new_labels = _rename(
-            adj.map_batches(relabel, batch_format="pyarrow")
-            .groupby("node").min("nbr"))
-        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
-        changed = any(new_map.get(k, k) != lab_map.get(k, k) for k in new_map)
-        labels = new_labels
-        if not changed:
+        # each round: label <- min(label, min over neighbours' labels)
+        lab_as_nbr = labels.map_batches(
+            lambda t: pa.table({"nbr": t["node"], "lab": t["label"]}),
+            batch_format="pyarrow")
+        nbr_lab = hash_join(adj, lab_as_nbr, "nbr").map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["lab"]}),
+            batch_format="pyarrow")
+        labels = _rename(nbr_lab.union(labels)
+                         .groupby("node").min("label")) \
+            .repartition(n_blocks).materialize()
+        cur = fingerprint(labels)
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 

@@ -84,6 +84,22 @@ def test_label_propagation_matches_union_find():
     assert labels["a"] != labels["x"] != labels["m"]
 
 
+def test_label_propagation_long_chain_converges():
+    """A 12-node path needs multiple propagation rounds: the distributed
+    join-based rounds must reach the union-find fixpoint."""
+    from kgeng.ops.canonicalize import label_propagation_components
+
+    n = 12
+    pairs = pa.table({"a": [f"n{i:02d}" for i in range(n - 1)],
+                      "b": [f"n{i + 1:02d}" for i in range(n - 1)],
+                      "jac": [1.0] * (n - 1)})
+    labels = {r["node"]: r["label"]
+              for r in label_propagation_components(
+                  ray.data.from_arrow(pairs), max_iter=15).take_all()}
+    assert set(labels.values()) == {"n00"}
+    assert len(labels) == n
+
+
 def test_triples_invariant_under_input_partition_reshuffle(tiny_corpus):
     """Permutation invariance: shuffling input blocks does not change the
     triple set (SURVEY.md §5.4)."""
