@@ -66,7 +66,14 @@ class CheckpointStore:
             d = os.path.join(d, f"shard={shard:05d}")
         return d
 
-    def is_done(self, stage: str, shard: int | None = None) -> bool:
+    def is_done(self, stage: str, shard: int | None = None,
+                lineage: dict | None = None) -> bool:
+        """A stage counts as done only if its _SUCCESS + manifest exist,
+        the config hash matches, AND (when ``lineage`` is given) the
+        manifest's recorded lineage equals the caller's expected lineage.
+        Without the lineage check, rerunning the same checkpoint root with
+        a different shard layout or input file set would silently mix
+        stale and fresh shards."""
         d = self.stage_dir(stage, shard)
         success = os.path.join(d, "_SUCCESS")
         manifest = os.path.join(d, "_MANIFEST.json")
@@ -77,7 +84,11 @@ class CheckpointStore:
                 meta = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
-        return meta.get("config_hash") == self.config_hash
+        if meta.get("config_hash") != self.config_hash:
+            return False
+        if lineage is not None and meta.get("lineage") != lineage:
+            return False
+        return True
 
     # ------------------------------------------------------------ write
     def write_stage(self, stage: str, ds: ray.data.Dataset,
@@ -180,8 +191,13 @@ def _write_partitioned(ds: ray.data.Dataset, out_dir: str,
     """Hive-partitioned write without the per-block pandas conversion that
     ray's ``partition_cols`` path performs: each map task splits its Arrow
     batch with vectorized filters and writes one file per partition value.
-    Filenames are content-hashed (first row + count), so a retried task
-    overwrites its own output instead of duplicating it."""
+    Filenames are hashes of the part's FULL content (its Arrow IPC
+    serialization), so a retried task overwrites its own output instead
+    of duplicating it, while two distinct blocks can never map to the
+    same path (a first-cell+count signature could collide when one doc's
+    records span multiple full batches). Two blocks with byte-identical
+    rows do collapse — impossible for records carrying (doc_id, span_idx,
+    offset) provenance."""
     import hashlib
 
     import pyarrow as pa
@@ -190,6 +206,12 @@ def _write_partitioned(ds: ray.data.Dataset, out_dir: str,
 
     assert len(partition_cols) == 1, "single partition column supported"
     col = partition_cols[0]
+
+    def content_sig(part: pa.Table) -> str:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, part.schema) as w:
+            w.write_table(part.combine_chunks())
+        return hashlib.sha1(sink.getvalue()).hexdigest()[:16]
 
     def write_split(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -205,10 +227,7 @@ def _write_partitioned(ds: ray.data.Dataset, out_dir: str,
                 part = part.drop_columns([col])
             d = os.path.join(out_dir, f"{col}={val}")
             os.makedirs(d, exist_ok=True)
-            sig = hashlib.sha1(
-                f"{part.column(0)[0]}|{len(part)}|{val}".encode()
-            ).hexdigest()[:16]
-            path = os.path.join(d, f"part-{sig}.parquet")
+            path = os.path.join(d, f"part-{content_sig(part)}.parquet")
             pq.write_table(part, path + ".tmp", row_group_size=65536)
             os.replace(path + ".tmp", path)
             written.append(len(part))

@@ -90,6 +90,11 @@ class KGPipeline:
         store = None
         if self.checkpoint_root:
             store = CheckpointStore(self.checkpoint_root, cfg.config_hash())
+        # input lineage folded into every stage's resume check: a changed
+        # corpus file set or shard layout invalidates old checkpoints
+        # instead of silently mixing stale and fresh shards
+        in_lin = {"corpus_files": _list_parquet_files(corpus_path),
+                  "num_shards": self.num_shards}
 
         # ---- stage 1: extract (sharded over input files) --------------
         records = self._extract_stage(corpus_path, gaz, store, resume)
@@ -106,22 +111,25 @@ class KGPipeline:
         mentions = mentions.select_columns(
             ["doc_id", "span_idx", "offset", "surface",
              "ent_type", "source"])
-        if store and resume and store.is_done("linked"):
+        linked_lin = {"input": "records/mention", **in_lin}
+        if store and resume and store.is_done("linked", lineage=linked_lin):
             linked = store.read_stage("linked")
         else:
             linked = link_mentions(
                 mentions, gaz, batch_size=cfg.link_batch_size,
                 concurrency=pool_size)
             if store:
-                store.write_stage("linked", linked,
-                                  lineage={"input": "records/mention"})
+                store.write_stage("linked", linked, lineage=linked_lin)
                 linked = store.read_stage("linked")
 
         # ---- stage 3: blocking + canonicalization ---------------------
-        resolution = self._canonicalize_stage(linked, gaz, store, resume)
+        resolution = self._canonicalize_stage(linked, gaz, store, resume,
+                                              in_lin)
 
         # ---- stage 4: triples -----------------------------------------
-        if store and resume and store.is_done("triples"):
+        triples_lin = {"input": "records+resolution", **in_lin}
+        if store and resume and store.is_done("triples",
+                                              lineage=triples_lin):
             triples = store.read_stage("triples")
         else:
             if store is not None:
@@ -134,12 +142,12 @@ class KGPipeline:
                 rel_media = _filter_kind(records, ("relation", "media"))
             triples = emit_triples(rel_media, resolution)
             if store:
-                store.write_stage("triples", triples,
-                                  lineage={"input": "records+resolution"})
+                store.write_stage("triples", triples, lineage=triples_lin)
                 triples = store.read_stage("triples")
 
         # ---- stage 5: canonical entities ------------------------------
-        entities = self._entities_stage(triples, gaz, resolution, store, resume)
+        entities = self._entities_stage(triples, gaz, resolution, store,
+                                        resume, in_lin)
 
         # ---- stage 6: graph materialization ---------------------------
         result = {"records": records, "linked": linked, "triples": triples,
@@ -166,8 +174,21 @@ class KGPipeline:
         shards = [files[i::self.num_shards] for i in range(self.num_shards)]
         shards = [s for s in shards if s]
 
+        # drop shard dirs orphaned by a previous layout: read_all_shards
+        # scans every shard=* dir, so a leftover from a different
+        # num_shards would duplicate records
+        import shutil
+
+        base = os.path.join(store.root, "records")
+        if os.path.isdir(base):
+            valid = {f"shard={i:05d}" for i in range(len(shards))}
+            for d in os.listdir(base):
+                if d.startswith("shard=") and d not in valid:
+                    shutil.rmtree(os.path.join(base, d))
+
         todo = [(i, sf) for i, sf in enumerate(shards)
-                if not (resume and store.is_done("records", shard=i))]
+                if not (resume and store.is_done(
+                    "records", shard=i, lineage={"files": sf}))]
         # build the lazy per-shard pipelines on the MAIN thread (dataset
         # construction does eager path resolution that is not thread-safe
         # in this environment); only the executions run concurrently
@@ -209,14 +230,16 @@ class KGPipeline:
         return store.read_all_shards("records")
 
     # ------------------------------------------------------------------
-    def _canonicalize_stage(self, linked, gaz, store, resume):
+    def _canonicalize_stage(self, linked, gaz, store, resume,
+                            in_lin: dict | None = None):
         cfg = self.cfg
         res_path = (os.path.join(store.root, "resolution.json")
                     if store else None)
         if res_path and resume and os.path.exists(res_path):
             with open(res_path) as f:
                 raw = json.load(f)
-            if raw.get("config_hash") == cfg.config_hash():
+            if (raw.get("config_hash") == cfg.config_hash()
+                    and raw.get("lineage") == in_lin):
                 return {s: tuple(v) for s, v in raw["map"].items()}
         # unique unresolved *entity-candidate* surfaces (small by
         # construction); regex detector hits (dates, emails, ids) are not
@@ -272,13 +295,16 @@ class KGPipeline:
         if res_path:
             with open(res_path, "w") as f:
                 json.dump({"config_hash": cfg.config_hash(),
+                           "lineage": in_lin,
                            "map": {s: list(v) for s, v in resolution.items()}},
                           f)
         return resolution
 
     # ------------------------------------------------------------------
-    def _entities_stage(self, triples, gaz, resolution, store, resume):
-        if store and resume and store.is_done("entities"):
+    def _entities_stage(self, triples, gaz, resolution, store, resume,
+                        in_lin: dict | None = None):
+        ent_lin = {"input": "triples+resolution", **(in_lin or {})}
+        if store and resume and store.is_done("entities", lineage=ent_lin):
             return store.read_stage("entities")
         # eid -> (canon_key, ent_type, surface_forms) — small broadcast
         meta: dict[str, tuple[str, str, list[str]]] = {}
@@ -319,8 +345,7 @@ class KGPipeline:
             "part": pa.array([r[1] for r in rows], pa.string()),
         }))
         if store:
-            store.write_stage("entities", entities,
-                              lineage={"input": "triples+resolution"})
+            store.write_stage("entities", entities, lineage=ent_lin)
             entities = store.read_stage("entities")
         return entities
 

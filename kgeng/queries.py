@@ -240,10 +240,15 @@ def simhash_docs(sf_dir: str):
 def _load_queries(sf_dir: str, n: int = 4):
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    m = np.array(tbl["embedding"].to_pylist()[:n], dtype=np.float64)
-    ids = tbl["vec_id"].to_pylist()[:n]
-    return m, ids
+    # the n SMALLEST vec_ids — matches the oracle's ORDER BY vec_id LIMIT n
+    # deterministically even if the parquet is unsorted or multi-file
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    order = np.argsort(ids, kind="stable")[:n]
+    m = np.array([tbl["embedding"][int(i)].as_py() for i in order],
+                 dtype=np.float64)
+    return m, [ids[int(i)].item() for i in order]
 
 
 def ann_topk(sf_dir: str):
@@ -515,16 +520,21 @@ def kg_media_features(sf_dir: str):
     blobs never shuffle; only (media_ref, feat stats) rows come back."""
     res = _kg_results(sf_dir)
     triples = res["triples"]
+    from kgeng.pipeline import distinct
 
     def media_refs(t: pa.Table) -> pa.Table:
         obj = t["obj"].combine_chunks()
         refs = pc.unique(obj.filter(pc.starts_with(obj, "media://")))
         return pa.table({"ref": refs})
 
-    refs = sorted({r["ref"] for r in triples.map_batches(
-        media_refs, batch_format="pyarrow").take_all()})
-    tbl = media_ops.synth_media_table(refs)
-    out = media_ops.featurize_media(ray.data.from_arrow(tbl), dim=16)
+    # distinct refs STREAM into the blob-synth + featurizer stages — the
+    # driver never collects the ref list (at 10^12 docs it is not small)
+    refs = distinct(triples.map_batches(media_refs, batch_format="pyarrow"),
+                    ["ref"])
+    media = refs.map_batches(
+        lambda t: media_ops.synth_media_table(t["ref"].to_pylist()),
+        batch_format="pyarrow", batch_size=64)
+    out = media_ops.featurize_media(media, dim=16)
     return out.map_batches(
         lambda t: t.drop_columns(["features"]).append_column(
             "feat_sum", pc.round(pa.array(

@@ -108,6 +108,52 @@ def test_resume_equals_fresh(tiny_corpus, tmp_path_factory):
     assert store.is_done("records", shard=0)
 
 
+def test_resume_invalidated_by_shard_layout_change(tiny_corpus,
+                                                   tmp_path_factory):
+    """Re-running the same checkpoint root with a different --num-shards
+    must NOT pass is_done() for old shards (stale/fresh shard mixing);
+    the run recomputes and still produces the same triples."""
+    import pyarrow.parquet as pq
+
+    # 3-file corpus: files[i::3] vs files[i::2] layouts actually differ
+    src = pq.read_table(os.path.join(tiny_corpus, "corpus",
+                                     "part-00000.parquet"))
+    cdir = tmp_path_factory.mktemp("corpus3")
+    third = max(1, len(src) // 3)
+    for k in range(3):
+        part = src.slice(k * third,
+                         third if k < 2 else len(src) - 2 * third)
+        pq.write_table(part, str(cdir / f"part-{k:05d}.parquet"))
+    corpus = str(cdir)
+    gazp = os.path.join(tiny_corpus, "gazetteer.parquet")
+
+    root = str(tmp_path_factory.mktemp("ckpt_shards"))
+    res1 = KGPipeline(checkpoint_root=root, num_shards=3).run(corpus, gazp)
+    t1 = sorted(map(tuple, res1["triples"].to_pandas()[
+        ["subj", "pred", "obj", "doc_id"]].values.tolist()))
+
+    p2 = KGPipeline(checkpoint_root=root, num_shards=2)
+    from kgeng.checkpoint import CheckpointStore
+    from kgeng.pipeline import _list_parquet_files
+    store = CheckpointStore(root, p2.cfg.config_hash())
+    files = _list_parquet_files(corpus)
+    assert files[0::2] != files[0::3]  # layouts differ: test is not vacuous
+    # the old shard-0 checkpoint must fail the lineage gate
+    assert store.is_done("records", shard=0,
+                         lineage={"files": files[0::3]})
+    assert not store.is_done("records", shard=0,
+                             lineage={"files": files[0::2]})
+    res2 = p2.run(corpus, gazp, resume=True)
+    t2 = sorted(map(tuple, res2["triples"].to_pandas()[
+        ["subj", "pred", "obj", "doc_id"]].values.tolist()))
+    assert t1 == t2
+    # no orphaned shard dir from the 3-shard layout survives
+    recs = os.path.join(root, "records")
+    shard_dirs = sorted(d for d in os.listdir(recs)
+                        if d.startswith("shard="))
+    assert shard_dirs == ["shard=00000", "shard=00001"]
+
+
 def test_canonicalization_fixpoint(tiny_run, tiny_corpus):
     """Re-running canonicalization over already-canonical surfaces is a
     fixpoint: every resolved surface maps to the same entity again."""
