@@ -66,6 +66,60 @@ def test_http_bulk_sink_dry_run():
     assert res == {"posted": 0, "dry_run_rows": 25}
 
 
+def test_http_bulk_sink_live_post():
+    """Drive the NON-dry-run POST path against a localhost stub server:
+    202 accepted path and the non-202 error path (reference contract:
+    insert_documents, general.py:117-136)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    received = {"rows": 0, "paths": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            docs = json.loads(body)
+            received["rows"] += len(docs)
+            received["paths"].append(self.path)
+            if "/vertices" in self.path:
+                self.send_response(202)
+                self.end_headers()
+                self.wfile.write(b"{}")
+            else:
+                self.send_response(503)
+                self.end_headers()
+                self.wfile.write(b"database unavailable")
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        t = pa.table({"_key": [str(i) for i in range(25)],
+                      "weight": [None] * 25})
+        res = post_documents(ray.data.from_arrow(t),
+                             f"http://127.0.0.1:{port}", "vertices",
+                             dry_run=False, bulk_size=10)
+        assert res == {"posted": 25, "dry_run_rows": 0}
+        assert received["rows"] == 25
+        assert all(p == "/_api/document/vertices"
+                   for p in received["paths"])
+
+        # error path: non-202 response must surface, not pass silently
+        import pytest
+
+        with pytest.raises(Exception, match="bulk POST failed"):
+            post_documents(ray.data.from_arrow(t),
+                           f"http://127.0.0.1:{port}", "broken",
+                           dry_run=False, bulk_size=50)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_label_propagation_matches_union_find():
     from kgeng.ops.canonicalize import (UnionFind,
                                         label_propagation_components)

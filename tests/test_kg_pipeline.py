@@ -108,6 +108,23 @@ def test_resume_equals_fresh(tiny_corpus, tmp_path_factory):
     assert store.is_done("records", shard=0)
 
 
+def test_watch_report(tiny_run):
+    """watch.py --once prints the consolidated per-stage totals table
+    (the start_Pregel.py:123-164 end-of-run report analogue)."""
+    import subprocess
+    import sys
+
+    _p, _res, root = tiny_run
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "watch.py"),
+         root, "--once"], capture_output=True, text=True, check=True).stdout
+    assert "run report:" in out and "TOTAL" in out
+    for stage in ("records", "linked", "triples", "entities"):
+        assert stage in out
+    assert "resolution map:" in out
+
+
 def test_resume_invalidated_by_shard_layout_change(tiny_corpus,
                                                    tmp_path_factory):
     """Re-running the same checkpoint root with a different --num-shards
