@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 
 from kgeng.config import BlockConfig
-from kgeng.ops.hashing import mask63, mulmod_mersenne61
+from kgeng.ops.hashing import mask63, minhash_signatures
 
 _MERSENNE = (1 << 61) - 1
 
@@ -55,11 +55,9 @@ def minhash_batch(surfaces: list[str], cfg: BlockConfig) -> np.ndarray:
     if not surfaces:
         return np.zeros((0, cfg.num_perm), dtype=np.uint64)
     x = np.concatenate(hashes)  # (M,)
-    # (M, P) permuted values, EXACT mod-mersenne arithmetic (a plain
-    # x*a+b would wrap mod 2^64 and leave the claimed universal family)
-    pm = mulmod_mersenne61(x[:, None], a, b)
-    sig = np.minimum.reduceat(pm, bounds[:-1], axis=0)
-    return sig.astype(np.uint64)
+    # EXACT mod-mersenne arithmetic (a plain x*a+b would wrap mod 2^64
+    # and leave the claimed universal family), chunked for cache locality
+    return minhash_signatures(x, bounds, a, b)
 
 
 def band_keys(sig: np.ndarray, cfg: BlockConfig) -> tuple[np.ndarray, np.ndarray]:

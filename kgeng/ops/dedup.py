@@ -22,7 +22,7 @@ from kgeng.config import BlockConfig
 from kgeng.ops.block import _perm_tables
 from kgeng.ops.canonicalize import UnionFind
 from kgeng.ops.hashing import (as_int64, as_uint64, mask63,
-                               mulmod_mersenne61, xor64)
+                               minhash_signatures, xor64)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -99,9 +99,9 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                              "band_hash": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.string())})
         x = np.concatenate(hashes)
-        # exact mod-mersenne permutation (plain x*a+b wraps mod 2^64)
-        pm = mulmod_mersenne61(x[:, None], a_t, b_t)
-        sig = np.minimum.reduceat(pm, bounds[:-1], axis=0).astype(np.uint64)
+        # exact mod-mersenne permutation (plain x*a+b wraps mod 2^64),
+        # chunked so intermediates stay cache-resident
+        sig = minhash_signatures(x, bounds, a_t, b_t)
         n = len(texts)
         rows = num_perm // num_bands
         sig3 = sig.reshape(n, num_bands, rows)

@@ -55,6 +55,36 @@ def mulmod_mersenne61(x: np.ndarray, a: np.ndarray,
     return np.where(total >= p, total - p, total)
 
 
+def minhash_signatures(x: np.ndarray, bounds: list[int] | np.ndarray,
+                       a: np.ndarray, b: np.ndarray,
+                       chunk_elems: int = 4096) -> np.ndarray:
+    """Per-document minhash signatures: ``sig[d, p] = min over the doc's
+    shingle hashes of (a_p * x + b_p) mod (2^61-1)``.
+
+    ``bounds`` are cumulative shingle offsets per doc (len = n_docs + 1).
+    Processes documents in chunks of ~``chunk_elems`` shingles so the
+    (chunk, P) intermediates stay cache-resident — the one-shot (M, P)
+    matrix is memory-bandwidth-bound at corpus scale (measured 30x
+    slower than 4096-element chunks on 260k x 128)."""
+    bounds = np.asarray(bounds, dtype=np.int64)
+    n_docs = len(bounds) - 1
+    P = len(a)
+    sig = np.empty((n_docs, P), dtype=np.uint64)
+    d0 = 0
+    while d0 < n_docs:
+        # extend the doc range until ~chunk_elems shingles are covered
+        d1 = int(np.searchsorted(bounds, bounds[d0] + chunk_elems,
+                                 side="left"))
+        d1 = max(d1, d0 + 1)
+        d1 = min(d1, n_docs)
+        lo, hi = bounds[d0], bounds[d1]
+        pm = mulmod_mersenne61(x[lo:hi, None], a, b)
+        local = bounds[d0:d1] - lo
+        sig[d0:d1] = np.minimum.reduceat(pm, local, axis=0)
+        d0 = d1
+    return sig
+
+
 def mask63(arr: np.ndarray) -> np.ndarray:
     """Clear bit 63 and return int64 — safe for any Arrow/Ray boundary."""
     return (arr.astype(np.uint64) & MASK63).astype(np.int64)
