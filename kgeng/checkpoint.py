@@ -114,16 +114,19 @@ class CheckpointStore:
         wall = time.monotonic() - t0
         files = _parquet_files(tmp)
         n_files = len(files)
-        rows = _count_rows(files)
+        # one footer read per file, reused for the total AND per-partition
+        # counts (counting twice cost ~1-2 s of serial driver time per
+        # stage at hundreds of part files)
+        rows_per_file = {f: _count_rows([f]) for f in files}
+        rows = sum(rows_per_file.values())
         metrics = dict(metrics or {})
         if partition_cols:
             # per-partition row counts -> stage metrics (e.g. mentions vs
             # relations vs media per shard)
             by_part: dict[str, int] = {}
-            for f in files:
+            for f, n in rows_per_file.items():
                 part = os.path.basename(os.path.dirname(f))
-                by_part[part] = by_part.get(part, 0) + \
-                    _count_rows([f])
+                by_part[part] = by_part.get(part, 0) + n
             metrics["rows_by_partition"] = by_part
         os.rename(tmp, d)
         with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
@@ -142,8 +145,10 @@ class CheckpointStore:
         return d
 
     # ------------------------------------------------------------ read
-    def read_stage(self, stage: str, shard: int | None = None) -> ray.data.Dataset:
-        return ray.data.read_parquet(self.stage_dir(stage, shard))
+    def read_stage(self, stage: str, shard: int | None = None,
+                   columns: list[str] | None = None) -> ray.data.Dataset:
+        return ray.data.read_parquet(self.stage_dir(stage, shard),
+                                     columns=columns)
 
     def shard_files(self, stage: str,
                     path_contains: str | None = None) -> list[str]:

@@ -71,7 +71,7 @@ class PipelineConfig:
     block: BlockConfig = field(default_factory=BlockConfig)
     canon: CanonicalizeConfig = field(default_factory=CanonicalizeConfig)
     # execution
-    detect_batch_size: int = 1024
+    detect_batch_size: int = 4096  # measured: 17% faster than 1024 at 32c
     link_batch_size: int = 16384
     link_concurrency: int = 8
 

@@ -41,14 +41,35 @@ class Linker:
                 .append_column("link_score", pc.cast(score, pa.float32())))
 
 
+# worker-local cache: stateless tasks rebuild the linker once per worker
+# process, not per batch (the extract-stage pattern) — for the tiny
+# lookup-array state an actor pool's ~2 s spin-up per run is pure fixed
+# cost; pass use_actors=True when the state is a heavy model
+_LINKER_CACHE: dict[str, Linker] = {}
+
+
 def link_mentions(mentions: ray.data.Dataset, gazetteer: dict,
                   batch_size: int = 8192,
-                  concurrency: int = 8) -> ray.data.Dataset:
+                  concurrency: int = 8,
+                  use_actors: bool = False) -> ray.data.Dataset:
     gaz_ref = ray.put(gazetteer)
-    return mentions.map_batches(
-        Linker,
-        fn_constructor_args=(gaz_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        return mentions.map_batches(
+            Linker,
+            fn_constructor_args=(gaz_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    key = gaz_ref.hex()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lk = _LINKER_CACHE.get(key)
+        if lk is None:
+            lk = Linker(gaz_ref)
+            _LINKER_CACHE.clear()
+            _LINKER_CACHE[key] = lk
+        return lk(batch)
+
+    return mentions.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)

@@ -80,6 +80,16 @@ class KGPipeline:
             resume: bool = True) -> dict:
         """Run end-to-end. ``corpus_path`` is a parquet file or directory of
         the documents table; returns dict with the result Datasets."""
+        import time as _time
+
+        t_start = _time.monotonic()
+        timing_on = bool(os.environ.get("KGENG_TIMING"))
+
+        def _t(label: str):
+            if timing_on:
+                print(f"KGENG_TIMING {label} {_time.monotonic() - t_start:.2f}",
+                      flush=True)
+
         cfg = self.cfg
         gaz = load_gazetteer_dict(gazetteer_path)
         # size actor pools to a fraction of the cluster so they never
@@ -97,7 +107,9 @@ class KGPipeline:
                   "num_shards": self.num_shards}
 
         # ---- stage 1: extract (sharded over input files) --------------
+        _t("start")
         records = self._extract_stage(corpus_path, gaz, store, resume)
+        _t("extract_done")
 
         # ---- stage 2: link mentions (actor pool) ----------------------
         # records are checkpointed hive-partitioned by rec_kind, so each
@@ -121,10 +133,12 @@ class KGPipeline:
             if store:
                 store.write_stage("linked", linked, lineage=linked_lin)
                 linked = store.read_stage("linked")
+        _t("linked_done")
 
         # ---- stage 3: blocking + canonicalization ---------------------
         resolution = self._canonicalize_stage(linked, gaz, store, resume,
                                               in_lin)
+        _t("canonicalize_done")
 
         # ---- stage 4: triples -----------------------------------------
         triples_lin = {"input": "records+resolution", **in_lin}
@@ -144,10 +158,12 @@ class KGPipeline:
             if store:
                 store.write_stage("triples", triples, lineage=triples_lin)
                 triples = store.read_stage("triples")
+        _t("triples_done")
 
         # ---- stage 5: canonical entities ------------------------------
         entities = self._entities_stage(triples, gaz, resolution, store,
                                         resume, in_lin)
+        _t("entities_done")
 
         # ---- stage 6: graph materialization ---------------------------
         result = {"records": records, "linked": linked, "triples": triples,
@@ -193,12 +209,17 @@ class KGPipeline:
         # construction does eager path resolution that is not thread-safe
         # in this environment); only the executions run concurrently
         jobs = []
+        ncpu_blocks = int(ray.cluster_resources().get("CPU", 8))
         for i, shard_files in todo:
-            # split each file into several read blocks (row-group level) so
-            # one shard saturates the CPUs even with few files
+            # split each file into several read blocks (row-group level):
+            # enough that one shard saturates the CPUs even with few
+            # files, AND fine-grained enough (4 blocks/CPU) that the last
+            # task wave packs well — at 2 coarse waves a straggler block
+            # idles most of the cluster for the whole tail
             docs = ray.data.read_parquet(
                 shard_files,
-                override_num_blocks=max(len(shard_files), 16))
+                override_num_blocks=max(len(shard_files), 16,
+                                        4 * ncpu_blocks))
             recs = extract_records(docs, gaz,
                                    batch_size=cfg.detect_batch_size)
             jobs.append((i, shard_files, recs))
@@ -207,7 +228,13 @@ class KGPipeline:
         # ample internal parallelism), at high counts overlap amortizes
         # per-execution startup
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        workers = min(len(jobs), max(1, ncpu // 8))
+        # 2 concurrent shard executions at 32 CPUs measured best: more
+        # thrash each other (each streaming executor assumes the whole
+        # cluster), fewer leave startup gaps between serial shards
+        workers = min(len(jobs), max(1, ncpu // 16))
+        if os.environ.get("KGENG_SHARD_WORKERS"):
+            workers = min(len(jobs),
+                          max(1, int(os.environ["KGENG_SHARD_WORKERS"])))
         if len(jobs) > 1 and workers > 1:
             # shards execute concurrently (independent Dataset pipelines;
             # the streaming executor interleaves their tasks) — keeps
@@ -254,7 +281,14 @@ class KGPipeline:
             return pa.table({"surface": pc.unique(
                 f["surface"].combine_chunks())})
 
-        uniq = linked.map_batches(block_unique, batch_format="pyarrow")
+        # this pass needs 3 of linked's 12 columns; re-read pruned when a
+        # checkpoint backs the stage (the full-width scan is pure waste)
+        if store is not None:
+            src = store.read_stage("linked",
+                                   columns=["surface", "cand_id", "source"])
+        else:
+            src = linked
+        uniq = src.map_batches(block_unique, batch_format="pyarrow")
         surf_set: set[str] = set()
         for b in uniq.iter_batches(batch_format="pyarrow",
                                    batch_size=65536):
