@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": Q.minhash_dedup_docs,
         "simhash_docs": Q.simhash_docs,
         "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
+        "embedding_components": Q.embedding_components,
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_topk_lsh": Q.ann_topk_lsh,
@@ -202,6 +203,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),
                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "embedding_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT CAST(a.vec_id AS VARCHAR) AS a,
+                     CAST(b.vec_id AS VARCHAR) AS b
+              FROM embeddings a JOIN embeddings b
+                ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
+              WHERE round(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+            ), edges AS (
+              SELECT a AS node, b AS nbr FROM pairs
+              UNION ALL
+              SELECT b AS node, a AS nbr FROM pairs
+            ), walk(node, label) AS (
+              SELECT DISTINCT node, node FROM edges
+              UNION
+              SELECT e.node, w.label
+              FROM edges e JOIN walk w ON w.node = e.nbr
+            )
+            SELECT node, min(label) AS label FROM walk GROUP BY node
         """,
         "ann_topk": """
             WITH q AS (

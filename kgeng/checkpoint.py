@@ -167,11 +167,12 @@ class CheckpointStore:
         return files
 
     def read_all_shards(self, stage: str,
-                        path_contains: str | None = None) -> ray.data.Dataset:
+                        path_contains: str | None = None,
+                        columns: list[str] | None = None) -> ray.data.Dataset:
         # explicit file list: a list of directories is not portable across
         # pyarrow dataset versions (and skips _MANIFEST/_SUCCESS sidecars)
         return ray.data.read_parquet(
-            self.shard_files(stage, path_contains))
+            self.shard_files(stage, path_contains), columns=columns)
 
     def manifest(self, stage: str, shard: int | None = None) -> dict:
         with open(os.path.join(self.stage_dir(stage, shard),

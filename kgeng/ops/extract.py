@@ -60,6 +60,12 @@ RECORD_SCHEMA = pa.schema([
     ("subj", pa.string()),
     ("pred", pa.string()),
     ("obj", pa.string()),
+    # exact-gazetteer link result, folded into extraction: the lookup is
+    # already paid here, so a separate link pass would rewrite the whole
+    # corpus-scale mention table just to add these two columns. A
+    # model-based scorer uses the ops/link.py actor-pool stage instead.
+    ("cand_id", pa.string()),
+    ("link_score", pa.float32()),
 ])
 
 # maximal run of >=2 Capitalized words — the NER heuristic for candidate
@@ -154,7 +160,8 @@ class Extract:
     # ---------------------------------------------------------- assembly
     @staticmethod
     def _tbl(kind: str, doc_ids: pa.Array, span_idx, offset, surface,
-             ent_type, source, subj, pred, obj) -> pa.Table:
+             ent_type, source, subj, pred, obj,
+             cand="", score=None) -> pa.Table:
         n = len(doc_ids)
 
         def col(v):
@@ -162,12 +169,16 @@ class Extract:
                 return pa.array([v] * n, pa.string())
             return v if isinstance(v, pa.Array) else pa.array(v, pa.string())
 
+        score_arr = (pa.array(np.zeros(n, dtype=np.float32))
+                     if score is None
+                     else pa.array(np.asarray(score, dtype=np.float32)))
         return pa.Table.from_arrays([
             col(kind), doc_ids,
             pa.array(np.asarray(span_idx, dtype=np.int32), pa.int32()),
             pa.array(np.asarray(offset, dtype=np.int32), pa.int32()),
             col(surface), col(ent_type), col(source),
             col(subj), col(pred), col(obj),
+            col(cand), score_arr,
         ], schema=RECORD_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -209,10 +220,14 @@ class Extract:
             hits = [gaz_get(s) for s in cap_surf]
             ent_type = [h[1] if h is not None else "" for h in hits]
             source = ["gazetteer" if h is not None else "ner" for h in hits]
+            cand = [h[0] if h is not None else "" for h in hits]
+            score = np.fromiter((1.0 if h is not None else 0.0
+                                 for h in hits), np.float32, len(hits))
             d, s = to_doc(cap_span)
             parts.append(self._tbl(
                 "mention", pc.take(doc_id_arr, pa.array(d)), s, cap_off,
-                cap_surf, ent_type, source, "", "", ""))
+                cap_surf, ent_type, source, "", "", "",
+                cand=cand, score=score))
 
         # ---- regex detector mentions (separate pass per detector keeps
         # cross-detector overlap semantics identical to one-scan-each) ----

@@ -29,7 +29,6 @@ from kgeng.io import sink
 from kgeng.ops.block import candidate_pairs
 from kgeng.ops.canonicalize import build_resolution
 from kgeng.ops.extract import extract_records, load_gazetteer_dict
-from kgeng.ops.link import link_mentions
 from kgeng.ops.triples import emit_triples
 
 
@@ -46,7 +45,7 @@ def _filter_kind(ds: ray.data.Dataset, kinds: tuple[str, ...]) -> ray.data.Datas
 # meaningful columns (the union schema's other fields are empty strings)
 _REC_PROJECTIONS = {
     "mention": ["doc_id", "span_idx", "offset", "surface", "ent_type",
-                "source"],
+                "source", "cand_id", "link_score"],
     "relation": ["doc_id", "span_idx", "subj", "pred", "obj"],
     "media": ["doc_id", "span_idx", "subj", "obj"],
 }
@@ -92,11 +91,6 @@ class KGPipeline:
 
         cfg = self.cfg
         gaz = load_gazetteer_dict(gazetteer_path)
-        # size actor pools to a fraction of the cluster so they never
-        # starve the task-based read/write stages (a pool that reserves
-        # every CPU stalls the pipeline)
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        pool_size = max(1, min(16, ncpu // 2))  # never the whole cluster
         store = None
         if self.checkpoint_root:
             store = CheckpointStore(self.checkpoint_root, cfg.config_hash())
@@ -111,28 +105,23 @@ class KGPipeline:
         records = self._extract_stage(corpus_path, gaz, store, resume)
         _t("extract_done")
 
-        # ---- stage 2: link mentions (actor pool) ----------------------
-        # records are checkpointed hive-partitioned by rec_kind, so each
-        # branch reads ONLY its partition (no filter scan over the union)
+        # ---- stage 2: linked mentions ---------------------------------
+        # Exact-gazetteer linking (cand_id / link_score) is computed IN
+        # the extract pass — the lookup is already paid there, and a
+        # separate link stage would rewrite the corpus-scale mention
+        # table just to append two columns. Records are checkpointed
+        # hive-partitioned by rec_kind, so this reads ONLY the mention
+        # partition. (A model-based scorer plugs in as the ops/link.py
+        # actor-pool stage over this same Dataset.)
+        link_cols = ["doc_id", "span_idx", "offset", "surface",
+                     "ent_type", "source", "cand_id", "link_score"]
         if store is not None:
-            mentions = store.read_all_shards(
-                "records", path_contains="rec_kind=mention")
+            linked = store.read_all_shards(
+                "records", path_contains="rec_kind=mention",
+                columns=link_cols)
         else:
-            mentions = _filter_kind(records, ("mention",)).drop_columns(
-                ["rec_kind"])
-        mentions = mentions.select_columns(
-            ["doc_id", "span_idx", "offset", "surface",
-             "ent_type", "source"])
-        linked_lin = {"input": "records/mention", **in_lin}
-        if store and resume and store.is_done("linked", lineage=linked_lin):
-            linked = store.read_stage("linked")
-        else:
-            linked = link_mentions(
-                mentions, gaz, batch_size=cfg.link_batch_size,
-                concurrency=pool_size)
-            if store:
-                store.write_stage("linked", linked, lineage=linked_lin)
-                linked = store.read_stage("linked")
+            linked = _filter_kind(records, ("mention",)).select_columns(
+                link_cols)
         _t("linked_done")
 
         # ---- stage 3: blocking + canonicalization ---------------------
@@ -281,11 +270,12 @@ class KGPipeline:
             return pa.table({"surface": pc.unique(
                 f["surface"].combine_chunks())})
 
-        # this pass needs 3 of linked's 12 columns; re-read pruned when a
-        # checkpoint backs the stage (the full-width scan is pure waste)
+        # this pass needs 3 of the mention partition's columns; re-read
+        # pruned when a checkpoint backs the stage
         if store is not None:
-            src = store.read_stage("linked",
-                                   columns=["surface", "cand_id", "source"])
+            src = store.read_all_shards(
+                "records", path_contains="rec_kind=mention",
+                columns=["surface", "cand_id", "source"])
         else:
             src = linked
         uniq = src.map_batches(block_unique, batch_format="pyarrow")

@@ -281,6 +281,19 @@ def embedding_near_dup_pairs(sf_dir: str):
     return out
 
 
+def embedding_components(sf_dir: str):
+    """Connected components over the exact cosine>=0.4 near-dup pair set,
+    via the fully distributed min-label propagation (the plan-B
+    canonicalize path): one (node, label) row per node that appears in a
+    pair, label = lexicographic-min vec_id of its component. Oracle: a
+    DuckDB recursive CTE reachability query over the same pair set."""
+    from kgeng.ops.canonicalize import label_propagation_components
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = sim_ops.embedding_near_dup(emb, threshold=0.4, num_planes=0)
+    return label_propagation_components(pairs, max_iter=25)
+
+
 # ---------------------------------------------------------- media queries
 
 def media_features(sf_dir: str):

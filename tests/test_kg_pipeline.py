@@ -120,7 +120,7 @@ def test_watch_report(tiny_run):
         [sys.executable, os.path.join(repo, "scripts", "watch.py"),
          root, "--once"], capture_output=True, text=True, check=True).stdout
     assert "run report:" in out and "TOTAL" in out
-    for stage in ("records", "linked", "triples", "entities"):
+    for stage in ("records", "triples", "entities"):
         assert stage in out
     assert "resolution map:" in out
 
