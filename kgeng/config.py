@@ -66,8 +66,9 @@ class CanonicalizeConfig:
 @dataclass(frozen=True)
 class PipelineConfig:
     # bump to invalidate old checkpoints when the RECORD layout changes
-    # (v2: link columns folded into extract's mention records)
-    pipeline_version: int = 2
+    # (v2: link columns folded into extract's mention records;
+    #  v3: per-batch-unique NER surfaces as a 'surface' side partition)
+    pipeline_version: int = 3
     seed: int = 20260817
     smart: SmartGraphConfig = field(default_factory=SmartGraphConfig)
     detect: DetectConfig = field(default_factory=DetectConfig)

@@ -228,6 +228,17 @@ class Extract:
                 "mention", pc.take(doc_id_arr, pa.array(d)), s, cap_off,
                 cap_surf, ent_type, source, "", "", "",
                 cand=cand, score=score))
+            # side output: the batch's unique unresolved (NER) surfaces as
+            # their own record kind, so canonicalization reads a tiny
+            # 'surface' partition instead of re-scanning every mention
+            ner_uniq = sorted({s_ for s_, h in zip(cap_surf, hits)
+                               if h is None})
+            if ner_uniq:
+                parts.append(self._tbl(
+                    "surface", pa.array([""] * len(ner_uniq)),
+                    np.zeros(len(ner_uniq), np.int32),
+                    np.zeros(len(ner_uniq), np.int32),
+                    ner_uniq, "", "", "", "", ""))
 
         # ---- regex detector mentions (separate pass per detector keeps
         # cross-detector overlap semantics identical to one-scan-each) ----

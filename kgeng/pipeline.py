@@ -48,6 +48,7 @@ _REC_PROJECTIONS = {
                 "source", "cand_id", "link_score"],
     "relation": ["doc_id", "span_idx", "subj", "pred", "obj"],
     "media": ["doc_id", "span_idx", "subj", "obj"],
+    "surface": ["surface"],  # per-batch unique NER surfaces (side output)
 }
 
 
@@ -270,19 +271,23 @@ class KGPipeline:
             return pa.table({"surface": pc.unique(
                 f["surface"].combine_chunks())})
 
-        # this pass needs 3 of the mention partition's columns; re-read
-        # pruned when a checkpoint backs the stage
-        if store is not None:
-            src = store.read_all_shards(
-                "records", path_contains="rec_kind=mention",
-                columns=["surface", "cand_id", "source"])
-        else:
-            src = linked
-        uniq = src.map_batches(block_unique, batch_format="pyarrow")
+        # checkpointed path: extract wrote the per-batch-unique NER
+        # surfaces as their own tiny 'surface' partition — read THAT
+        # instead of re-scanning the corpus-scale mention partition
         surf_set: set[str] = set()
-        for b in uniq.iter_batches(batch_format="pyarrow",
-                                   batch_size=65536):
-            surf_set.update(b["surface"].to_pylist())
+        uniq = None  # Dataset of (possibly batch-duplicated) NER surfaces
+        if store is not None:
+            files = store.shard_files("records",
+                                      path_contains="rec_kind=surface")
+            if files:
+                uniq = ray.data.read_parquet(files, columns=["surface"])
+        else:
+            uniq = linked.map_batches(block_unique,
+                                      batch_format="pyarrow")
+        if uniq is not None:
+            for b in uniq.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536):
+                surf_set.update(b["surface"].to_pylist())
         uniq_surfaces = list(surf_set)
         if len(uniq_surfaces) <= self.driver_max_surfaces:
             from kgeng.ops.block import candidate_pairs_driver
@@ -351,8 +356,13 @@ class KGPipeline:
 
         # per-block unique + driver union (entity-id set is small); at a
         # cardinality where it were not, swap in distinct() + a broadcast-
-        # map attach — same semantics, one groupby shuffle more
-        used = triples.map_batches(to_entity_rows, batch_format="pyarrow")
+        # map attach — same semantics, one groupby shuffle more.
+        # checkpoint-backed: scan only the 2 columns this pass touches
+        if store is not None:
+            src = store.read_stage("triples", columns=["subj", "obj"])
+        else:
+            src = triples
+        used = src.map_batches(to_entity_rows, batch_format="pyarrow")
         eid_set: set[str] = set()
         for b in used.iter_batches(batch_format="pyarrow",
                                    batch_size=65536):
