@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": Q.distinct_event_types,
         "revenue_by_orderpriority": Q.revenue_by_orderpriority,
         "sessionize_events": Q.sessionize_events,
+        "top2_orders_per_cust": Q.top2_orders_per_cust,
+        "price_quantiles_by_priority": Q.price_quantiles_by_priority,
+        "custs_without_big_orders": Q.custs_without_big_orders,
         # text analysis
         "doc_token_count": Q.doc_token_count,
         "doc_quality": Q.doc_quality,
@@ -148,6 +151,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM sess GROUP BY user_id, session_id
+        """,
+        "top2_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER w AS BIGINT) AS rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)
+            QUALIFY rank <= 2
+        """,
+        "price_quantiles_by_priority": """
+            SELECT o_orderpriority, 0.5 AS q,
+                   round(quantile_cont(o_totalprice, 0.5), 6)
+                       AS quantile_value
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority, 0.9,
+                   round(quantile_cont(o_totalprice, 0.9), 6)
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "custs_without_big_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
         """,
         "doc_token_count": """
             SELECT doc_id,

@@ -46,7 +46,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
 
     Column collisions on the right side get ``suffix``. ``how`` is any
     pandas merge mode whose semantics survive per-bucket decomposition
-    ('inner', 'left'). ``salt`` > 1 splits each bucket's left rows into
+    ('inner', 'left'), plus 'semi' (left rows WITH a key match; left
+    columns only, no duplication) and 'anti' (left rows WITHOUT a
+    match — the NOT EXISTS pattern). ``salt`` > 1 splits each bucket's
+    left rows into
     sub-buckets and replicates the (small) right side into each — use
     when the left side has hot keys. ``max_bucket_rows`` computes the
     salt as ceil(left_count / max_bucket_rows) (counts the left side
@@ -85,6 +88,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][[c for c in lcols if c in g.columns]]
         rg = g[g["__side"] == "r"][[c for c in rcols if c in g.columns]]
+        if how == "semi":
+            return lg[lg[key].isin(rg[key].unique())]
+        if how == "anti":
+            return lg[~lg[key].isin(rg[key].unique())]
         out = lg.merge(rg, on=key, how=how, suffixes=("", suffix))
         return out
 

@@ -608,6 +608,68 @@ def sessionize_events(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def top2_orders_per_cust(sf_dir: str):
+    """Windowed row_number()<=k per group: top-2 orders per customer by
+    totalprice (coarse-bucket shuffle + one vectorized pass per bucket)."""
+    from kgeng.ops.rank import top_k_per_group
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = top_k_per_group(ds, key="o_custkey", value="o_totalprice", k=2,
+                          tie_breakers=["o_orderkey"])
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_totalprice": t["o_totalprice"],
+            "rank": pc.cast(t["rank"], pa.int64()),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def price_quantiles_by_priority(sf_dir: str):
+    """Exact per-group quantiles (quantile_cont semantics) of order
+    totalprice per orderpriority."""
+    from kgeng.ops.rank import grouped_quantiles
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = grouped_quantiles(ds, key="o_orderpriority",
+                            value="o_totalprice",
+                            quantiles=[0.5, 0.9])
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "q": t["q"],
+            "quantile_value": t["quantile_value"],
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def custs_without_big_orders(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no order above 400k —
+    filter pushed into the right side before the single shuffle."""
+    from kgeng.ops.join import hash_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: pa.table({"c_custkey": t.filter(pc.greater(
+                t["o_totalprice"], 400000.0))["o_custkey"]}),
+            batch_format="pyarrow")
+    out = hash_join(cust, orders, "c_custkey", how="anti")
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_mktsegment": t["c_mktsegment"],
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def ann_topk_ivf(sf_dir: str):
     """IVF-cell approximate ANN — the second scale path (rows-only)."""
     emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])

@@ -99,6 +99,59 @@ def test_sessionize_multi_user_bucketed():
         assert sub["n_events"].tolist() == [2, 1]
 
 
+def test_hash_join_semi_anti():
+    left = pa.table({"k": [1, 2, 3, 4, 4], "a": list("vwxyz")})
+    right = pa.table({"k": [2, 4, 4, 9], "b": [1, 2, 3, 4]})
+    semi = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     "k", num_buckets=2, how="semi").to_pandas()
+    assert sorted(semi["a"]) == ["w", "y", "z"]  # no duplication
+    assert list(semi.columns) == ["k", "a"]
+    anti = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     "k", num_buckets=2, how="anti").to_pandas()
+    assert sorted(anti["a"]) == ["v", "x"]
+
+
+def test_top_k_per_group_matches_pandas():
+    import numpy as np
+
+    from kgeng.ops.rank import top_k_per_group
+
+    rng = np.random.default_rng(5)
+    n = 500
+    t = pa.table({"g": rng.integers(0, 40, n), "v": rng.random(n),
+                  "id": np.arange(n)})
+    got = top_k_per_group(ray.data.from_arrow(t), "g", "v", 3,
+                          tie_breakers=["id"]).to_pandas()
+    df = t.to_pandas().sort_values(["g", "v", "id"],
+                                   ascending=[True, False, True])
+    want = df.groupby("g").head(3).copy()
+    want["rank"] = want.groupby("g").cumcount() + 1
+    cols = ["g", "v", "id", "rank"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_grouped_quantiles_matches_numpy():
+    import numpy as np
+
+    from kgeng.ops.rank import grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    t = pa.table({"g": ["a"] * 50 + ["b"] * 70,
+                  "v": rng.random(120) * 100})
+    got = grouped_quantiles(ray.data.from_arrow(t), "g", "v",
+                            [0.5, 0.9]).to_pandas()
+    df = t.to_pandas()
+    for g in ("a", "b"):
+        for q in (0.5, 0.9):
+            want = round(float(np.quantile(
+                df[df["g"] == g]["v"], q, method="linear")), 6)
+            row = got[(got["g"] == g) & (got["q"] == q)]
+            assert row["quantile_value"].iloc[0] == want
+
+
 def test_tumbling_counts():
     ts = pd.to_datetime(["2024-01-01 00:00:30", "2024-01-01 00:00:50",
                          "2024-01-01 00:01:10"])
