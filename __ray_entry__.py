@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": Q.ann_topk_ivf,
         # multimodal (stubbed decode, real plumbing)
         "media_features": Q.media_features,
+        "media_frame_samples": Q.media_frame_samples,
+        "doc_pair_jaccard": Q.doc_pair_jaccard,
         # reference-compat import path
         "compat_edge_list_edges": Q.compat_edge_list_edges,
         "compat_edge_list_vertices": Q.compat_edge_list_vertices,
@@ -214,6 +216,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": """
             SELECT n_chars // 50 AS bucket, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "doc_pair_jaccard": """
+            WITH docs AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents ORDER BY doc_id LIMIT 20
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                            toks[i+2])) AS gs
+              FROM docs
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                         / (len(a.gs) + len(b.gs)
+                            - len(list_intersect(a.gs, b.gs))), 6) AS jac
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

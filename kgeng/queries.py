@@ -313,6 +313,74 @@ def media_features(sf_dir: str):
         batch_format="pyarrow")
 
 
+def media_frame_samples(sf_dir: str):
+    """Multimodal stub pipeline #2: resize metadata for images + one row
+    per sampled frame timestamp for audio/video (stride 1000 ms). Blobs
+    never shuffle; rows-only check (decode is the env-gated seam)."""
+    n = 48
+    refs = [f"media://fs-{os.path.basename(sf_dir)}-{i:04d}"
+            for i in range(n)]
+    tbl = media_ops.synth_media_table(refs)
+    ds = ray.data.from_arrow(tbl)
+    images = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")),
+        batch_format="pyarrow")
+    resized = images.map_batches(
+        media_ops.ImageResizer, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2)).select_columns(
+            ["media_ref", "resized_w", "resized_h"])
+    timed = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], "image")),
+        batch_format="pyarrow")
+    frames = timed.map_batches(
+        media_ops.FrameSampler, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2))
+
+    def as_rows(t: pa.Table) -> pa.Table:
+        if "frame_ms" in t.column_names:
+            return pa.table({"media_ref": t["media_ref"],
+                             "a": pc.cast(t["frame_ms"], pa.int64()),
+                             "b": pa.array([-1] * len(t), pa.int64())})
+        return pa.table({"media_ref": t["media_ref"],
+                         "a": pc.cast(t["resized_w"], pa.int64()),
+                         "b": pc.cast(t["resized_h"], pa.int64())})
+
+    return resized.map_batches(as_rows, batch_format="pyarrow").union(
+        frames.map_batches(as_rows, batch_format="pyarrow"))
+
+
+def doc_pair_jaccard(sf_dir: str):
+    """Exact word-trigram Jaccard for every doc pair among the 20
+    smallest doc_ids — the dedup family's verify kernel, SQL-checkable
+    (DuckDB list/unnest trigram construction + intersection counts)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from kgeng.ops.dedup import ngram_jaccard
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))[:20]
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        a_txt = t["a_txt"].to_pylist()
+        b_txt = t["b_txt"].to_pylist()
+        jac = [round(ngram_jaccard(x, y, 3), 6)
+               for x, y in zip(a_txt, b_txt)]
+        return pa.table({"a": t["a_id"], "b": t["b_id"],
+                         "jac": pa.array(jac, pa.float64())})
+
+    pair_rows = [(a[0], a[1], b[0], b[1])
+                 for a, b in itertools.combinations(rows, 2)]
+    src = pa.table({"a_id": [p[0] for p in pair_rows],
+                    "a_txt": [p[1] for p in pair_rows],
+                    "b_id": [p[2] for p in pair_rows],
+                    "b_txt": [p[3] for p in pair_rows]})
+    return ray.data.from_arrow(src).map_batches(
+        pairs_batch, batch_format="pyarrow", batch_size=32)
+
+
 # ----------------------------------------------------- compat-path queries
 
 _FIXTURE_DIR = "/tmp/kgeng_oracle_fixtures"
