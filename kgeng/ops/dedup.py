@@ -97,7 +97,8 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
         if not texts:
             return pa.table({"band_idx": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.string())})
+                             "doc_id": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
         x = np.concatenate(hashes)
         # exact mod-mersenne permutation (plain x*a+b wraps mod 2^64),
         # chunked so intermediates stay cache-resident
@@ -109,24 +110,20 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
         acc = np.zeros((n, num_bands), dtype=np.uint64)
         for r in range(rows):
             acc = (acc * mult) ^ sig3[:, :, r]
+        bh = mask63(acc.reshape(-1))
+        # the coarse shuffle bucket (hash-partition bands into ~64 groups;
+        # millions of tiny per-band map_groups calls would dominate) is
+        # emitted here directly — no separate bucketing stage
         return pa.table({
             "band_idx": pa.array(
                 np.tile(np.arange(num_bands, dtype=np.int32), n)),
             # 63-bit int64 band keys: Ray-shuffle-safe (see exact_dedup)
-            "band_hash": pa.array(mask63(acc.reshape(-1))),
+            "band_hash": pa.array(bh),
             "doc_id": pa.array(np.repeat([str(i) for i in ids], num_bands)),
+            "bucket": pa.array((bh % 64).astype(np.int32)),
         })
 
     banded = ds.map_batches(bands, batch_format="pyarrow", batch_size=4096)
-
-    # Millions of tiny band groups make per-group map_groups calls the
-    # bottleneck; instead hash-partition bands into ~64 coarse buckets
-    # (one shuffle, few groups) and do C-level pandas grouping INSIDE each
-    # bucket to enumerate same-band pairs.
-    def bucketed(t: pa.Table) -> pa.Table:
-        h = t["band_hash"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket", pa.array((h % 64).astype(np.int32)))
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_skip = [], [], []
@@ -147,8 +144,8 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                     out_skip.append(0)
         return pd.DataFrame({"a": out_a, "b": out_b, "skipped": out_skip})
 
-    pairs = banded.map_batches(bucketed, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(emit_bucket, batch_format="pandas")
+    pairs = banded.groupby("bucket").map_groups(emit_bucket,
+                                                batch_format="pandas")
     dedup = pairs.groupby(["a", "b"]).max("skipped")
     return dedup.map_batches(
         lambda t: t.rename_columns(["a", "b", "skipped"]),
@@ -331,17 +328,14 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
                 "chunk_val": pa.array(chunk),
                 "doc_id": pa.array(ids),
                 "sig": pa.array(sig_i64, pa.int64()),
+                # coarse shuffle bucket emitted in the same pass (same
+                # trick as minhash_lsh_candidates: few shuffle groups,
+                # C-level grouping inside)
+                "bucket": pa.array((chunk % 64).astype(np.int32)),
             }))
         return pa.concat_tables(parts)
 
     banded = with_sig.map_batches(chunks, batch_format="pyarrow")
-
-    # same coarse-bucket trick as minhash_lsh_candidates: few shuffle
-    # groups, C-level grouping inside
-    def bucketed(t: pa.Table) -> pa.Table:
-        v = t["chunk_val"].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket", pa.array((v % 64).astype(np.int32)))
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
@@ -357,8 +351,8 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
                         out_d.append(d)
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_d})
 
-    pairs = banded.map_batches(bucketed, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(emit, batch_format="pandas")
+    pairs = banded.groupby("bucket").map_groups(emit,
+                                                batch_format="pandas")
     dedup = pairs.groupby(["a", "b"]).min("hamming")
     return dedup.map_batches(
         lambda t: t.rename_columns(["a", "b", "hamming"]),
