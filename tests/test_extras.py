@@ -66,6 +66,35 @@ def test_http_bulk_sink_dry_run():
     assert res == {"posted": 0, "dry_run_rows": 25}
 
 
+def test_link_mentions_standalone():
+    """The standalone link-scorer seam (no longer in the flagship
+    pipeline — extract folds exact linking in): both the worker-cached
+    task path and the actor-pool path score identically."""
+    from kgeng.ops.link import link_mentions
+
+    gaz = {"Ada Lovelace": ("E1", "PERSON"), "Acme Corp": ("E2", "ORG")}
+    t = pa.table({
+        "surface": ["Ada Lovelace", "Acme Corp", "Bob Smith",
+                    "Ada Lovelace"],
+        "source": ["gazetteer", "gazetteer", "ner", "ner"],
+    })
+    for use_actors in (False, True):
+        out = sorted(
+            link_mentions(ray.data.from_arrow(t), gaz,
+                          use_actors=use_actors,
+                          concurrency=2).take_all(),
+            key=lambda r: (r["surface"], r["source"]))
+        got = [(r["surface"], r["cand_id"], r["link_score"]) for r in out]
+        # only gazetteer-source exact hits link; NER candidates do not
+        # (they resolve later via canonicalization)
+        assert got == [
+            ("Acme Corp", "E2", 1.0),
+            ("Ada Lovelace", "E1", 1.0),
+            ("Ada Lovelace", "", 0.0),
+            ("Bob Smith", "", 0.0),
+        ]
+
+
 def test_http_bulk_sink_live_post():
     """Drive the NON-dry-run POST path against a localhost stub server:
     202 accepted path and the non-202 error path (reference contract:
