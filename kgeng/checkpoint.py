@@ -150,6 +150,16 @@ class CheckpointStore:
         return ray.data.read_parquet(self.stage_dir(stage, shard),
                                      columns=columns)
 
+    def read_stage_partition(self, stage: str, partition: str,
+                             columns: list[str] | None = None,
+                             shard: int | None = None) -> ray.data.Dataset:
+        """Read one hive partition (e.g. 't_kind=triple') of a stage,
+        optionally column-pruned. Explicit file list, so the partition
+        column is NOT re-inferred into the result when ``columns`` is
+        given."""
+        base = os.path.join(self.stage_dir(stage, shard), partition)
+        return ray.data.read_parquet(_parquet_files(base), columns=columns)
+
     def shard_files(self, stage: str,
                     path_contains: str | None = None) -> list[str]:
         """Parquet files across all shards; ``path_contains`` filters by a

@@ -67,8 +67,9 @@ class CanonicalizeConfig:
 class PipelineConfig:
     # bump to invalidate old checkpoints when the RECORD layout changes
     # (v2: link columns folded into extract's mention records;
-    #  v3: per-batch-unique NER surfaces as a 'surface' side partition)
-    pipeline_version: int = 3
+    #  v3: per-batch-unique NER surfaces as a 'surface' side partition;
+    #  v4: triples checkpoint hive-partitioned t_kind=triple|eid)
+    pipeline_version: int = 4
     seed: int = 20260817
     smart: SmartGraphConfig = field(default_factory=SmartGraphConfig)
     detect: DetectConfig = field(default_factory=DetectConfig)

@@ -23,6 +23,11 @@ TRIPLE_SCHEMA = pa.schema([
     ("obj", pa.string()),
     ("doc_id", pa.string()),
     ("confidence", pa.float32()),
+    # "triple" rows are the output; "eid" rows are a side output of the
+    # same pass: the batch's unique entity ids (subj + non-media obj),
+    # written as their own tiny checkpoint partition so the entities
+    # stage never re-scans the corpus-scale triple table
+    ("t_kind", pa.string()),
 ])
 
 
@@ -63,6 +68,8 @@ class ResolveTriples:
                 "doc_id": rel["doc_id"],
                 "confidence": pc.cast(conf, pa.float32()),
             }).filter(keep)
+            t = t.append_column("t_kind",
+                                pa.array(["triple"] * len(t)))
             out.append(t)
         med = batch.filter(pc.equal(batch["rec_kind"], "media"))
         if len(med):
@@ -87,11 +94,28 @@ class ResolveTriples:
                 "obj": pa.array(objs, pa.string()),
                 "doc_id": pa.array(docs, pa.string()),
                 "confidence": pa.array([1.0] * len(subs), pa.float32()),
+                "t_kind": pa.array(["triple"] * len(subs)),
             })
             out.append(t)
         if not out:
             return TRIPLE_SCHEMA.empty_table()
-        return pa.concat_tables([t.cast(TRIPLE_SCHEMA) for t in out])
+        result = pa.concat_tables([t.cast(TRIPLE_SCHEMA) for t in out])
+        # side output: batch-unique entity ids (subj + non-media obj)
+        subj = result["subj"].combine_chunks()
+        obj = result["obj"].combine_chunks()
+        ent_obj = obj.filter(pc.invert(pc.starts_with(obj, "media://")))
+        eids = pc.unique(pa.concat_arrays([subj, ent_obj]))
+        if len(eids):
+            n = len(eids)
+            eid_tbl = pa.table({
+                "subj": eids,
+                "pred": pa.array([""] * n), "obj": pa.array([""] * n),
+                "doc_id": pa.array([""] * n),
+                "confidence": pa.array([0.0] * n, pa.float32()),
+                "t_kind": pa.array(["eid"] * n),
+            }).cast(TRIPLE_SCHEMA)
+            result = pa.concat_tables([result, eid_tbl])
+        return result
 
 
 # worker-local cache (same pattern as ops/extract.py): stateless tasks,

@@ -131,10 +131,12 @@ class KGPipeline:
         _t("canonicalize_done")
 
         # ---- stage 4: triples -----------------------------------------
+        triple_cols = ["subj", "pred", "obj", "doc_id", "confidence"]
         triples_lin = {"input": "records+resolution", **in_lin}
         if store and resume and store.is_done("triples",
                                               lineage=triples_lin):
-            triples = store.read_stage("triples")
+            triples = store.read_stage_partition(
+                "triples", "t_kind=triple", columns=triple_cols)
         else:
             if store is not None:
                 # one scan over both kinds; the parquet reader unifies the
@@ -144,10 +146,20 @@ class KGPipeline:
                                               "rec_kind=media"))
             else:
                 rel_media = _filter_kind(records, ("relation", "media"))
-            triples = emit_triples(rel_media, resolution)
+            raw = emit_triples(rel_media, resolution)
             if store:
-                store.write_stage("triples", triples, lineage=triples_lin)
-                triples = store.read_stage("triples")
+                store.write_stage(
+                    "triples", raw, lineage=triples_lin,
+                    partition_cols=["t_kind"],
+                    partition_projections={"triple": triple_cols,
+                                           "eid": ["subj"]})
+                triples = store.read_stage_partition(
+                    "triples", "t_kind=triple", columns=triple_cols)
+            else:
+                triples = raw.map_batches(
+                    lambda t: t.filter(pc.equal(t["t_kind"], "triple"))
+                    .drop_columns(["t_kind"]),
+                    batch_format="pyarrow")
         _t("triples_done")
 
         # ---- stage 5: canonical entities ------------------------------
@@ -357,12 +369,19 @@ class KGPipeline:
         # per-block unique + driver union (entity-id set is small); at a
         # cardinality where it were not, swap in distinct() + a broadcast-
         # map attach — same semantics, one groupby shuffle more.
-        # checkpoint-backed: scan only the 2 columns this pass touches
+        # checkpoint-backed: the triples pass already wrote its per-batch
+        # unique entity ids as the tiny 't_kind=eid' partition — read
+        # that instead of re-scanning the triple table
         if store is not None:
-            src = store.read_stage("triples", columns=["subj", "obj"])
+            src = store.read_stage_partition("triples", "t_kind=eid",
+                                             columns=["subj"])
+            used = src.map_batches(
+                lambda t: pa.table({"entity_id": pc.unique(
+                    t["subj"].combine_chunks())}),
+                batch_format="pyarrow")
         else:
-            src = triples
-        used = src.map_batches(to_entity_rows, batch_format="pyarrow")
+            used = triples.map_batches(to_entity_rows,
+                                       batch_format="pyarrow")
         eid_set: set[str] = set()
         for b in used.iter_batches(batch_format="pyarrow",
                                    batch_size=65536):
