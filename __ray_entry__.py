@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": Q.sessionize_events,
         "top2_orders_per_cust": Q.top2_orders_per_cust,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
+        "price_quantiles_by_priority_approx":
+            Q.price_quantiles_by_priority_approx,
         "custs_without_big_orders": Q.custs_without_big_orders,
         # text analysis
         "doc_token_count": Q.doc_token_count,

@@ -6,11 +6,15 @@
   bucket — never one Python call per key.
 - ``grouped_quantiles``: exact per-group quantiles (linear
   interpolation, matching SQL ``quantile_cont``). Groups are collected
-  per group key, so this is for LOW-CARDINALITY group keys (each
-  group's values must fit one task); for high-cardinality keys use the
-  same coarse-bucket trick with a per-bucket pandas quantile, and for
-  values-per-group beyond task memory a sort-based or t-digest sketch
-  path is the scale fallback (documented, not implemented here).
+  per group key, so this is for LOW-CARDINALITY group keys whose
+  values fit one task.
+- ``approx_grouped_quantiles``: the scale path — a mergeable two-pass
+  equi-width histogram sketch. Pass 1 is a groupby min/max/count
+  (partial+final); pass 2 bins every value into ``num_bins`` buckets
+  per group inside ``map_batches`` (partial counts) and a tiny
+  ``groupby(key, bin).sum`` merges them. No group's raw values are
+  ever collected anywhere; error is bounded by one bucket width,
+  (max-min)/num_bins.
 """
 
 from __future__ import annotations
@@ -76,3 +80,64 @@ def grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
                              "q": quantiles, "quantile_value": qs})
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def approx_grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
+                             quantiles: list[float],
+                             num_bins: int = 2048,
+                             round_to: int = 6) -> ray.data.Dataset:
+    """Approximate per-group quantiles via a mergeable equi-width
+    histogram: absolute error <= (group max - min) / num_bins. Fully
+    partial+final — per-group value sets are NEVER gathered; only the
+    (group, bin) count table (num_bins rows per group) shuffles. The
+    small per-group (min, max) stats table is broadcast via ray.put."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    stats_rows = ds.groupby(key).aggregate(
+        Min(value, alias_name="lo"), Max(value, alias_name="hi"),
+        Count(alias_name="n")).take_all()
+    keys_arr = pa.array([r[key] for r in stats_rows])
+    lo = np.array([r["lo"] for r in stats_rows], dtype=np.float64)
+    hi = np.array([r["hi"] for r in stats_rows], dtype=np.float64)
+    width = np.where(hi > lo, (hi - lo) / num_bins, 1.0)
+    stats_ref = _ray.put((keys_arr, lo, width))
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ka, lo_a, w_a = _ray.get(stats_ref)
+        idx = pc.index_in(t[key], value_set=ka).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo_a[idx]) / w_a[idx]).astype(np.int64),
+                    0, num_bins - 1)
+        # partial aggregation inside the batch: one row per (group, bin)
+        part = pa.table({"__g": pa.array(idx), "__bin": pa.array(b)}) \
+            .group_by(["__g", "__bin"]).aggregate([([], "count_all")])
+        return pa.table({"__g": part["__g"], "__bin": part["__bin"],
+                         "cnt": pc.cast(part["count_all"], pa.int64())})
+
+    hist = ds.map_batches(bin_counts, batch_format="pyarrow") \
+        .groupby(["__g", "__bin"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def quantiles_from_hist(g: pd.DataFrame) -> pd.DataFrame:
+        gi = int(g["__g"].iloc[0])
+        ka, lo_a, w_a = _ray.get(stats_ref)
+        g = g.sort_values("__bin")
+        cum = g["cnt"].cumsum().to_numpy()
+        total = cum[-1]
+        out_q, out_v = [], []
+        for q in quantiles:
+            target = q * total
+            i = int(np.searchsorted(cum, target, side="left"))
+            i = min(i, len(g) - 1)
+            b = int(g["__bin"].iloc[i])
+            est = lo_a[gi] + (b + 0.5) * w_a[gi]
+            out_q.append(q)
+            out_v.append(round(float(est), round_to))
+        return pd.DataFrame({key: [ka[gi].as_py()] * len(quantiles),
+                             "q": out_q, "quantile_value": out_v})
+
+    return hist.groupby("__g").map_groups(quantiles_from_hist,
+                                          batch_format="pandas")

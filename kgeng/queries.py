@@ -716,6 +716,18 @@ def price_quantiles_by_priority(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def price_quantiles_by_priority_approx(sf_dir: str):
+    """Scale-path quantiles: the mergeable histogram sketch (error <= one
+    bucket width). Approximate by construction -> rows-only check; the
+    tolerance vs exact is asserted in pytest."""
+    from kgeng.ops.rank import approx_grouped_quantiles
+
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return approx_grouped_quantiles(ds, key="o_orderpriority",
+                                    value="o_totalprice",
+                                    quantiles=[0.5, 0.9], num_bins=4096)
+
+
 def custs_without_big_orders(sf_dir: str):
     """Anti join (NOT EXISTS): customers with no order above 400k —
     filter pushed into the right side before the single shuffle."""

@@ -152,6 +152,30 @@ def test_grouped_quantiles_matches_numpy():
             assert row["quantile_value"].iloc[0] == want
 
 
+def test_approx_grouped_quantiles_within_bucket_error():
+    import numpy as np
+
+    from kgeng.ops.rank import approx_grouped_quantiles
+
+    rng = np.random.default_rng(13)
+    t = pa.table({"g": ["a"] * 4000 + ["b"] * 3000,
+                  "v": np.concatenate([rng.normal(100, 15, 4000),
+                                       rng.uniform(0, 1000, 3000)])})
+    bins = 512
+    got = approx_grouped_quantiles(ray.data.from_arrow(t), "g", "v",
+                                   [0.1, 0.5, 0.9],
+                                   num_bins=bins).to_pandas()
+    df = t.to_pandas()
+    for g in ("a", "b"):
+        vals = df[df["g"] == g]["v"].to_numpy()
+        tol = (vals.max() - vals.min()) / bins  # one bucket width
+        for q in (0.1, 0.5, 0.9):
+            exact = float(np.quantile(vals, q))
+            approx = got[(got["g"] == g)
+                         & (got["q"] == q)]["quantile_value"].iloc[0]
+            assert abs(approx - exact) <= tol, (g, q, approx, exact, tol)
+
+
 def test_tumbling_counts():
     ts = pd.to_datetime(["2024-01-01 00:00:30", "2024-01-01 00:00:50",
                          "2024-01-01 00:01:10"])
