@@ -24,6 +24,39 @@ import pyarrow as pa
 import ray.data
 
 
+def broadcast_join(left: ray.data.Dataset, right_table: pa.Table,
+                   key: str, how: str = "left",
+                   fill: dict | None = None) -> ray.data.Dataset:
+    """Small-side join without any shuffle: ``right_table`` (a driver-side
+    Arrow table; must fit in worker memory) ships ONCE via ``ray.put``
+    and every batch resolves its keys with vectorized ``pc.index_in`` +
+    ``take``. ``how``: 'left' keeps unmatched left rows (their right
+    columns null, or ``fill[col]`` when provided); 'inner' drops them.
+    The right side's key values must be unique (lookup semantics)."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    rcols = [c for c in right_table.column_names if c != key]
+    ref = _ray.put((right_table[key].combine_chunks(),
+                    {c: right_table[c].combine_chunks() for c in rcols}))
+
+    def join(t: pa.Table) -> pa.Table:
+        keys_arr, cols = _ray.get(ref)
+        idx = pc.index_in(t[key], value_set=keys_arr)
+        if how == "inner":
+            mask = pc.is_valid(idx)
+            t = t.filter(mask)
+            idx = idx.filter(mask)
+        for c in rcols:
+            v = pc.take(cols[c], idx)
+            if fill and c in fill:
+                v = pc.fill_null(v, fill[c])
+            t = t.append_column(c, v)
+        return t
+
+    return left.map_batches(join, batch_format="pyarrow")
+
+
 def _bucket_ids(t: pa.Table, key: str, B: int) -> np.ndarray:
     """Deterministic bucket id per row (exposed for tests)."""
     vals = t[key].to_numpy(zero_copy_only=False)

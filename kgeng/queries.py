@@ -97,22 +97,26 @@ def q1_lineitem_agg(sf_dir: str):
 
 
 def orders_by_custseg(sf_dir: str):
-    """Broadcast hash join (small side = customer, shipped once via
-    ray.put) + grouped aggregate — the SURVEY §2.4 lookup-join pattern."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put((pa.array(cust["c_custkey"].to_numpy()),
-                          pa.array(cust["c_mktsegment"], pa.string())))
-    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    """Broadcast join (small side = customer, shipped once via ray.put,
+    vectorized index_in lookup per batch) + grouped aggregate — the
+    SURVEY §2.4 lookup-join pattern via the reusable ops/join op."""
+    import pyarrow.parquet as pq
 
-    def join(t: pa.Table) -> pa.Table:
-        keys, segs = ray.get(lookup_ref)
-        # vectorized lookup: index_in + take (misses -> null -> UNKNOWN)
-        idx = pc.index_in(t["o_custkey"], value_set=keys)
-        seg = pc.fill_null(pc.take(segs, idx), "UNKNOWN")
-        return pa.table({"c_mktsegment": seg,
+    from kgeng.ops.join import broadcast_join
+
+    cust_tbl = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).rename_columns(
+            ["o_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust_tbl, "o_custkey", how="left",
+                            fill={"c_mktsegment": "UNKNOWN"})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": t["c_mktsegment"],
                          "price_c": _cents(t["o_totalprice"])})
 
-    out = orders.map_batches(join, batch_format="pyarrow") \
+    out = joined.map_batches(prep, batch_format="pyarrow") \
         .groupby("c_mktsegment").aggregate(
             Count(alias_name="n_orders"),
             Sum("price_c", alias_name="price_c"))

@@ -99,6 +99,21 @@ def test_sessionize_multi_user_bucketed():
         assert sub["n_events"].tolist() == [2, 1]
 
 
+def test_broadcast_join_left_and_inner():
+    from kgeng.ops.join import broadcast_join
+
+    left = pa.table({"k": [1, 2, 3, 2], "a": list("wxyz")})
+    right = pa.table({"k": [2, 3], "b": ["p", "q"], "c": [10, 20]})
+    got = broadcast_join(ray.data.from_arrow(left), right, "k",
+                         how="left", fill={"b": "NONE"}).to_pandas()
+    got = got.sort_values(["k", "a"]).reset_index(drop=True)
+    assert got["b"].tolist() == ["NONE", "p", "p", "q"]
+    assert got["c"].tolist()[1:] == [10, 10, 20]
+    inner = broadcast_join(ray.data.from_arrow(left), right, "k",
+                           how="inner").to_pandas()
+    assert sorted(inner["a"]) == ["x", "y", "z"]
+
+
 def test_hash_join_semi_anti():
     left = pa.table({"k": [1, 2, 3, 4, 4], "a": list("vwxyz")})
     right = pa.table({"k": [2, 4, 4, 9], "b": [1, 2, 3, 4]})
