@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_without_big_orders": Q.custs_without_big_orders,
         # text analysis
         "doc_token_count": Q.doc_token_count,
+        "doc_token_count_bpe": Q.doc_token_count_bpe,
         "doc_quality": Q.doc_quality,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "doc_length_histogram": Q.doc_length_histogram,
@@ -184,6 +185,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
                        AS n_tokens
+            FROM documents
+        """,
+        "doc_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "doc_quality": """

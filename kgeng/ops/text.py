@@ -29,6 +29,25 @@ def add_token_count(ds: ray.data.Dataset, col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# BPE-ish pre-tokenization classes (GPT-2-style, minus lookahead so the
+# same RE2 pattern runs vectorized in Arrow AND in the DuckDB oracle):
+# letter runs | digit runs | single non-space symbol
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def add_token_count_bpe(ds: ray.data.Dataset, col: str = "text",
+                        out: str = "n_bpe_tokens") -> ray.data.Dataset:
+    """BPE-style pre-token count (letters/digits/symbol classes) — the
+    'how many merge-input tokens would a BPE tokenizer see' estimate, as
+    a vectorized Arrow regex kernel."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[col], _BPE_PATTERN)
+        return t.append_column(out, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- quality score
 
 def add_quality_score(ds: ray.data.Dataset, col: str = "text"

@@ -184,6 +184,12 @@ def doc_token_count(sf_dir: str):
         ["doc_id", "n_tokens"])
 
 
+def doc_token_count_bpe(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return text_ops.add_token_count_bpe(ds).select_columns(
+        ["doc_id", "n_bpe_tokens"])
+
+
 def doc_quality(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return text_ops.add_quality_score(ds).select_columns(

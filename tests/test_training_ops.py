@@ -24,6 +24,17 @@ def test_token_count_matches_python(docs):
         assert r["n_tokens"] == len(r["text"].split())
 
 
+def test_bpe_token_count():
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "text": ["Hello, world!  It's 2026.",
+                           "", "a1b2 --x"]})
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in text.add_token_count_bpe(
+               ray.data.from_arrow(t)).take_all()}
+    # Hello , world ! It ' s 2026 .  -> 9
+    assert out == {"a": 9, "b": 0, "c": 7}
+
+
 def test_quality_score_deterministic(docs):
     a = text.add_quality_score(docs).to_pandas().sort_values("doc_id")
     b = text.add_quality_score(docs).to_pandas().sort_values("doc_id")
