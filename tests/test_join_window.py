@@ -167,6 +167,45 @@ def test_grouped_quantiles_matches_numpy():
             assert row["quantile_value"].iloc[0] == want
 
 
+def test_sessionize_random_matches_reference():
+    """Randomized events across many users: the coarse-bucketed
+    sessionizer must match a straightforward per-key reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    users = rng.integers(0, 60, n)
+    base = pd.Timestamp("2024-06-01")
+    ts = base + pd.to_timedelta(rng.integers(0, 72 * 3600, n), unit="s")
+    ev = pa.table({"user_id": users, "ts": ts})
+    got = sessionize(ray.data.from_arrow(ev), gap_minutes=45,
+                     num_buckets=8).to_pandas()
+
+    # reference: python per-user sweep
+    df = ev.to_pandas().sort_values(["user_id", "ts"])
+    want = []
+    for u, sub in df.groupby("user_id"):
+        t0 = prev = None
+        cnt = sid = 0
+        for x in sub["ts"]:
+            if prev is None or (x - prev) > pd.Timedelta(minutes=45):
+                if prev is not None:
+                    want.append((u, sid, cnt, t0, prev))
+                sid += 1
+                t0, cnt = x, 0
+            cnt += 1
+            prev = x
+        want.append((u, sid, cnt, t0, prev))
+    want_df = pd.DataFrame(want, columns=["user_id", "session_id",
+                                          "n_events", "session_start",
+                                          "session_end"])
+    cols = list(want_df.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want_df.sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_approx_grouped_quantiles_within_bucket_error():
     import numpy as np
 
