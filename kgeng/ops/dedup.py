@@ -154,7 +154,7 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
 
 def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.7,
-                  ngram: int = 3, driver_max_pairs: int = 200_000, **kw):
+                  ngram: int = 3, driver_max_pairs: int = 50_000, **kw):
     """Full near-dup pipeline -> Dataset (doc_id, cluster_rep).
 
     Candidates are verified by true n-gram Jaccard, which needs both
@@ -163,6 +163,8 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
     - **plan A** (<= ``driver_max_pairs`` candidate pairs): broadcast
       id->text dict for just the candidate ids — cheap, zero shuffles.
+      The cutover bounds driver memory at <= 2*pairs texts (~1 GB at
+      50k pairs x 10 KB docs); raise it only for short-document corpora.
     - **plan B** (high-duplication corpora, where the candidate set is
       exactly what cannot sit on the driver): fully distributed —
       semi-join the texts down to candidate ids, hash-join each pair
@@ -185,13 +187,15 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
         need = ({r["a"] for r in cand_rows}
                 | {r["b"] for r in cand_rows})
 
+        need_arr = pa.array(sorted(need), pa.string())
+
         def project(t: pa.Table) -> pa.Table:
-            ids = [str(i) for i in t[id_col].to_pylist()]
-            keep = [i for i, x in enumerate(ids) if x in need]
+            ids = pa.array([str(i) for i in t[id_col].to_pylist()],
+                           pa.string())
+            mask = _pc.is_in(ids, value_set=need_arr)
             return pa.table({
-                "id": pa.array([ids[i] for i in keep]),
-                "txt": pa.array([t[text_col].to_pylist()[i]
-                                 for i in keep]),
+                "id": ids.filter(mask),
+                "txt": t[text_col].combine_chunks().filter(mask),
             })
 
         texts = {r["id"]: r["txt"]
