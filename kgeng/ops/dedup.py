@@ -41,8 +41,8 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
     def hash_batch(t: pa.Table) -> pa.Table:
         m63 = (1 << 63) - 1
-        h = [(zlib.crc32(x.encode()) << 32
-              | zlib.crc32(x[::-1].encode())) & m63
+        h = [(zlib.crc32((x or "").encode()) << 32
+              | zlib.crc32((x or "")[::-1].encode())) & m63
              for x in t[text_col].to_pylist()]
         return pa.table({"h": pa.array(h, pa.int64()), id_col: t[id_col]})
 
@@ -91,7 +91,7 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
         ids = t[id_col].to_pylist()
         hashes, bounds = [], [0]
         for x in texts:
-            g = np.fromiter(word_ngrams(x, ngram), dtype=np.int64)
+            g = np.fromiter(word_ngrams(x or "", ngram), dtype=np.int64)
             hashes.append(g)
             bounds.append(bounds[-1] + len(g))
         if not texts:
@@ -280,7 +280,7 @@ def _verify_distributed(ds: ray.data.Dataset, cand: ray.data.Dataset,
 def simhash_batch(texts: list[str], num_bits: int = 64) -> np.ndarray:
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, text in enumerate(texts):
-        toks = text.split()
+        toks = (text or "").split()
         if not toks:
             continue
         hs = np.fromiter((zlib.crc32(w.encode()) for w in toks),

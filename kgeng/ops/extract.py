@@ -202,6 +202,8 @@ class Extract:
         cand_idx = np.flatnonzero(cand_np)
         texts = (text_arr.take(pa.array(cand_idx)).to_pylist()
                  if len(cand_idx) else [])
+        if texts and any(x is None for x in texts):
+            texts = [x or "" for x in texts]  # null-safe
         mega, starts = self._join(texts)
 
         def to_doc(span_i: np.ndarray):

@@ -113,6 +113,7 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = []
         for text in batch["text"].to_pylist():
+            text = text or ""  # null-safe: absent text scores 'unknown'
             if _HAN.search(text):
                 langs.append("zh")
                 continue
@@ -160,7 +161,7 @@ def _doc_fingerprint(text: str, k: int = 4, window: int = 8) -> int:
 def add_fingerprint(ds: ray.data.Dataset, col: str = "text",
                     out: str = "fingerprint") -> ray.data.Dataset:
     def f(t: pa.Table) -> pa.Table:
-        fps = [_doc_fingerprint(x) for x in t[col].to_pylist()]
+        fps = [_doc_fingerprint(x or "") for x in t[col].to_pylist()]
         return t.append_column(out, pa.array(fps, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -24,6 +24,23 @@ def test_token_count_matches_python(docs):
         assert r["n_tokens"] == len(r["text"].split())
 
 
+def test_null_text_is_safe_everywhere():
+    """Real corpora carry null texts; every text/dedup kernel must treat
+    null as empty instead of crashing the worker."""
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "text": pa.array(["hello world", None, ""], pa.string())})
+    ds = ray.data.from_arrow(t)
+    for fn in (text.add_token_count, text.add_token_count_bpe,
+               text.add_quality_score, text.add_lang_id,
+               text.add_fingerprint, dedup.add_simhash,
+               dedup.exact_dedup, dedup.minhash_lsh_candidates):
+        fn(ds).take_all()
+    # null and "" hash identically in exact dedup (coalesce semantics)
+    out = {r["doc_id"]: r["n_dups"]
+           for r in dedup.exact_dedup(ds).take_all()}
+    assert out == {"a": 1, "b": 2}
+
+
 def test_bpe_token_count():
     t = pa.table({"doc_id": ["a", "b", "c"],
                   "text": ["Hello, world!  It's 2026.",
