@@ -17,7 +17,6 @@ import json
 import os
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 from kgeng.config import SmartGraphConfig

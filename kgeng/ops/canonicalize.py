@@ -18,7 +18,6 @@ candidates are dropped downstream).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import ray
 

@@ -18,7 +18,6 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from kgeng.config import BlockConfig
 from kgeng.ops.block import _perm_tables
 from kgeng.ops.canonicalize import UnionFind
 from kgeng.ops.hashing import (as_int64, as_uint64, mask63,
