@@ -1,10 +1,16 @@
 """Stream-shaped operators over an ordered, partitioned log.
 
-Ray Data has no event-time windows or watermarks (guide §streaming);
-windows are expressed as ``groupby(key).map_groups`` where the group fn
-sorts by timestamp and applies the window logic with pandas. Ordering
-assumption: correctness requires only per-key ordering, established
-inside each group — input partition order is irrelevant.
+Ray Data has no event-time windows or watermarks (guide §streaming):
+
+- ``tumbling`` computes the window key vectorized (epoch // width) and
+  aggregates with a partial+final groupby — no per-key grouping at all.
+- ``sessionize`` shuffles into a BOUNDED number of coarse hash buckets
+  (``hash(key) % num_buckets``) and sessionizes every key inside a
+  bucket with one vectorized pandas pass (sort + per-key diff +
+  cumsum) — never one Python call per key.
+
+Ordering assumption: correctness requires only per-key ordering, which
+is established inside each bucket — input partition order is irrelevant.
 """
 
 from __future__ import annotations

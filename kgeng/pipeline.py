@@ -1,5 +1,5 @@
-"""KG-construction pipeline assembly: read -> extract -> link -> block ->
-canonicalize -> triples -> entities -> materialize.
+"""KG-construction pipeline assembly: read -> extract(+link) -> block ->
+canonicalize -> triples(+entity ids) -> entities -> materialize.
 
 Dataflow posture (the 10^12-doc design, SURVEY.md §7):
 
