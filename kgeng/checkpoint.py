@@ -111,6 +111,9 @@ class CheckpointStore:
                                partition_projections)
         else:
             ds.write_parquet(tmp)
+        # an all-empty dataset writes no files at all — still checkpoint
+        # an empty stage dir so the rename + manifest below succeed
+        os.makedirs(tmp, exist_ok=True)
         wall = time.monotonic() - t0
         files = _parquet_files(tmp)
         n_files = len(files)
@@ -152,13 +155,30 @@ class CheckpointStore:
 
     def read_stage_partition(self, stage: str, partition: str,
                              columns: list[str] | None = None,
-                             shard: int | None = None) -> ray.data.Dataset:
+                             shard: int | None = None,
+                             schema=None) -> ray.data.Dataset:
         """Read one hive partition (e.g. 't_kind=triple') of a stage,
         optionally column-pruned. Explicit file list, so the partition
         column is NOT re-inferred into the result when ``columns`` is
-        given."""
+        given.
+
+        A partition that was never written (a degenerate corpus can yield
+        zero triples / zero entity ids, so no ``t_kind=...`` files exist)
+        yields an EMPTY dataset with the caller's ``schema`` instead of
+        crashing ``read_parquet([])``."""
         base = os.path.join(self.stage_dir(stage, shard), partition)
-        return ray.data.read_parquet(_parquet_files(base), columns=columns)
+        files = _parquet_files(base)
+        if not files:
+            import pyarrow as pa
+
+            if schema is None:
+                raise FileNotFoundError(
+                    f"no parquet files under {base} and no fallback schema")
+            empty = pa.Table.from_pylist([], schema=schema)
+            if columns:
+                empty = empty.select(columns)
+            return ray.data.from_arrow(empty)
+        return ray.data.read_parquet(files, columns=columns)
 
     def shard_files(self, stage: str,
                     path_contains: str | None = None) -> list[str]:
@@ -178,11 +198,25 @@ class CheckpointStore:
 
     def read_all_shards(self, stage: str,
                         path_contains: str | None = None,
-                        columns: list[str] | None = None) -> ray.data.Dataset:
+                        columns: list[str] | None = None,
+                        schema=None) -> ray.data.Dataset:
         # explicit file list: a list of directories is not portable across
         # pyarrow dataset versions (and skips _MANIFEST/_SUCCESS sidecars)
-        return ray.data.read_parquet(
-            self.shard_files(stage, path_contains), columns=columns)
+        files = self.shard_files(stage, path_contains)
+        if not files:
+            # a record kind that never occurred (degenerate corpus) has no
+            # partition files; surface an EMPTY dataset, not a read error
+            import pyarrow as pa
+
+            if schema is None:
+                raise FileNotFoundError(
+                    f"no parquet files for stage {stage!r} "
+                    f"(filter {path_contains!r}) and no fallback schema")
+            empty = pa.Table.from_pylist([], schema=schema)
+            if columns:
+                empty = empty.select(columns)
+            return ray.data.from_arrow(empty)
+        return ray.data.read_parquet(files, columns=columns)
 
     def manifest(self, stage: str, shard: int | None = None) -> dict:
         with open(os.path.join(self.stage_dir(stage, shard),

@@ -55,8 +55,10 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 # ------------------------------------------------------- shingles/jaccard
 
-def word_ngrams(text: str, n: int = 3) -> set[int]:
-    toks = text.split()
+def word_ngrams(text: str | None, n: int = 3) -> set[int]:
+    # None-safe: banding coalesces null text to "" so two null-text docs
+    # CAN become a candidate pair; the verify kernel must not crash on it
+    toks = (text or "").split()
     if len(toks) < n:
         return {zlib.crc32(" ".join(toks).encode())}
     return {zlib.crc32(" ".join(toks[i:i + n]).encode())
@@ -194,7 +196,8 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
             mask = _pc.is_in(ids, value_set=need_arr)
             return pa.table({
                 "id": ids.filter(mask),
-                "txt": t[text_col].combine_chunks().filter(mask),
+                "txt": _pc.fill_null(
+                    t[text_col].combine_chunks().filter(mask), ""),
             })
 
         texts = {r["id"]: r["txt"]

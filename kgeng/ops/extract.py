@@ -73,11 +73,126 @@ RECORD_SCHEMA = pa.schema([
 _CAP_RUN = r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b"
 
 
+# Escapes that can never match '\n' and whose semantics are position-
+# independent across a '\n' join boundary. '\b' qualifies: boundary-ness
+# at a span edge is "neighbor is a word char?" and both start-of-string
+# and '\n' are non-word, so per-span and megastring agree.
+_NL_SAFE_ESCAPES = frozenset("dwbtfrvS")
+
+
 def _newline_safe(pattern: str) -> bool:
-    """True if the pattern cannot match across a '\\n' join boundary
-    (conservative: rejects any explicit newline/whitespace-class use)."""
-    return not any(tok in pattern for tok in ("\\n", "\n", "\\s", "\\S",
-                                              "(?s", "[^"))
+    """True if scanning the '\\n'-joined megastring yields exactly the
+    per-span matches for this pattern. Rejects anything that could match
+    '\\n' (``\\s \\D \\W``, hex/octal/unicode escapes, negated classes,
+    literal newlines), positional assertions (``^ $ \\A \\Z \\B``),
+    inline ``s``/``m``/``x`` flags, lookarounds, and backreferences —
+    a rejected pattern falls back to per-span scanning."""
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\n":
+            return False
+        if c == "\\":
+            if i + 1 >= n:
+                return False
+            e = pattern[i + 1]
+            if e.isalnum() and e not in _NL_SAFE_ESCAPES:
+                return False   # \n \s \D \W \A \Z \B \x.. \0.. \u \N \1
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c in "^$":
+            return False
+        if c == "[":
+            in_class = True
+            if pattern[i + 1:i + 2] == "^":
+                return False   # negated class matches '\n'
+            i += 1
+            continue
+        if c == "(" and pattern[i + 1:i + 2] == "?":
+            nxt = pattern[i + 2:i + 3]
+            if nxt == ":" or (nxt == "P" and pattern[i + 3:i + 4] == "<"):
+                i += 3
+                continue
+            # inline flags: only a/i/u leave newline semantics intact
+            j = i + 2
+            while j < n and pattern[j] in "aiu":
+                j += 1
+            if j > i + 2 and j < n and pattern[j] in "):":
+                i = j + 1
+                continue
+            return False       # (?s (?m (?x lookarounds conditionals ...
+        i += 1
+    return not in_class
+
+
+# Positive-class expansions: RE2's \w/\d/\s are ASCII while Python's are
+# Unicode-aware; widening with the Unicode property classes makes the
+# RE2 pattern match a SUPERSET of the Python one (sound for a prefilter).
+_RE2_CLASS_EXPAND = {
+    "w": r"\w\p{L}\p{N}",
+    "d": r"\d\p{Nd}",
+    "s": "\\s\\p{Z}\\v\\x{85}\\x{1c}-\\x{1f}",
+}
+
+
+def _re2_superset(pattern: str) -> str | None:
+    """Rewrite a Python-``re`` pattern into an RE2 pattern that matches a
+    SUPERSET of it, or ``None`` if no sound rewrite is known.
+
+    - ``\\w \\d \\s`` widen via ``_RE2_CLASS_EXPAND`` (ADVICE r02:
+      'josé@example.com' matches Python's EMAIL detector but not RE2's
+      ASCII ``\\w`` — the prefilter silently dropped the span).
+    - ``\\b``/``\\B`` outside classes are removed: dropping a zero-width
+      assertion only widens the match set.
+    - ``\\W \\D \\S`` and negated classes pass through unchanged: the
+      RE2 (ASCII-complement) versions are already supersets.
+    - Lookarounds/conditionals have no RE2 form -> ``None`` (prefilter
+      disabled, per-span Python scan keeps exact semantics).
+    """
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = neg_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return None
+            e = pattern[i + 1]
+            if not in_class and e in ("b", "B"):
+                if pattern[i + 2:i + 3] in ("*", "+", "?", "{"):
+                    return None  # quantified assertion: can't just drop
+                i += 2
+                continue
+            if e in _RE2_CLASS_EXPAND and not neg_class:
+                exp = _RE2_CLASS_EXPAND[e]
+                out.append(exp if in_class else "[" + exp + "]")
+            else:
+                out.append(c + e)
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = neg_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            neg_class = pattern[i + 1:i + 2] == "^"
+        elif c == "(" and pattern[i + 1:i + 2] == "?":
+            nxt = pattern[i + 2:i + 3]
+            if nxt in ("=", "!", "(") or pattern[i + 2:i + 4] in ("<=",
+                                                                  "<!"):
+                return None
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _arrow_compilable(pattern: str) -> bool:
@@ -106,14 +221,22 @@ class Extract:
         phrases = sorted(PRED_PHRASES.items(), key=lambda kv: -len(kv[1]))
         self.phrase_re = re.compile(
             "|".join(f"(?P<{p}>{re.escape(s)})" for p, s in phrases))
-        # Arrow prefilter is sound only if EVERY detector is re2-compilable
-        # (else a span matched only by the odd detector would be skipped)
-        self.prefilter = ([_CAP_RUN] + [p for _n, p in cfg.regex_detectors]
-                          if all(_arrow_compilable(p)
-                                 for _n, p in cfg.regex_detectors)
+        # Arrow prefilter is sound only if EVERY detector has a known
+        # RE2-superset rewrite that compiles (else a span matched only by
+        # the odd detector — or only under Python's Unicode \w/\d — would
+        # be silently skipped)
+        sup = [_re2_superset(p)
+               for p in [_CAP_RUN] + [p for _n, p in cfg.regex_detectors]]
+        self.prefilter = (sup if all(s is not None and _arrow_compilable(s)
+                                     for s in sup)
                           else None)
         # megastring join is sound only if no pattern can match across \n
-        self.mega_ok = all(_newline_safe(p) for _n, p in cfg.regex_detectors)
+        # or change meaning at a join boundary (gate covers the built-in
+        # NER/phrase patterns too, not just configured detectors)
+        self.mega_ok = all(
+            _newline_safe(p)
+            for p in [_CAP_RUN, self.phrase_re.pattern]
+            + [p for _n, p in cfg.regex_detectors])
 
     # ---------------------------------------------------------- scanning
     @staticmethod

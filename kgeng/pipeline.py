@@ -116,10 +116,13 @@ class KGPipeline:
         # actor-pool stage over this same Dataset.)
         link_cols = ["doc_id", "span_idx", "offset", "surface",
                      "ent_type", "source", "cand_id", "link_score"]
+        from kgeng.ops.extract import RECORD_SCHEMA
         if store is not None:
             linked = store.read_all_shards(
                 "records", path_contains="rec_kind=mention",
-                columns=link_cols)
+                columns=link_cols,
+                schema=pa.schema([RECORD_SCHEMA.field(c)
+                                  for c in link_cols]))
         else:
             linked = _filter_kind(records, ("mention",)).select_columns(
                 link_cols)
@@ -133,17 +136,25 @@ class KGPipeline:
         # ---- stage 4: triples -----------------------------------------
         triple_cols = ["subj", "pred", "obj", "doc_id", "confidence"]
         triples_lin = {"input": "records+resolution", **in_lin}
+        from kgeng.ops.triples import TRIPLE_SCHEMA
+        trip_part_schema = pa.schema(
+            [TRIPLE_SCHEMA.field(c) for c in triple_cols])
         if store and resume and store.is_done("triples",
                                               lineage=triples_lin):
             triples = store.read_stage_partition(
-                "triples", "t_kind=triple", columns=triple_cols)
+                "triples", "t_kind=triple", columns=triple_cols,
+                schema=trip_part_schema)
         else:
             if store is not None:
                 # one scan over both kinds; the parquet reader unifies the
                 # projected per-kind schemas (media's missing pred -> null)
                 rel_media = store.read_all_shards(
                     "records", path_contains=("rec_kind=relation",
-                                              "rec_kind=media"))
+                                              "rec_kind=media"),
+                    schema=pa.schema(
+                        [RECORD_SCHEMA.field(c) for c in
+                         ("doc_id", "span_idx", "subj", "pred", "obj")]
+                        + [pa.field("rec_kind", pa.string())]))
             else:
                 rel_media = _filter_kind(records, ("relation", "media"))
             raw = emit_triples(rel_media, resolution)
@@ -154,7 +165,8 @@ class KGPipeline:
                     partition_projections={"triple": triple_cols,
                                            "eid": ["subj"]})
                 triples = store.read_stage_partition(
-                    "triples", "t_kind=triple", columns=triple_cols)
+                    "triples", "t_kind=triple", columns=triple_cols,
+                    schema=trip_part_schema)
             else:
                 triples = raw.map_batches(
                     lambda t: t.filter(pc.equal(t["t_kind"], "triple"))
@@ -256,7 +268,8 @@ class KGPipeline:
                                   lineage={"files": shard_files},
                                   partition_cols=["rec_kind"],
                                   partition_projections=_REC_PROJECTIONS)
-        return store.read_all_shards("records")
+        from kgeng.ops.extract import RECORD_SCHEMA
+        return store.read_all_shards("records", schema=RECORD_SCHEMA)
 
     # ------------------------------------------------------------------
     def _canonicalize_stage(self, linked, gaz, store, resume,
@@ -373,8 +386,9 @@ class KGPipeline:
         # unique entity ids as the tiny 't_kind=eid' partition — read
         # that instead of re-scanning the triple table
         if store is not None:
-            src = store.read_stage_partition("triples", "t_kind=eid",
-                                             columns=["subj"])
+            src = store.read_stage_partition(
+                "triples", "t_kind=eid", columns=["subj"],
+                schema=pa.schema([("subj", pa.string())]))
             used = src.map_batches(
                 lambda t: pa.table({"entity_id": pc.unique(
                     t["subj"].combine_chunks())}),

@@ -14,7 +14,10 @@ from kgeng.synth.corpus import SPAN_TYPE
 def _random_docs(rng, n_docs: int) -> pa.Table:
     words = ["alpha", "beta", "Gamma", "Delta", "Acme", "Corp", "x",
              "Bob", "Smith", "mail@test.io", "ABC-42", "2024-01-02",
-             "über", "naïve", ",", ".", "--", "(ok)"]
+             "über", "naïve", ",", ".", "--", "(ok)",
+             # ADVICE r02: Python \w is Unicode-aware, RE2's is ASCII —
+             # these must survive the Arrow prefilter
+             "josé@example.com", "müller@host.de", "１２３４-01-02"]
     caps = ["Ada Lovelace", "Acme Corp", "New York City", "Bob Smith"]
     preds = [" works at ", " is located in ", " lives in "]
     rows = []
@@ -79,3 +82,50 @@ def test_prefilter_only_differs_in_skipping_nothing():
     no_pf = Extract(gaz)
     no_pf.prefilter = None
     assert _rows(with_pf(batch)) == _rows(no_pf(batch))
+
+
+def _one_text_batch(text: str) -> pa.Table:
+    spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+    return pa.table({"doc_id": pa.array(["u-0"]),
+                     "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+
+
+def test_prefilter_keeps_unicode_email_span():
+    """ADVICE r02 (high): 'josé@example.com' matches the EMAIL detector
+    under Python re but not under RE2's ASCII \\w; the prefilter must be
+    a superset, not an ASCII approximation."""
+    ex = Extract({})
+    assert ex.prefilter is not None
+    out = ex(_one_text_batch("Contact: josé@example.com today"))
+    surfaces = out["surface"].to_pylist()
+    assert "josé@example.com" in surfaces
+
+
+def test_exotic_detectors_fall_back_soundly():
+    """ADVICE r02 (medium): anchored / complement-shorthand detectors
+    must not run on the '\\n'-joined megastring (matches would be lost
+    or invented); they fall back to per-span scanning with identical
+    results."""
+    from kgeng.config import DetectConfig
+
+    cfg = DetectConfig(regex_detectors=(
+        ("LINENO", r"^\d+"),          # anchored: finds nothing mid-mega
+        ("NONDIGIT", r"X\D\d"),       # \D matches '\n': crosses spans
+    ))
+    ex = Extract({}, cfg)
+    assert not ex.mega_ok
+    spans = [{"kind": "text", "text": "42 things", "media_ref": "",
+              "offset": 0},
+             {"kind": "text", "text": "X", "media_ref": "", "offset": 10},
+             {"kind": "text", "text": "7 more", "media_ref": "",
+              "offset": 12}]
+    batch = pa.table({"doc_id": pa.array(["a-0"]),
+                      "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+    out = ex(batch)
+    hits = {(s, e) for s, e in zip(out["surface"].to_pylist(),
+                                   out["ent_type"].to_pylist())
+            if e in ("LINENO", "NONDIGIT")}
+    # per-span semantics: '^\d+' matches at each span start; 'X\D\d'
+    # never matches inside any single span (the X span has no digit)
+    assert ("42", "LINENO") in hits and ("7", "LINENO") in hits
+    assert not any(e == "NONDIGIT" for _s, e in hits)

@@ -236,3 +236,34 @@ def test_distributed_canonicalization_fallback_matches_driver_path(
     ps, gs = _triple_sets(res, tiny_corpus)
     assert len(ps & gs) / len(ps) >= 0.95
     assert len(ps & gs) / len(gs) >= 0.95
+
+
+def test_degenerate_corpus_zero_triples(tmp_path_factory):
+    """ADVICE r02 (low): a corpus yielding zero triples writes no
+    t_kind=triple / t_kind=eid partition files; stages 4/5 must read
+    them back as EMPTY datasets instead of crashing read_parquet([])."""
+    import pyarrow as pa
+
+    from kgeng.synth.corpus import SPAN_TYPE
+
+    root = str(tmp_path_factory.mktemp("ckpt_degen"))
+    cdir = os.path.join(root, "corpus")
+    os.makedirs(cdir)
+    spans = [[{"kind": "text", "text": "nothing of note here",
+               "media_ref": "", "offset": 0}]] * 6
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"dg-{i}" for i in range(6)]),
+        "spans": pa.array(spans, pa.list_(SPAN_TYPE)),
+    }), os.path.join(cdir, "part-00000.parquet"))
+    gazp = os.path.join(root, "gazetteer.parquet")
+    pq.write_table(pa.table({"surface": ["Unseen Entity"],
+                             "entity_id": ["E0"],
+                             "ent_type": ["ORG"]}), gazp)
+    res = KGPipeline(checkpoint_root=os.path.join(root, "ck"),
+                     num_shards=1).run(cdir, gazp)
+    assert res["triples"].count() == 0
+    assert res["entities"].count() == 0
+    # resumed run over the same empty checkpoints also works
+    res2 = KGPipeline(checkpoint_root=os.path.join(root, "ck"),
+                      num_shards=1).run(cdir, gazp)
+    assert res2["triples"].count() == 0

@@ -41,6 +41,23 @@ def test_null_text_is_safe_everywhere():
     assert out == {"a": 1, "b": 2}
 
 
+def test_minhash_dedup_null_text_pairs():
+    """ADVICE r02: two null-text docs band identically and become a
+    candidate pair — the Jaccard verify (both plan A and plan B) must
+    coalesce null to '' instead of crashing, and cluster them."""
+    t = pa.table({"doc_id": ["n1", "n2", "x1"],
+                  "text": pa.array([None, None, "a real document with "
+                                    "plenty of distinct words"],
+                                   pa.string())})
+    ds = ray.data.from_arrow(t)
+    for plan_kw in ({}, {"driver_max_pairs": 0}):
+        rep = {r["doc_id"]: r["cluster_rep"]
+               for r in dedup.minhash_dedup(ds, threshold=0.5,
+                                            **plan_kw).take_all()}
+        assert rep["n1"] == rep["n2"]
+        assert rep["x1"] != rep["n1"]
+
+
 def test_bpe_token_count():
     t = pa.table({"doc_id": ["a", "b", "c"],
                   "text": ["Hello, world!  It's 2026.",
