@@ -98,35 +98,69 @@ _LANG_STOPWORDS = {
     "es": {"el", "la", "los", "y", "es", "no", "una", "por", "con", "que"},
     "zh": set(),  # han-script detection below
 }
+# scalar reference formulation (used by the parity test)
 _HAN = re.compile(r"[一-鿿]")
 _WORD = re.compile(r"[a-zA-Z]+")
 
 
+def lang_id_scalar(text: str | None) -> str:
+    """Per-row reference implementation of the LangId heuristic (kept as
+    the oracle for the vectorized kernel's parity test)."""
+    text = text or ""
+    if _HAN.search(text):
+        return "zh"
+    words = [w.lower() for w in _WORD.findall(text)]
+    best, best_score = "en", -1.0
+    for lang, stops in _LANG_STOPWORDS.items():
+        if not stops:
+            continue
+        score = sum(w in stops for w in words) / max(1, len(words))
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "unknown"
+
+
 class LangId:
-    """N-gram/stopword language-ID heuristic — an actor-pool stage (state =
-    compiled tables, built once per actor). Not SQL-expressible; the driver
-    records a rows-only check for it."""
+    """Stopword language-ID heuristic — an actor-pool stage (state =
+    prepared per-language patterns, built once per actor). Not
+    SQL-expressible; the driver records a rows-only check for it.
+
+    Vectorized (verdict r02 'What's wrong' #4): ONE Arrow regex count
+    per language + a numpy argmax replaces the per-row Python word loop.
+    Texts are lowercased and non-alpha runs become DOUBLE spaces, so
+    every word sits in its own ``' word '`` window and adjacent
+    stopwords can't share a separator (non-overlapping count stays
+    exact). Scoring is count/argmax with first-language tie-break —
+    identical to the scalar formulation."""
 
     def __init__(self):
-        self.tables = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        # language order is the tie-break order (first max wins)
+        self.langs = [k for k, v in _LANG_STOPWORDS.items() if v]
+        self.patterns = {
+            lang: " (?:" + "|".join(sorted(_LANG_STOPWORDS[lang])) + ") "
+            for lang in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = []
-        for text in batch["text"].to_pylist():
-            text = text or ""  # null-safe: absent text scores 'unknown'
-            if _HAN.search(text):
-                langs.append("zh")
-                continue
-            words = [w.lower() for w in _WORD.findall(text)]
-            best, best_score = "en", -1.0
-            for lang, stops in self.tables.items():
-                if not stops:
-                    continue
-                score = sum(w in stops for w in words) / max(1, len(words))
-                if score > best_score:
-                    best, best_score = lang, score
-            langs.append(best if best_score > 0 else "unknown")
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        txt = pc.fill_null(batch["text"].combine_chunks(), "")
+        han = pc.match_substring_regex(txt, "[一-鿿]").to_numpy(
+            zero_copy_only=False)
+        low = pc.utf8_lower(txt)
+        norm = pc.binary_join_element_wise(
+            pa.scalar(" "),
+            pc.replace_substring_regex(low, "[^a-z]+", "  "),
+            pa.scalar(" "), pa.scalar(""))
+        counts = np.stack([
+            pc.count_substring_regex(norm, self.patterns[lang])
+            .to_numpy(zero_copy_only=False)
+            for lang in self.langs
+        ], axis=1)
+        best = counts.argmax(axis=1)               # first max wins ties
+        labels = np.asarray(self.langs, dtype=object)[best]
+        labels[counts.max(axis=1) <= 0] = "unknown"
+        labels[han] = "zh"
+        return batch.append_column(
+            "lang_pred", pa.array(labels, pa.string()))
 
 
 def add_lang_id(ds: ray.data.Dataset, concurrency=(1, 4),

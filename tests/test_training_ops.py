@@ -58,6 +58,32 @@ def test_minhash_dedup_null_text_pairs():
         assert rep["x1"] != rep["n1"]
 
 
+def test_lang_id_vectorized_matches_scalar_reference():
+    """The Arrow-regex LangId kernel must reproduce the per-row scalar
+    heuristic exactly (counts, tie-break order, unknown/zh rules)."""
+    from kgeng.ops.text import LangId, lang_id_scalar
+
+    rng = np.random.default_rng(9)
+    vocab = (["the", "of", "and", "to", "in", "is", "cat", "der", "und",
+              "nicht", "le", "la", "les", "est", "el", "los", "una",
+              "por", "con", "que", "straße", "café", "naïve", "x9"]
+             + [f"rnd{i}" for i in range(30)])
+    texts = []
+    for _ in range(800):
+        t = " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+        if rng.random() < 0.05:
+            t += " 中文文本"
+        if rng.random() < 0.1:
+            t = t.upper()
+        texts.append(t)
+    texts += [None, "", "don't it's", "a", "THE THE THE", "中",
+              "la la la", "y"]
+    batch = pa.table({"doc_id": [str(i) for i in range(len(texts))],
+                      "text": pa.array(texts, pa.string())})
+    got = LangId()(batch)["lang_pred"].to_pylist()
+    assert got == [lang_id_scalar(t) for t in texts]
+
+
 def test_bpe_token_count():
     t = pa.table({"doc_id": ["a", "b", "c"],
                   "text": ["Hello, world!  It's 2026.",
