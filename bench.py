@@ -58,9 +58,16 @@ def headline_kg(n_docs: int) -> tuple[float, int]:
     shutil.rmtree(warm_ck, ignore_errors=True)
     KGPipeline(checkpoint_root=warm_ck, num_shards=1).run(
         os.path.join(wd, "corpus"), os.path.join(wd, "gazetteer.parquet"))
+    # spawn the FULL worker pool before timing: the tiny warm pipeline
+    # only starts a handful of worker processes; without this, the timed
+    # run pays ~NCPU process forks mid-flight
+    import ray.data as _rd
+
+    (_rd.range(NCPU * 4, override_num_blocks=NCPU * 4)
+     .map_batches(lambda b: b).materialize())
     ck = f"/tmp/kgeng_bench_ckpt_{NCPU}"
     shutil.rmtree(ck, ignore_errors=True)
-    p = KGPipeline(checkpoint_root=ck, num_shards=4)
+    p = KGPipeline(checkpoint_root=ck)  # auto shard count (size-based)
     t0 = time.monotonic()
     res = p.run(os.path.join(d, "corpus"),
                 os.path.join(d, "gazetteer.parquet"))

@@ -144,3 +144,49 @@ def emit_triples(records: ray.data.Dataset,
 
     return records.map_batches(fn, batch_format="pyarrow",
                                batch_size=batch_size)
+
+
+def emit_triples_fused(relation_files: list[str], media_files: list[str],
+                       resolution: dict[str, tuple[str, bool]],
+                       target_rows: int = 16384) -> ray.data.Dataset:
+    """Fused read+resolve over checkpointed record partitions: each task
+    reads its own row-group range and resolves it in-process, so the
+    corpus-scale relation table never round-trips the object store
+    between a read operator and the resolve map (same pattern and
+    rationale as ``extract_records_fused``).
+
+    The per-kind checkpoint projections drop ``rec_kind`` (and media's
+    ``pred``) from the files; both are reconstructed per item from the
+    file's partition."""
+    from kgeng.ops.extract import plan_read_items
+
+    res_ref = ray.put(resolution)
+    key = res_ref.hex()
+    items = ([dict(it, kind="relation")
+              for it in plan_read_items(relation_files, target_rows)]
+             + [dict(it, kind="media")
+                for it in plan_read_items(media_files, target_rows)])
+    if not items:
+        return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
+
+    def read_and_resolve(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for path, lo, hi, kind in zip(b["path"].to_pylist(),
+                                      b["rg_lo"].to_pylist(),
+                                      b["rg_hi"].to_pylist(),
+                                      b["kind"].to_pylist()):
+            t = pq.ParquetFile(path).read_row_groups(list(range(lo, hi)))
+            if "pred" not in t.column_names:      # media projection
+                t = t.append_column("pred",
+                                    pa.array([""] * len(t), pa.string()))
+            t = t.append_column("rec_kind",
+                                pa.array([kind] * len(t), pa.string()))
+            outs.append(_cached_resolve(key, res_ref, t))
+        return (pa.concat_tables(outs) if outs
+                else TRIPLE_SCHEMA.empty_table())
+
+    src = ray.data.from_items(items).repartition(len(items))
+    return src.map_batches(read_and_resolve, batch_format="pyarrow",
+                           batch_size=1)

@@ -28,7 +28,8 @@ from kgeng.config import PipelineConfig, SmartGraphConfig
 from kgeng.io import sink
 from kgeng.ops.block import candidate_pairs
 from kgeng.ops.canonicalize import build_resolution
-from kgeng.ops.extract import extract_records, load_gazetteer_dict
+from kgeng.ops.extract import (extract_records, extract_records_fused,
+                               load_gazetteer_dict)
 from kgeng.ops.triples import emit_triples
 
 
@@ -63,16 +64,33 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     return out.drop_columns(["count()"])
 
 
+# auto-sharding target: each extract shard should hold enough input that
+# its fixed per-execution cost (~0.3-0.5 s streaming-executor startup +
+# manifest write, measured at 32 CPUs) stays under ~2% of its runtime.
+# 1 GiB of input ≈ 20-60 s of extract work per shard on one node.
+_TARGET_SHARD_BYTES = 1 << 30
+
+
 class KGPipeline:
     def __init__(self, cfg: PipelineConfig | None = None,
                  checkpoint_root: str | None = None,
-                 num_shards: int = 4,
+                 num_shards: int | None = None,
                  driver_max_surfaces: int = 2_000_000):
         self.cfg = cfg or PipelineConfig()
         self.checkpoint_root = checkpoint_root
+        # None = auto: shard count scales with input bytes, so resume
+        # granularity grows with the job while per-shard execution
+        # overhead stays amortized (a 100 TB corpus gets ~10^5 shards, a
+        # bench-sized one runs as a single execution)
         self.num_shards = num_shards
         # cutover between driver-side and distributed canonicalization
         self.driver_max_surfaces = driver_max_surfaces
+
+    def _resolve_num_shards(self, files: list[str]) -> int:
+        if self.num_shards is not None:
+            return self.num_shards
+        total = sum(os.path.getsize(f) for f in files)
+        return max(1, min(len(files), total // _TARGET_SHARD_BYTES))
 
     # ------------------------------------------------------------------
     def run(self, corpus_path: str, gazetteer_path: str,
@@ -98,12 +116,14 @@ class KGPipeline:
         # input lineage folded into every stage's resume check: a changed
         # corpus file set or shard layout invalidates old checkpoints
         # instead of silently mixing stale and fresh shards
-        in_lin = {"corpus_files": _list_parquet_files(corpus_path),
-                  "num_shards": self.num_shards}
+        corpus_files = _list_parquet_files(corpus_path)
+        n_shards = self._resolve_num_shards(corpus_files)
+        in_lin = {"corpus_files": corpus_files, "num_shards": n_shards}
 
         # ---- stage 1: extract (sharded over input files) --------------
         _t("start")
-        records = self._extract_stage(corpus_path, gaz, store, resume)
+        records = self._extract_stage(corpus_path, gaz, store, resume,
+                                      n_shards)
         _t("extract_done")
 
         # ---- stage 2: linked mentions ---------------------------------
@@ -146,18 +166,19 @@ class KGPipeline:
                 schema=trip_part_schema)
         else:
             if store is not None:
-                # one scan over both kinds; the parquet reader unifies the
-                # projected per-kind schemas (media's missing pred -> null)
-                rel_media = store.read_all_shards(
-                    "records", path_contains=("rec_kind=relation",
-                                              "rec_kind=media"),
-                    schema=pa.schema(
-                        [RECORD_SCHEMA.field(c) for c in
-                         ("doc_id", "span_idx", "subj", "pred", "obj")]
-                        + [pa.field("rec_kind", pa.string())]))
+                # fused read+resolve over the relation/media partitions:
+                # the corpus-scale relation table never round-trips the
+                # object store between read and resolve tasks
+                from kgeng.ops.triples import emit_triples_fused
+                raw = emit_triples_fused(
+                    store.shard_files("records",
+                                      path_contains="rec_kind=relation"),
+                    store.shard_files("records",
+                                      path_contains="rec_kind=media"),
+                    resolution)
             else:
                 rel_media = _filter_kind(records, ("relation", "media"))
-            raw = emit_triples(rel_media, resolution)
+                raw = emit_triples(rel_media, resolution)
             if store:
                 store.write_stage(
                     "triples", raw, lineage=triples_lin,
@@ -193,7 +214,8 @@ class KGPipeline:
 
     # ------------------------------------------------------------------
     def _extract_stage(self, corpus_path: str, gaz: dict,
-                       store: CheckpointStore | None, resume: bool):
+                       store: CheckpointStore | None, resume: bool,
+                       n_shards: int | None = None):
         cfg = self.cfg
         if store is None:
             docs = ray.data.read_parquet(corpus_path)
@@ -201,7 +223,9 @@ class KGPipeline:
                                    batch_size=cfg.detect_batch_size,
                                    concurrency=(1, 8))
         files = _list_parquet_files(corpus_path)
-        shards = [files[i::self.num_shards] for i in range(self.num_shards)]
+        if n_shards is None:
+            n_shards = self._resolve_num_shards(files)
+        shards = [files[i::n_shards] for i in range(n_shards)]
         shards = [s for s in shards if s]
 
         # drop shard dirs orphaned by a previous layout: read_all_shards
@@ -223,19 +247,13 @@ class KGPipeline:
         # construction does eager path resolution that is not thread-safe
         # in this environment); only the executions run concurrently
         jobs = []
-        ncpu_blocks = int(ray.cluster_resources().get("CPU", 8))
         for i, shard_files in todo:
-            # split each file into several read blocks (row-group level):
-            # enough that one shard saturates the CPUs even with few
-            # files, AND fine-grained enough (4 blocks/CPU) that the last
-            # task wave packs well — at 2 coarse waves a straggler block
-            # idles most of the cluster for the whole tail
-            docs = ray.data.read_parquet(
-                shard_files,
-                override_num_blocks=max(len(shard_files), 16,
-                                        4 * ncpu_blocks))
-            recs = extract_records(docs, gaz,
-                                   batch_size=cfg.detect_batch_size)
+            # fused read+extract: ~detect_batch_size-doc row-group-range
+            # items, one task each — the decoded docs never round-trip
+            # the object store and the task count halves vs
+            # read_parquet -> map_batches (measured 12% at 32 CPUs)
+            recs = extract_records_fused(
+                shard_files, gaz, target_rows=cfg.detect_batch_size)
             jobs.append((i, shard_files, recs))
         # shard-execution concurrency adapts to cluster size: at low CPU
         # counts concurrent shard pipelines just contend (each shard has
@@ -298,13 +316,19 @@ class KGPipeline:
 
         # checkpointed path: extract wrote the per-batch-unique NER
         # surfaces as their own tiny 'surface' partition — read THAT
-        # instead of re-scanning the corpus-scale mention partition
+        # instead of re-scanning the corpus-scale mention partition.
+        # The partition is hundreds of KB-sized files; a Ray Dataset
+        # execution over it costs ~2-3 s of pure scheduling, so when it
+        # is small (bytes-bounded) the driver reads it directly with a
+        # multithreaded pyarrow scan instead.
         surf_set: set[str] = set()
         uniq = None  # Dataset of (possibly batch-duplicated) NER surfaces
         if store is not None:
             files = store.shard_files("records",
                                       path_contains="rec_kind=surface")
-            if files:
+            if files and _total_bytes(files) <= _DRIVER_SIDE_READ_BYTES:
+                surf_set = set(_driver_read_column(files, "surface"))
+            elif files:  # pragma: no cover - extreme cardinality
                 uniq = ray.data.read_parquet(files, columns=["surface"])
         else:
             uniq = linked.map_batches(block_unique,
@@ -327,12 +351,18 @@ class KGPipeline:
                     "b": [p[1] for p in pair_list],
                     "jac": pa.array([p[2] for p in pair_list],
                                     pa.float64())})
-                store.write_stage("pairs", ray.data.from_arrow(tbl),
-                                  lineage={"input": "linked",
-                                           "path": "driver"})
+                store.write_stage_table("pairs", tbl,
+                                        lineage={"input": "linked",
+                                                 "path": "driver"})
             resolution = build_resolution_from_pairs(pair_list, gaz,
                                                      cfg.block)
-        else:  # pragma: no cover - extreme-cardinality fallback
+        else:  # distributed fallback (cutover exceeded)
+            if uniq is None:
+                # surfaces were driver-read (small bytes) but the caller
+                # forces the distributed path (e.g. a tiny cutover in
+                # tests): rebuild the Dataset from the driver-side set
+                uniq = ray.data.from_arrow(
+                    pa.table({"surface": sorted(surf_set)}))
             uniq = uniq.map_batches(
                 lambda t: t.append_column(
                     "is_gaz", pa.array([False] * len(t))),
@@ -385,36 +415,47 @@ class KGPipeline:
         # checkpoint-backed: the triples pass already wrote its per-batch
         # unique entity ids as the tiny 't_kind=eid' partition — read
         # that instead of re-scanning the triple table
+        eid_set: set[str] = set()
+        used = None
         if store is not None:
-            src = store.read_stage_partition(
-                "triples", "t_kind=eid", columns=["subj"],
-                schema=pa.schema([("subj", pa.string())]))
-            used = src.map_batches(
-                lambda t: pa.table({"entity_id": pc.unique(
-                    t["subj"].combine_chunks())}),
-                batch_format="pyarrow")
+            from kgeng.checkpoint import _parquet_files
+            eid_files = _parquet_files(
+                os.path.join(store.stage_dir("triples"), "t_kind=eid"))
+            if _total_bytes(eid_files) <= _DRIVER_SIDE_READ_BYTES:
+                # tiny side partition: multithreaded driver-side scan
+                # beats a whole Ray execution by seconds (same pattern
+                # as the canonicalize surface read)
+                eid_set = set(_driver_read_column(eid_files, "subj"))
+            else:  # pragma: no cover - extreme cardinality
+                src = store.read_stage_partition(
+                    "triples", "t_kind=eid", columns=["subj"],
+                    schema=pa.schema([("subj", pa.string())]))
+                used = src.map_batches(
+                    lambda t: pa.table({"entity_id": pc.unique(
+                        t["subj"].combine_chunks())}),
+                    batch_format="pyarrow")
         else:
             used = triples.map_batches(to_entity_rows,
                                        batch_format="pyarrow")
-        eid_set: set[str] = set()
-        for b in used.iter_batches(batch_format="pyarrow",
-                                   batch_size=65536):
-            eid_set.update(b["entity_id"].to_pylist())
+        if used is not None:
+            for b in used.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536):
+                eid_set.update(b["entity_id"].to_pylist())
         m = ray.get(meta_ref)
         eids = sorted(eid_set)
         rows = [m.get(e, ("", "", [])) for e in eids]
-        entities = ray.data.from_arrow(pa.table({
+        ent_tbl = pa.table({
             "entity_id": pa.array(eids, pa.string()),
             "canon_key": pa.array([r[0] for r in rows], pa.string()),
             "surface_forms": pa.array([r[2] for r in rows],
                                       pa.list_(pa.string())),
             "ent_type": pa.array([r[1] for r in rows], pa.string()),
             "part": pa.array([r[1] for r in rows], pa.string()),
-        }))
+        })
         if store:
-            store.write_stage("entities", entities, lineage=ent_lin)
-            entities = store.read_stage("entities")
-        return entities
+            # driver-resident table: checkpoint without a Ray execution
+            store.write_stage_table("entities", ent_tbl, lineage=ent_lin)
+        return ray.data.from_arrow(ent_tbl)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -431,6 +472,28 @@ class KGPipeline:
                 "ent_type", pa.array(["MEDIA"] * len(t))),
             batch_format="pyarrow")
         return sink.entities_to_vertices(media, smart)
+
+
+# side partitions below this total size are read on the driver with a
+# multithreaded pyarrow scan (a Ray Dataset execution over hundreds of
+# KB-sized files costs seconds of pure scheduling); bigger ones use the
+# distributed read path
+_DRIVER_SIDE_READ_BYTES = 256 << 20
+
+
+def _total_bytes(files: list[str]) -> int:
+    return sum(os.path.getsize(f) for f in files)
+
+
+def _driver_read_column(files: list[str], column: str) -> list[str]:
+    """Unique values of one column across small parquet files — driver
+    side, pyarrow threaded scan, no Ray execution."""
+    if not files:
+        return []
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(files).to_table(columns=[column])
+    return pc.unique(tbl[column].combine_chunks()).to_pylist()
 
 
 def _list_parquet_files(path: str) -> list[str]:

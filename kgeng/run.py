@@ -43,7 +43,7 @@ def main(argv=None):
     kg.add_argument("--out", required=True)
     kg.add_argument("--checkpoint", default=None)
     kg.add_argument("--no-resume", action="store_true")
-    kg.add_argument("--num-shards", type=int, default=4)
+    kg.add_argument("--num-shards", type=int, default=None)  # None = auto (size-based)
 
     sc = sub.add_parser("synth-corpus", help="generate a synthetic corpus")
     sc.add_argument("--n-docs", type=int, required=True)
