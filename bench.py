@@ -72,7 +72,7 @@ def headline_kg(n_docs: int) -> tuple[float, int]:
     res = p.run(os.path.join(d, "corpus"),
                 os.path.join(d, "gazetteer.parquet"))
     n = res["triples"].count()
-    return time.monotonic() - t0, n
+    return time.monotonic() - t0, n, res.get("stage_walls", {})
 
 
 def timed_queries() -> dict[str, float]:
@@ -109,7 +109,7 @@ def main():
     import ray
 
     kg_only = os.environ.get("KG_BENCH_ONLY") == "1"
-    wall, n_triples = headline_kg(BENCH_NDOCS)
+    wall, n_triples, stage_walls = headline_kg(BENCH_NDOCS)
     result = {
         "metric": "kg_e2e_sec",
         "value": round(wall, 3),
@@ -120,6 +120,9 @@ def main():
         "bench_docs": BENCH_NDOCS,
         "n_triples": n_triples,
         "docs_per_sec": round(BENCH_NDOCS / wall, 1),
+        # per-stage walls of the timed run: makes the fixed-cost story
+        # externally checkable run over run (verdict r02 'Next' #9)
+        "stages": stage_walls,
     }
     if not kg_only:
         result["queries"] = timed_queries()
@@ -164,6 +167,8 @@ def scaling(repeats: int = 2, n_docs: int = 1_000_000,
         "hardware_ceiling_4x": hw_ceiling,
         "efficiency_vs_hardware": (round(eff / hw_ceiling, 3)
                                    if hw_ceiling else None),
+        "stages_lo": lo.get("stages", {}),
+        "stages_hi": hi.get("stages", {}),
     }))
 
 

@@ -51,10 +51,13 @@ class BulkHttpSink:
 
     def __init__(self, endpoint: str, collection: str,
                  auth: tuple[str, str] | None = None,
-                 dry_run: bool = True):
+                 dry_run: bool = True,
+                 max_retries: int = 4, backoff_base: float = 0.25):
         self.url = f"{endpoint.rstrip('/')}/_api/document/{collection}"
         self.auth = auth
         self.dry_run = dry_run
+        self.max_retries = max_retries
+        self.backoff_base = backoff_base
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = docs_to_jsonl_rows(batch)
@@ -63,21 +66,50 @@ class BulkHttpSink:
                 "posted": pa.array([0], pa.int64()),
                 "would_post": pa.array([len(rows)], pa.int64()),
             })
-        import requests  # pragma: no cover - env-gated (no network here)
+        import hashlib
+        import time
 
-        resp = requests.post(self.url, json=rows, auth=self.auth)
-        if resp.status_code != 202:  # the reference's accept code
-            raise RuntimeError(
-                f"bulk POST failed ({resp.status_code}): {resp.text[:200]}")
+        import requests
+
+        # idempotency key = bulk content hash: a server that records the
+        # key can drop replays of a bulk whose first attempt actually
+        # landed (timeouts make success ambiguous); retried bulks resend
+        # the SAME key. The reference dies on any failure instead
+        # (general.py:118-119) — a non-starter at 10^7 bulks per job.
+        payload = json.dumps(rows, separators=(",", ":")).encode()
+        idem = hashlib.sha256(payload).hexdigest()[:32]
+        headers = {"Content-Type": "application/json",
+                   "Idempotency-Key": idem}
+        attempt = 0
+        while True:
+            try:
+                resp = requests.post(self.url, data=payload,
+                                     headers=headers, auth=self.auth)
+                if resp.status_code == 202:  # the reference's accept code
+                    break
+                retryable = (resp.status_code >= 500
+                             or resp.status_code == 429)
+                err = f"bulk POST failed ({resp.status_code}): " \
+                      f"{resp.text[:200]}"
+            except requests.ConnectionError as e:  # server hiccup
+                retryable, err = True, f"bulk POST connection error: {e}"
+            if not retryable or attempt >= self.max_retries:
+                raise RuntimeError(err)
+            time.sleep(self.backoff_base * (2 ** attempt))
+            attempt += 1
         return pa.table({"posted": pa.array([len(rows)], pa.int64()),
                          "would_post": pa.array([0], pa.int64())})
 
 
 def post_documents(ds: ray.data.Dataset, endpoint: str, collection: str,
                    auth=None, dry_run: bool = True,
-                   bulk_size: int = 10000) -> dict:
+                   bulk_size: int = 10000,
+                   max_retries: int = 4,
+                   backoff_base: float = 0.25) -> dict:
     """Drive the BulkHttpSink over a Dataset; returns totals."""
-    sink = BulkHttpSink(endpoint, collection, auth, dry_run)
+    sink = BulkHttpSink(endpoint, collection, auth, dry_run,
+                        max_retries=max_retries,
+                        backoff_base=backoff_base)
     out = ds.map_batches(sink, batch_format="pyarrow",
                          batch_size=bulk_size, concurrency=4)
     posted = would = 0

@@ -495,8 +495,9 @@ def plan_read_items(files: list[str],
         rows_per_rg = max(1, md.num_rows // n_rg)
         step = max(1, target_rows // rows_per_rg)
         for lo in range(0, n_rg, step):
-            items.append({"path": f, "rg_lo": lo,
-                          "rg_hi": min(lo + step, n_rg)})
+            hi = min(lo + step, n_rg)
+            items.append({"path": f, "rg_lo": lo, "rg_hi": hi,
+                          "rows": rows_per_rg * (hi - lo)})
     return items
 
 

@@ -82,6 +82,43 @@ def grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
+def _group_count_capped(ds: ray.data.Dataset, key: str, cap: int) -> int:
+    """Distinct-key count, stopping as soon as ``cap`` is exceeded: a
+    column-pruned streaming pass of per-batch uniques, unioned on the
+    driver with early exit — never more than ``cap + batch`` keys held."""
+    import pyarrow.compute as pc
+
+    seen: set = set()
+    uniq = ds.select_columns([key]).map_batches(
+        lambda t: pa.table({key: pc.unique(t[key].combine_chunks())}),
+        batch_format="pyarrow")
+    for b in uniq.iter_batches(batch_size=None, batch_format="pyarrow"):
+        seen.update(b[key].to_pylist())
+        if len(seen) > cap:
+            break
+    return len(seen)
+
+
+def grouped_quantiles_auto(ds: ray.data.Dataset, key: str, value: str,
+                           quantiles: list[float],
+                           max_exact_groups: int = 10_000,
+                           round_to: int = 6,
+                           num_bins: int = 2048) -> ray.data.Dataset:
+    """Executable plan-A/B guard for per-group quantiles (verdict r02
+    'Next' #7): exact ``grouped_quantiles`` while the distinct group
+    count stays at or below ``max_exact_groups`` (each group's values
+    must fit one task), else the mergeable histogram sketch
+    ``approx_grouped_quantiles`` (never collects a group's raw values).
+    The probe is a streaming early-exit distinct count over just the
+    key column."""
+    n = _group_count_capped(ds, key, max_exact_groups)
+    if n > max_exact_groups:
+        return approx_grouped_quantiles(ds, key, value, quantiles,
+                                        num_bins=num_bins,
+                                        round_to=round_to)
+    return grouped_quantiles(ds, key, value, quantiles, round_to=round_to)
+
+
 def approx_grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
                              quantiles: list[float],
                              num_bins: int = 2048,

@@ -168,6 +168,12 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
                 for it in plan_read_items(media_files, target_rows)])
     if not items:
         return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
+    # resolve is ~10x cheaper per row than extract, so one item per
+    # checkpoint file makes overhead-dominated 50 ms tasks; group items
+    # into ~256k-row tasks, floored at 4 tasks/CPU for packing
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    total_rows = sum(it["rows"] for it in items)
+    n_tasks = int(min(len(items), max(total_rows // 262144, 4 * ncpu, 1)))
 
     def read_and_resolve(b: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -187,6 +193,6 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
         return (pa.concat_tables(outs) if outs
                 else TRIPLE_SCHEMA.empty_table())
 
-    src = ray.data.from_items(items).repartition(len(items))
+    src = ray.data.from_items(items).repartition(n_tasks)
     return src.map_batches(read_and_resolve, batch_format="pyarrow",
-                           batch_size=1)
+                           batch_size=None)

@@ -102,10 +102,17 @@ class KGPipeline:
 
         t_start = _time.monotonic()
         timing_on = bool(os.environ.get("KGENG_TIMING"))
+        stage_walls: dict[str, float] = {}
+        last = [t_start]
 
         def _t(label: str):
+            now = _time.monotonic()
+            if label != "start":
+                stage_walls[label.removesuffix("_done")] = round(
+                    now - last[0], 3)
+            last[0] = now
             if timing_on:
-                print(f"KGENG_TIMING {label} {_time.monotonic() - t_start:.2f}",
+                print(f"KGENG_TIMING {label} {now - t_start:.2f}",
                       flush=True)
 
         cfg = self.cfg
@@ -201,7 +208,8 @@ class KGPipeline:
         _t("entities_done")
 
         # ---- stage 6: graph materialization ---------------------------
-        result = {"records": records, "linked": linked, "triples": triples,
+        result = {"stage_walls": stage_walls,
+                  "records": records, "linked": linked, "triples": triples,
                   "entities": entities, "resolution": resolution}
         if out_dir:
             smart = cfg.smart

@@ -709,10 +709,10 @@ def top2_orders_per_cust(sf_dir: str):
 def price_quantiles_by_priority(sf_dir: str):
     """Exact per-group quantiles (quantile_cont semantics) of order
     totalprice per orderpriority."""
-    from kgeng.ops.rank import grouped_quantiles
+    from kgeng.ops.rank import grouped_quantiles_auto
 
     ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    out = grouped_quantiles(ds, key="o_orderpriority",
+    out = grouped_quantiles_auto(ds, key="o_orderpriority",
                             value="o_totalprice",
                             quantiles=[0.5, 0.9])
 

@@ -143,7 +143,7 @@ def test_http_bulk_sink_live_post():
         with pytest.raises(Exception, match="bulk POST failed"):
             post_documents(ray.data.from_arrow(t),
                            f"http://127.0.0.1:{port}", "broken",
-                           dry_run=False, bulk_size=50)
+                           dry_run=False, bulk_size=50, max_retries=0)
     finally:
         srv.shutdown()
         srv.server_close()
@@ -233,3 +233,47 @@ def test_wrap_flat_documents_runs_through_extract():
     recs = extract_records(docs, gazetteer={})
     out = recs.take_all()  # runs end-to-end; content has no capitalized
     assert isinstance(out, list)  # runs; likely zero mentions, that's fine
+
+
+def test_http_bulk_sink_retries_transient_failures():
+    """Verdict r02 'Next' #8: a 500-then-202 sequence must succeed via
+    retry with the SAME Idempotency-Key (bulk content hash), so a server
+    that records keys can drop ambiguous replays."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from kgeng.io.bulk_sink import post_documents
+
+    seen = {"n": 0, "keys": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            seen["n"] += 1
+            seen["keys"].append(self.headers.get("Idempotency-Key"))
+            if seen["n"] == 1:          # first attempt: transient failure
+                self.send_response(500)
+            else:
+                self.send_response(202)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t = pa.table({"_key": [str(i) for i in range(5)],
+                      "weight": [None] * 5})
+        res = post_documents(ray.data.from_arrow(t),
+                             f"http://127.0.0.1:{port}", "vertices",
+                             dry_run=False, bulk_size=10,
+                             backoff_base=0.01)
+        assert res == {"posted": 5, "dry_run_rows": 0}
+        assert seen["n"] == 2
+        assert seen["keys"][0] == seen["keys"][1]  # same key on retry
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -340,3 +340,38 @@ def test_minhash_dedup_idempotent():
         for j in range(12):
             if texts[i] == texts[j]:
                 assert a[f"d{i}"] == a[f"d{j}"]
+
+
+def test_grouped_quantiles_auto_cutover():
+    """The exact/sketch guard must be executable: low group count routes
+    to the exact path (matches numpy quantile), high group count routes
+    to the histogram sketch (bounded error, no raw-value collection)."""
+    from kgeng.ops import rank
+
+    rng = np.random.default_rng(21)
+    # low cardinality: 3 groups -> exact
+    t = pa.table({"k": [f"g{i % 3}" for i in range(3000)],
+                  "v": rng.normal(100, 10, 3000)})
+    ds = ray.data.from_arrow(t)
+    out = {(r["k"], r["q"]): r["quantile_value"]
+           for r in rank.grouped_quantiles_auto(
+               ds, "k", "v", [0.5], max_exact_groups=10).take_all()}
+    import numpy as _np
+    for g in range(3):
+        vals = t.filter(pa.compute.equal(t["k"], f"g{g}"))["v"].to_numpy()
+        assert abs(out[(f"g{g}", 0.5)]
+                   - round(float(_np.quantile(vals, 0.5)), 6)) < 1e-9
+    # high cardinality (> cap) -> sketch; error bounded by bucket width
+    n_groups = 500
+    t2 = pa.table({"k": [f"h{i % n_groups}" for i in range(20000)],
+                   "v": rng.uniform(0, 1000, 20000)})
+    ds2 = ray.data.from_arrow(t2)
+    out2 = {(r["k"], r["q"]): r["quantile_value"]
+            for r in rank.grouped_quantiles_auto(
+                ds2, "k", "v", [0.5], max_exact_groups=100,
+                num_bins=512).take_all()}
+    assert len(out2) == n_groups
+    vals0 = t2.filter(pa.compute.equal(t2["k"], "h0"))["v"].to_numpy()
+    width = (vals0.max() - vals0.min()) / 512
+    assert abs(out2[("h0", 0.5)] - float(_np.quantile(vals0, 0.5))) \
+        <= width * 8  # interpolation-free estimate within a few buckets
