@@ -39,6 +39,7 @@ parser re-evaluates per line, ``graphalytics_importer.py:112-124``).
 
 from __future__ import annotations
 
+import json
 import re
 
 import numpy as np
@@ -484,11 +485,16 @@ def plan_read_items(files: list[str],
     ~``target_rows`` docs each — the task grain for the fused reader.
     One cheap footer read per file on the driver; a 245-file corpus
     plans in ~0.2 s."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
+    # footer reads release the GIL; threading turns ~500 serial reads
+    # (~0.5-1 s of driver time per stage) into ~50 ms
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        metas = list(ex.map(pq.read_metadata, files))
     items = []
-    for f in files:
-        md = pq.read_metadata(f)
+    for f, md in zip(files, metas):
         n_rg = md.num_row_groups
         if n_rg == 0:
             continue
@@ -501,6 +507,42 @@ def plan_read_items(files: list[str],
     return items
 
 
+def item_source(items: list[dict], n_tasks: int) -> ray.data.Dataset:
+    """A Dataset with ``n_tasks`` blocks, each carrying one contiguous
+    slice of ``items`` as a list column. Built from ``ray.data.range``
+    (lazy — blocks materialize in tasks) plus ONE broadcast of the item
+    list: driver-side block creation (``from_items`` / ``repartition``)
+    costs ~20 ms of plasma put per block on this host, ~1 s of plan
+    time per fused stage."""
+    n_tasks = max(1, min(n_tasks, len(items)))
+    bounds = [len(items) * i // n_tasks for i in range(n_tasks + 1)]
+    groups = [items[bounds[i]:bounds[i + 1]] for i in range(n_tasks)]
+    ref = ray.put(groups)
+
+    def attach(b: pa.Table) -> pa.Table:
+        g = ray.get(ref)
+        rows = [g[i] for i in b["id"].to_pylist()]
+        return pa.table({"items": pa.array(
+            [[json.dumps(it) for it in row] for row in rows],
+            pa.list_(pa.string()))})
+
+    src = ray.data.range(n_tasks, override_num_blocks=n_tasks)
+    return src.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def _iter_item_tables(batch: pa.Table):
+    """Yield (item_dict, row-group table) for every item in a fused
+    batch produced by ``item_source``."""
+    import pyarrow.parquet as pq
+
+    for encoded in batch["items"].to_pylist():
+        for s in encoded:
+            it = json.loads(s)
+            t = pq.ParquetFile(it["path"]).read_row_groups(
+                list(range(it["rg_lo"], it["rg_hi"])))
+            yield it, t
+
+
 def extract_records_fused(files: list[str], gazetteer: dict,
                           detect_cfg: DetectConfig | None = None,
                           target_rows: int = 4096) -> ray.data.Dataset:
@@ -511,22 +553,18 @@ def extract_records_fused(files: list[str], gazetteer: dict,
     faster than ``read_parquet -> map_batches`` at 32 CPUs on the 1M-doc
     bench corpus (the decoded docs are ~890 MB of plasma traffic the
     fused path never pays)."""
-    import pyarrow.parquet as pq
-
     gaz_ref = ray.put(gazetteer)
     key = gaz_ref.hex()
     cfg = detect_cfg
     items = plan_read_items(files, target_rows)
+    if not items:
+        return ray.data.from_arrow(RECORD_SCHEMA.empty_table())
 
     def read_and_extract(b: pa.Table) -> pa.Table:
-        outs = []
-        for path, lo, hi in zip(b["path"].to_pylist(),
-                                b["rg_lo"].to_pylist(),
-                                b["rg_hi"].to_pylist()):
-            t = pq.ParquetFile(path).read_row_groups(list(range(lo, hi)))
-            outs.append(_cached_extract(key, gaz_ref, cfg, t))
-        return pa.concat_tables(outs)
+        outs = [_cached_extract(key, gaz_ref, cfg, t)
+                for _it, t in _iter_item_tables(b)]
+        return (pa.concat_tables(outs) if outs
+                else RECORD_SCHEMA.empty_table())
 
-    src = ray.data.from_items(items).repartition(len(items))
-    return src.map_batches(read_and_extract, batch_format="pyarrow",
-                           batch_size=1)
+    return item_source(items, len(items)).map_batches(
+        read_and_extract, batch_format="pyarrow", batch_size=None)

@@ -175,24 +175,19 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
     total_rows = sum(it["rows"] for it in items)
     n_tasks = int(min(len(items), max(total_rows // 262144, 4 * ncpu, 1)))
 
-    def read_and_resolve(b: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
+    from kgeng.ops.extract import _iter_item_tables, item_source
 
+    def read_and_resolve(b: pa.Table) -> pa.Table:
         outs = []
-        for path, lo, hi, kind in zip(b["path"].to_pylist(),
-                                      b["rg_lo"].to_pylist(),
-                                      b["rg_hi"].to_pylist(),
-                                      b["kind"].to_pylist()):
-            t = pq.ParquetFile(path).read_row_groups(list(range(lo, hi)))
+        for it, t in _iter_item_tables(b):
             if "pred" not in t.column_names:      # media projection
                 t = t.append_column("pred",
                                     pa.array([""] * len(t), pa.string()))
-            t = t.append_column("rec_kind",
-                                pa.array([kind] * len(t), pa.string()))
+            t = t.append_column(
+                "rec_kind", pa.array([it["kind"]] * len(t), pa.string()))
             outs.append(_cached_resolve(key, res_ref, t))
         return (pa.concat_tables(outs) if outs
                 else TRIPLE_SCHEMA.empty_table())
 
-    src = ray.data.from_items(items).repartition(n_tasks)
-    return src.map_batches(read_and_resolve, batch_format="pyarrow",
-                           batch_size=None)
+    return item_source(items, n_tasks).map_batches(
+        read_and_resolve, batch_format="pyarrow", batch_size=None)
