@@ -8,12 +8,14 @@ corpus plus a set of representative queries over ``$GRAFT_SF_DIR`` (default
     {"metric": "kg_e2e_sec", "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
-``--scaling``: runs the headline job in fresh subprocesses at num_cpus=8
-and num_cpus=32 on the SAME corpus (best of ``--repeats`` runs each, the
-host shows +/-20% run-to-run noise), reports both throughputs, the scaling
-efficiency T8/(4*T32), and the measured hardware ceiling (raw
-multiprocessing scaling of a regex kernel on this box — CPU frequency
-scaling caps ANY 4x-CPU speedup at ~0.79 here, see BASELINE.md).
+``--scaling``: paired protocol — each repeat runs the headline job at
+num_cpus=8 then num_cpus=32 BACK TO BACK in fresh subprocesses on the
+SAME corpus, computes that pair's efficiency T8/(4*T32) plus the hardware
+ceiling measured in the same window (raw multiprocessing scaling of a
+regex kernel — CPU frequency scaling caps ANY 4x-CPU speedup well below
+1.0 on this box, see BASELINE.md), and reports the MEDIAN per-pair
+efficiency. Pairing matters: the host's all-core throughput swings
++/-20% across minutes, so lo/hi measured in different windows is noise.
 """
 
 from __future__ import annotations
@@ -133,42 +135,66 @@ def main():
 
 def scaling(repeats: int = 2, n_docs: int = 1_000_000,
             lo_cpus: int = 8, hi_cpus: int = 32):
-    def run(ncpu: int) -> dict:
-        best = None
-        for _ in range(repeats):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       KG_BENCH_NDOCS=str(n_docs), KG_BENCH_ONLY="1")
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                env=env, capture_output=True, text=True, check=True).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+    """Paired protocol: each repeat runs lo then hi BACK TO BACK (fresh
+    subprocess each) and computes that pair's efficiency, plus the
+    hardware ceiling measured in the same window. The headline is the
+    MEDIAN per-pair efficiency — the host's all-core throughput swings
+    +/-20% across minutes, so an efficiency computed from a fast-moment
+    T_lo and a slow-moment T_hi (or vice versa) is meaningless; paired
+    measurements share the window."""
+    import statistics
 
-    lo, hi = run(lo_cpus), run(hi_cpus)
-    eff = lo["value"] / (4 * hi["value"])
-    # hardware ceiling: raw multiprocessing scaling of a regex kernel
-    hw = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "cpu_ceiling.py")],
-        capture_output=True, text=True).stdout.strip()
-    try:
-        hw_ceiling = float(hw.splitlines()[-1])
-    except (ValueError, IndexError):
-        hw_ceiling = None
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   KG_BENCH_NDOCS=str(n_docs), KG_BENCH_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def ceiling() -> float | None:
+        hw = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "cpu_ceiling.py")],
+            capture_output=True, text=True).stdout.strip()
+        try:
+            return float(hw.splitlines()[-1])
+        except (ValueError, IndexError):
+            return None
+
+    factor = hi_cpus / lo_cpus
+    pairs = []
+    for _ in range(repeats):
+        lo = run_once(lo_cpus)
+        hi = run_once(hi_cpus)
+        hw = ceiling()
+        eff = lo["value"] / (factor * hi["value"])
+        pairs.append({
+            "sec_lo": lo["value"], "sec_hi": hi["value"],
+            "efficiency": round(eff, 3),
+            "hardware_ceiling": hw,
+            "efficiency_vs_hardware": (round(eff / hw, 3) if hw
+                                       else None),
+            "stages_lo": lo.get("stages", {}),
+            "stages_hi": hi.get("stages", {}),
+        })
+    med = statistics.median(p["efficiency"] for p in pairs)
+    vs_hw = [p["efficiency_vs_hardware"] for p in pairs
+             if p["efficiency_vs_hardware"] is not None]
+    med_vs_hw = statistics.median(vs_hw) if vs_hw else None
+    best_lo = min(p["sec_lo"] for p in pairs)
+    best_hi = min(p["sec_hi"] for p in pairs)
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}",
         "bench_docs": n_docs,
         "lo_cpus": lo_cpus, "hi_cpus": hi_cpus,
-        "sec_lo": lo["value"], "sec_hi": hi["value"],
-        "docs_per_sec_lo": lo["docs_per_sec"],
-        "docs_per_sec_hi": hi["docs_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "hardware_ceiling_4x": hw_ceiling,
-        "efficiency_vs_hardware": (round(eff / hw_ceiling, 3)
-                                   if hw_ceiling else None),
-        "stages_lo": lo.get("stages", {}),
-        "stages_hi": hi.get("stages", {}),
+        "sec_lo": best_lo, "sec_hi": best_hi,
+        "docs_per_sec_lo": round(n_docs / best_lo, 1),
+        "docs_per_sec_hi": round(n_docs / best_hi, 1),
+        "scaling_efficiency": round(med, 3),
+        "efficiency_vs_hardware": (round(med_vs_hw, 3)
+                                   if med_vs_hw is not None else None),
+        "pairs": pairs,
     }))
 
 
