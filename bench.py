@@ -155,7 +155,8 @@ def scaling(repeats: int = 2, n_docs: int = 1_000_000,
     def ceiling() -> float | None:
         hw = subprocess.run(
             [sys.executable,
-             os.path.join(REPO, "scripts", "cpu_ceiling.py")],
+             os.path.join(REPO, "scripts", "cpu_ceiling.py"),
+             str(lo_cpus), str(hi_cpus)],
             capture_output=True, text=True).stdout.strip()
         try:
             return float(hw.splitlines()[-1])

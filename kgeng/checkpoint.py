@@ -127,6 +127,12 @@ class CheckpointStore:
             for (part, _path), n in part_counts.items():
                 by_part[part] = by_part.get(part, 0) + n
             metrics["rows_by_partition"] = by_part
+            # per-file receipts (stage-dir-relative): downstream fused
+            # readers plan row-group ranges from these instead of
+            # re-reading every part file's footer on the driver
+            metrics["file_rows"] = {
+                os.path.relpath(path, tmp): n
+                for (_part, path), n in part_counts.items()}
         else:
             files = _parquet_files(tmp)
             n_files = len(files)
@@ -232,6 +238,30 @@ class CheckpointStore:
                     else tuple(path_contains))
             files = [f for f in files if any(p in f for p in opts)]
         return files
+
+    def shard_file_rows(self, stage: str) -> dict[str, int] | None:
+        """Absolute path -> row count for every part file of a sharded
+        stage, assembled from the per-shard manifests' ``file_rows``
+        receipts (written by ``write_stage``'s partitioned path). Returns
+        ``None`` when any shard manifest lacks receipts (pre-receipt
+        checkpoint) — callers fall back to footer reads."""
+        base = os.path.join(self.root, stage)
+        out: dict[str, int] = {}
+        for dname in sorted(os.listdir(base)):
+            if not dname.startswith("shard="):
+                continue
+            try:
+                with open(os.path.join(base, dname,
+                                       "_MANIFEST.json")) as f:
+                    meta = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                return None
+            fr = (meta.get("metrics") or {}).get("file_rows")
+            if fr is None:
+                return None
+            for rel, n in fr.items():
+                out[os.path.join(base, dname, rel)] = n
+        return out
 
     def read_all_shards(self, stage: str,
                         path_contains: str | None = None,

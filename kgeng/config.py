@@ -68,8 +68,11 @@ class PipelineConfig:
     # bump to invalidate old checkpoints when the RECORD layout changes
     # (v2: link columns folded into extract's mention records;
     #  v3: per-batch-unique NER surfaces as a 'surface' side partition;
-    #  v4: triples checkpoint hive-partitioned t_kind=triple|eid)
-    pipeline_version: int = 4
+    #  v4: triples checkpoint hive-partitioned t_kind=triple|eid;
+    #  v5: both-exact triples early-emitted by extract as the records
+    #      'triple'/'eid' partitions — the triples stage resolves only
+    #      the alias-dependent residue)
+    pipeline_version: int = 5
     seed: int = 20260817
     smart: SmartGraphConfig = field(default_factory=SmartGraphConfig)
     detect: DetectConfig = field(default_factory=DetectConfig)

@@ -324,6 +324,16 @@ class Extract:
             cand = is_text
         cand_np = cand.to_numpy(zero_copy_only=False)
         cand_idx = np.flatnonzero(cand_np)
+        # adaptive prefilter: the re2 pre-pass pays for itself only when it
+        # actually filters (it re-scans every byte; ~5% of batch time). If
+        # a large batch shows >=95% of text spans are candidates anyway,
+        # drop the prefilter for this worker's later batches — skipping it
+        # treats all text spans as candidates, which is exactly the
+        # fallback semantics, so output is identical either way.
+        if self.prefilter is not None and len(cand_np) >= 4096:
+            n_text = pc.sum(pc.cast(is_text, pa.int64())).as_py() or 0
+            if n_text and cand_idx.size >= 0.95 * n_text:
+                self.prefilter = None
         texts = (text_arr.take(pa.array(cand_idx)).to_pylist()
                  if len(cand_idx) else [])
         if texts and any(x is None for x in texts):
@@ -396,11 +406,54 @@ class Extract:
                     subj = [cap_surf[i] for i in first_cap]
                     obj = [cap_surf[i + 1] for i in first_cap]
                     d, s = to_doc(rel_spans)
-                    parts.append(self._tbl(
-                        "relation", pc.take(doc_id_arr, pa.array(d)), s,
-                        np.zeros(len(d), np.int32), "", "", "",
-                        subj, preds, obj))
-                    # relation subjects per doc, span order (d is sorted)
+                    # EARLY TRIPLE EMISSION: a relation whose subject AND
+                    # object both exact-match the gazetteer is fully
+                    # determined here — canonicalization maps every
+                    # gazetteer surface to its own entity (via_alias=False,
+                    # ops/canonicalize.py:_resolve_components), so the
+                    # downstream resolve would emit exactly
+                    # (eid_s, pred, eid_o, conf=1.0). Emitting it in THIS
+                    # pass moves ~3/4 of triple emission into the
+                    # corpus-linear extract stage and shrinks the
+                    # resolve-barrier stage to the alias-dependent residue.
+                    gaz_get = self.gaz.get
+                    s_hit = [gaz_get(x) for x in subj]
+                    o_hit = [gaz_get(x) for x in obj]
+                    early = np.fromiter(
+                        (a is not None and b is not None
+                         for a, b in zip(s_hit, o_hit)),
+                        np.bool_, len(subj))
+                    if early.any():
+                        e_idx = np.flatnonzero(early)
+                        e_subj = [s_hit[i][0] for i in e_idx]
+                        e_obj = [o_hit[i][0] for i in e_idx]
+                        parts.append(self._tbl(
+                            "triple", pc.take(doc_id_arr,
+                                              pa.array(d[e_idx])),
+                            s[e_idx], np.zeros(len(e_idx), np.int32),
+                            "", "", "", e_subj,
+                            [preds[i] for i in e_idx], e_obj))
+                        # side output: the batch's unique early-triple
+                        # entity ids (same pattern as 'surface'), so the
+                        # entities stage reads a tiny partition
+                        eids = sorted(set(e_subj) | set(e_obj))
+                        parts.append(self._tbl(
+                            "eid", pa.array([""] * len(eids)),
+                            np.zeros(len(eids), np.int32),
+                            np.zeros(len(eids), np.int32),
+                            "", "", "", eids, "", ""))
+                    if not early.all():
+                        p_idx = np.flatnonzero(~early)
+                        parts.append(self._tbl(
+                            "relation", pc.take(doc_id_arr,
+                                                pa.array(d[p_idx])),
+                            s[p_idx], np.zeros(len(p_idx), np.int32),
+                            "", "", "", [subj[i] for i in p_idx],
+                            [preds[i] for i in p_idx],
+                            [obj[i] for i in p_idx]))
+                    # relation subjects per doc, span order (d is sorted);
+                    # collected from ALL relations — media subjects do not
+                    # depend on the early/pending split
                     for di, sj in zip(d.tolist(), subj):
                         rel_doc_subjects.setdefault(di, []).append(sj)
 
@@ -530,17 +583,56 @@ def item_source(items: list[dict], n_tasks: int) -> ray.data.Dataset:
     return src.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
+def plan_items_from_rows(files: list[str], file_rows: dict[str, int],
+                         target_rows: int = 4096,
+                         row_group_size: int = 65536) -> list[dict]:
+    """Plan read items from writer-recorded per-file row counts (the
+    checkpoint manifests' ``file_rows`` receipts) — ZERO driver-side
+    footer reads. Row-group boundaries are estimated from the writer's
+    ``row_group_size``; each file's last item is open-ended
+    (``rg_hi=-1``) and ``_iter_item_tables`` clamps ranges to the actual
+    group count, so an estimation mismatch can never drop or duplicate
+    rows. Files missing from ``file_rows`` fall back to a footer read."""
+    items: list[dict] = []
+    unknown: list[str] = []
+    for f in files:
+        rows = file_rows.get(f)
+        if rows is None:
+            unknown.append(f)
+            continue
+        if rows == 0:
+            continue
+        est_rg = max(1, -(-rows // row_group_size))
+        rows_per_rg = max(1, rows // est_rg)
+        step = max(1, target_rows // rows_per_rg)
+        for lo in range(0, est_rg, step):
+            hi = min(lo + step, est_rg)
+            items.append({"path": f, "rg_lo": lo,
+                          "rg_hi": -1 if hi >= est_rg else hi,
+                          "rows": rows_per_rg * (hi - lo)})
+    if unknown:
+        items.extend(plan_read_items(unknown, target_rows))
+    return items
+
+
 def _iter_item_tables(batch: pa.Table):
     """Yield (item_dict, row-group table) for every item in a fused
-    batch produced by ``item_source``."""
+    batch produced by ``item_source``. ``rg_hi`` of -1 (or past the end)
+    means "to the file's last row group" — ranges are clamped against
+    the actual footer, which is read HERE, in the worker."""
     import pyarrow.parquet as pq
 
     for encoded in batch["items"].to_pylist():
         for s in encoded:
             it = json.loads(s)
-            t = pq.ParquetFile(it["path"]).read_row_groups(
-                list(range(it["rg_lo"], it["rg_hi"])))
-            yield it, t
+            pf = pq.ParquetFile(it["path"])
+            n_rg = pf.metadata.num_row_groups
+            lo, hi = it["rg_lo"], it["rg_hi"]
+            if hi < 0 or hi > n_rg:
+                hi = n_rg
+            if lo >= hi:
+                continue
+            yield it, pf.read_row_groups(list(range(lo, hi)))
 
 
 def extract_records_fused(files: list[str], gazetteer: dict,

@@ -148,24 +148,33 @@ def emit_triples(records: ray.data.Dataset,
 
 def emit_triples_fused(relation_files: list[str], media_files: list[str],
                        resolution: dict[str, tuple[str, bool]],
-                       target_rows: int = 16384) -> ray.data.Dataset:
+                       target_rows: int = 16384,
+                       file_rows: dict[str, int] | None = None
+                       ) -> ray.data.Dataset:
     """Fused read+resolve over checkpointed record partitions: each task
     reads its own row-group range and resolves it in-process, so the
     corpus-scale relation table never round-trips the object store
     between a read operator and the resolve map (same pattern and
     rationale as ``extract_records_fused``).
 
+    ``file_rows`` (the records manifests' per-file receipts) lets the
+    plan skip all driver-side footer reads — worth ~0.35 s of fixed
+    per-run cost at 490 part files.
+
     The per-kind checkpoint projections drop ``rec_kind`` (and media's
     ``pred``) from the files; both are reconstructed per item from the
     file's partition."""
-    from kgeng.ops.extract import plan_read_items
+    from kgeng.ops.extract import plan_items_from_rows, plan_read_items
+
+    def plan(files: list[str]) -> list[dict]:
+        if file_rows is not None:
+            return plan_items_from_rows(files, file_rows, target_rows)
+        return plan_read_items(files, target_rows)
 
     res_ref = ray.put(resolution)
     key = res_ref.hex()
-    items = ([dict(it, kind="relation")
-              for it in plan_read_items(relation_files, target_rows)]
-             + [dict(it, kind="media")
-                for it in plan_read_items(media_files, target_rows)])
+    items = ([dict(it, kind="relation") for it in plan(relation_files)]
+             + [dict(it, kind="media") for it in plan(media_files)])
     if not items:
         return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
     # resolve is ~10x cheaper per row than extract, so one item per

@@ -50,6 +50,11 @@ _REC_PROJECTIONS = {
     "relation": ["doc_id", "span_idx", "subj", "pred", "obj"],
     "media": ["doc_id", "span_idx", "subj", "obj"],
     "surface": ["surface"],  # per-batch unique NER surfaces (side output)
+    # early-emitted final triples (both surfaces exact-gazetteer; conf is
+    # always 1.0 by construction, so it is not stored) + their per-batch
+    # unique entity ids — see ops/extract.py early emission
+    "triple": ["doc_id", "subj", "pred", "obj"],
+    "eid": ["subj"],
 }
 
 
@@ -161,45 +166,74 @@ class KGPipeline:
         _t("canonicalize_done")
 
         # ---- stage 4: triples -----------------------------------------
+        # Most triples (both surfaces exact-gazetteer) were ALREADY
+        # emitted by the extract pass as the records 'triple' partition;
+        # this stage resolves only the alias-dependent residue (pending
+        # relations + media) against the canonicalization map, then the
+        # result is the union of the two.
         triple_cols = ["subj", "pred", "obj", "doc_id", "confidence"]
         triples_lin = {"input": "records+resolution", **in_lin}
         from kgeng.ops.triples import TRIPLE_SCHEMA
         trip_part_schema = pa.schema(
             [TRIPLE_SCHEMA.field(c) for c in triple_cols])
+        early_schema = pa.schema([("subj", pa.string()),
+                                  ("pred", pa.string()),
+                                  ("obj", pa.string()),
+                                  ("doc_id", pa.string())])
+
+        def _conf1(t: pa.Table) -> pa.Table:
+            import numpy as np
+            return pa.table({
+                "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+                "doc_id": t["doc_id"],
+                "confidence": pa.array(
+                    np.full(len(t), 1.0, dtype=np.float32)),
+            })
+
+        if store is not None:
+            early = store.read_all_shards(
+                "records", path_contains="rec_kind=triple",
+                columns=["subj", "pred", "obj", "doc_id"],
+                schema=early_schema).map_batches(
+                    _conf1, batch_format="pyarrow")
+        else:
+            early = _filter_kind(records, ("triple",)).map_batches(
+                _conf1, batch_format="pyarrow")
         if store and resume and store.is_done("triples",
                                               lineage=triples_lin):
-            triples = store.read_stage_partition(
+            pending = store.read_stage_partition(
                 "triples", "t_kind=triple", columns=triple_cols,
                 schema=trip_part_schema)
         else:
             if store is not None:
                 # fused read+resolve over the relation/media partitions:
-                # the corpus-scale relation table never round-trips the
-                # object store between read and resolve tasks
+                # the residue table never round-trips the object store
+                # between read and resolve tasks; per-file receipts from
+                # the records manifests make the plan footer-read-free
                 from kgeng.ops.triples import emit_triples_fused
                 raw = emit_triples_fused(
                     store.shard_files("records",
                                       path_contains="rec_kind=relation"),
                     store.shard_files("records",
                                       path_contains="rec_kind=media"),
-                    resolution)
-            else:
-                rel_media = _filter_kind(records, ("relation", "media"))
-                raw = emit_triples(rel_media, resolution)
-            if store:
+                    resolution,
+                    file_rows=store.shard_file_rows("records"))
                 store.write_stage(
                     "triples", raw, lineage=triples_lin,
                     partition_cols=["t_kind"],
                     partition_projections={"triple": triple_cols,
                                            "eid": ["subj"]})
-                triples = store.read_stage_partition(
+                pending = store.read_stage_partition(
                     "triples", "t_kind=triple", columns=triple_cols,
                     schema=trip_part_schema)
             else:
-                triples = raw.map_batches(
+                rel_media = _filter_kind(records, ("relation", "media"))
+                raw = emit_triples(rel_media, resolution)
+                pending = raw.map_batches(
                     lambda t: t.filter(pc.equal(t["t_kind"], "triple"))
                     .drop_columns(["t_kind"]),
                     batch_format="pyarrow")
+        triples = pending.union(early)
         _t("triples_done")
 
         # ---- stage 5: canonical entities ------------------------------
@@ -427,17 +461,20 @@ class KGPipeline:
         used = None
         if store is not None:
             from kgeng.checkpoint import _parquet_files
-            eid_files = _parquet_files(
+            # early-emitted triples record their ids in the records 'eid'
+            # partition; pending (alias-resolved) ones in triples
+            # 't_kind=eid' — the entity-id universe is the union
+            eid_files = (_parquet_files(
                 os.path.join(store.stage_dir("triples"), "t_kind=eid"))
+                + store.shard_files("records",
+                                    path_contains="rec_kind=eid"))
             if _total_bytes(eid_files) <= _DRIVER_SIDE_READ_BYTES:
-                # tiny side partition: multithreaded driver-side scan
+                # tiny side partitions: multithreaded driver-side scan
                 # beats a whole Ray execution by seconds (same pattern
                 # as the canonicalize surface read)
                 eid_set = set(_driver_read_column(eid_files, "subj"))
             else:  # pragma: no cover - extreme cardinality
-                src = store.read_stage_partition(
-                    "triples", "t_kind=eid", columns=["subj"],
-                    schema=pa.schema([("subj", pa.string())]))
+                src = ray.data.read_parquet(eid_files, columns=["subj"])
                 used = src.map_batches(
                     lambda t: pa.table({"entity_id": pc.unique(
                         t["subj"].combine_chunks())}),
