@@ -314,9 +314,16 @@ def _write_partitioned(ds: ray.data.Dataset, out_dir: str,
     of duplicating it, while two distinct blocks can never map to the
     same path (a first-cell+count signature could collide when one doc's
     records span multiple full batches). Two blocks with byte-identical
-    rows do collapse — impossible for records carrying (doc_id, span_idx,
-    offset) provenance."""
+    rows do collapse to one file — impossible for records carrying
+    (doc_id, span_idx, offset) provenance, and harmless for the 'surface'
+    / 'eid' side partitions (per-batch unique sets that are unioned and
+    deduped downstream, so collapsing duplicates is a free dedup). The
+    scratch file each writer renames from is suffixed with a uuid so two
+    tasks that DO produce identical content never race on the same tmp
+    path (observed: concurrent identical 'eid' blocks — writer A renamed
+    the tmp file writer B had just re-created, then B's rename ENOENTed)."""
     import hashlib
+    import uuid
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -349,8 +356,9 @@ def _write_partitioned(ds: ray.data.Dataset, out_dir: str,
             d = os.path.join(out_dir, f"{col}={val}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"part-{content_sig(part)}.parquet")
-            pq.write_table(part, path + ".tmp", row_group_size=65536)
-            os.replace(path + ".tmp", path)
+            tmp_path = f"{path}.{uuid.uuid4().hex}.tmp"
+            pq.write_table(part, tmp_path, row_group_size=65536)
+            os.replace(tmp_path, path)
             parts.append(f"{col}={val}")
             paths.append(path)
             written.append(len(part))

@@ -267,3 +267,26 @@ def test_degenerate_corpus_zero_triples(tmp_path_factory):
     res2 = KGPipeline(checkpoint_root=os.path.join(root, "ck"),
                       num_shards=1).run(cdir, gazp)
     assert res2["triples"].count() == 0
+
+
+def test_identical_content_blocks_write_safely(tmp_path_factory):
+    """Two blocks with byte-identical content (the per-batch 'eid' side
+    partitions routinely repeat the same small id set) must collapse to
+    one content-keyed part file without racing on a shared tmp path, and
+    the manifest receipts must match the rows actually on disk."""
+    import pyarrow as pa
+
+    from kgeng.checkpoint import _parquet_files, _write_partitioned
+
+    out = str(tmp_path_factory.mktemp("ident_blocks"))
+    tbl = pa.table({"rec_kind": ["eid"] * 3, "subj": ["E1", "E2", "E3"]})
+    # many identical blocks written concurrently: before the uuid tmp
+    # suffix this raced (writer A renamed the tmp writer B re-created)
+    ds = ray.data.from_arrow([tbl] * 16)
+    receipts = _write_partitioned(ds, out, ["rec_kind"],
+                                  projections={"eid": ["subj"]})
+    files = _parquet_files(out)
+    assert len(files) == 1  # identical content collapses to one part
+    assert pq.read_table(files[0])["subj"].to_pylist() == ["E1", "E2", "E3"]
+    ((key, rows),) = receipts.items()
+    assert key[0] == "rec_kind=eid" and rows == 3
