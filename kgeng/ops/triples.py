@@ -13,6 +13,8 @@ through alias canonicalization; media triples are 1.0.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -179,10 +181,14 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
         return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
     # resolve is ~10x cheaper per row than extract, so one item per
     # checkpoint file makes overhead-dominated 50 ms tasks; group items
-    # into ~256k-row tasks, floored at 4 tasks/CPU for packing
+    # into ~128k-row tasks, floored at 2 tasks/CPU for packing (measured
+    # sweep on the 1M-doc bench checkpoint: 32/64 total tasks beat both
+    # 128 tiny tasks at 32 CPUs and 16 coarse tasks at 8 CPUs)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     total_rows = sum(it["rows"] for it in items)
-    n_tasks = int(min(len(items), max(total_rows // 262144, 4 * ncpu, 1)))
+    floor_mult = int(os.environ.get("KG_TRI_FLOOR", "2"))
+    n_tasks = int(min(len(items),
+                      max(total_rows // 131072, floor_mult * ncpu, 1)))
 
     from kgeng.ops.extract import _iter_item_tables, item_source
 

@@ -58,6 +58,41 @@ _REC_PROJECTIONS = {
 }
 
 
+class LazyResult(dict):
+    """``KGPipeline.run``'s result mapping. Dataset values registered via
+    :meth:`lazy` are built on first ``[]``/``get`` access: constructing a
+    ``ray.data.read_parquet`` Dataset prefetches footer metadata for every
+    part file on the driver (~0.1-1 s per corpus-scale partition), which a
+    caller that only needs counts or a subset of the stage outputs should
+    not pay. Iteration (``keys``/``items``) exposes only materialized
+    entries plus pending thunk names via :attr:`pending`."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._thunks: dict = {}
+
+    def lazy(self, key, thunk):
+        self._thunks[key] = thunk
+
+    @property
+    def pending(self):
+        return sorted(self._thunks)
+
+    def __getitem__(self, key):
+        if not super().__contains__(key) and key in self._thunks:
+            self[key] = self._thunks.pop(key)()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key in self._thunks
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     """Distinct rows over ``cols``: per-batch partial dedup (vectorized Arrow
     group_by) to shrink the shuffle, then a global groupby — the
@@ -149,12 +184,14 @@ class KGPipeline:
         link_cols = ["doc_id", "span_idx", "offset", "surface",
                      "ent_type", "source", "cand_id", "link_score"]
         from kgeng.ops.extract import RECORD_SCHEMA
+        link_schema = pa.schema([RECORD_SCHEMA.field(c)
+                                 for c in link_cols])
         if store is not None:
-            linked = store.read_all_shards(
-                "records", path_contains="rec_kind=mention",
-                columns=link_cols,
-                schema=pa.schema([RECORD_SCHEMA.field(c)
-                                  for c in link_cols]))
+            # built lazily in the result: the mention partition is
+            # corpus-scale, and constructing its read Dataset prefetches
+            # every part-file footer on the driver — downstream stages
+            # read their own tiny side partitions instead
+            linked = None
         else:
             linked = _filter_kind(records, ("mention",)).select_columns(
                 link_cols)
@@ -191,21 +228,8 @@ class KGPipeline:
             })
 
         if store is not None:
-            early = store.read_all_shards(
-                "records", path_contains="rec_kind=triple",
-                columns=["subj", "pred", "obj", "doc_id"],
-                schema=early_schema).map_batches(
-                    _conf1, batch_format="pyarrow")
-        else:
-            early = _filter_kind(records, ("triple",)).map_batches(
-                _conf1, batch_format="pyarrow")
-        if store and resume and store.is_done("triples",
-                                              lineage=triples_lin):
-            pending = store.read_stage_partition(
-                "triples", "t_kind=triple", columns=triple_cols,
-                schema=trip_part_schema)
-        else:
-            if store is not None:
+            if not (resume and store.is_done("triples",
+                                             lineage=triples_lin)):
                 # fused read+resolve over the relation/media partitions:
                 # the residue table never round-trips the object store
                 # between read and resolve tasks; per-file receipts from
@@ -223,17 +247,30 @@ class KGPipeline:
                     partition_cols=["t_kind"],
                     partition_projections={"triple": triple_cols,
                                            "eid": ["subj"]})
+
+            def _triples_ds():
+                early = store.read_all_shards(
+                    "records", path_contains="rec_kind=triple",
+                    columns=["subj", "pred", "obj", "doc_id"],
+                    schema=early_schema).map_batches(
+                        _conf1, batch_format="pyarrow")
                 pending = store.read_stage_partition(
                     "triples", "t_kind=triple", columns=triple_cols,
                     schema=trip_part_schema)
-            else:
-                rel_media = _filter_kind(records, ("relation", "media"))
-                raw = emit_triples(rel_media, resolution)
-                pending = raw.map_batches(
-                    lambda t: t.filter(pc.equal(t["t_kind"], "triple"))
-                    .drop_columns(["t_kind"]),
-                    batch_format="pyarrow")
-        triples = pending.union(early)
+                return pending.union(early)
+
+            triples = None  # built lazily in the result (see LazyResult)
+        else:
+            early = _filter_kind(records, ("triple",)).map_batches(
+                _conf1, batch_format="pyarrow")
+            rel_media = _filter_kind(records, ("relation", "media"))
+            raw = emit_triples(rel_media, resolution)
+            pending = raw.map_batches(
+                lambda t: t.filter(pc.equal(t["t_kind"], "triple"))
+                .drop_columns(["t_kind"]),
+                batch_format="pyarrow")
+            triples = pending.union(early)
+        n_triples = self._receipt_triple_count(store)
         _t("triples_done")
 
         # ---- stage 5: canonical entities ------------------------------
@@ -242,11 +279,30 @@ class KGPipeline:
         _t("entities_done")
 
         # ---- stage 6: graph materialization ---------------------------
-        result = {"stage_walls": stage_walls,
-                  "records": records, "linked": linked, "triples": triples,
-                  "entities": entities, "resolution": resolution}
+        result = LazyResult({
+            "stage_walls": stage_walls,
+            "entities": entities, "resolution": resolution,
+            # row count from the write receipts (both triple sources
+            # are durably checkpointed by now) — consumers that only
+            # need the count skip a full re-read of the triple table
+            "n_triples": n_triples})
+        if store is not None:
+            # corpus-scale Dataset views over the checkpoint partitions:
+            # constructed on first access (each construction prefetches
+            # hundreds of part-file footers on the driver)
+            result.lazy("records", lambda: store.read_all_shards(
+                "records", schema=RECORD_SCHEMA))
+            result.lazy("linked", lambda: store.read_all_shards(
+                "records", path_contains="rec_kind=mention",
+                columns=link_cols, schema=link_schema))
+            result.lazy("triples", _triples_ds)
+        else:
+            result["records"] = records
+            result["linked"] = linked
+            result["triples"] = triples
         if out_dir:
             smart = cfg.smart
+            triples = result["triples"]
             media = self._media_vertices(triples, smart)
             vertices = sink.entities_to_vertices(entities, smart).union(media)
             edges = sink.triples_to_edges(triples, smart)
@@ -328,8 +384,10 @@ class KGPipeline:
                                   lineage={"files": shard_files},
                                   partition_cols=["rec_kind"],
                                   partition_projections=_REC_PROJECTIONS)
-        from kgeng.ops.extract import RECORD_SCHEMA
-        return store.read_all_shards("records", schema=RECORD_SCHEMA)
+        # the records Dataset view is constructed lazily by run()'s
+        # LazyResult — building it here would prefetch every part-file
+        # footer on the driver inside the extract stage wall
+        return None
 
     # ------------------------------------------------------------------
     def _canonicalize_stage(self, linked, gaz, store, resume,
@@ -501,6 +559,26 @@ class KGPipeline:
             # driver-resident table: checkpoint without a Ray execution
             store.write_stage_table("entities", ent_tbl, lineage=ent_lin)
         return ray.data.from_arrow(ent_tbl)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _receipt_triple_count(store: CheckpointStore | None) -> int | None:
+        """Total triple count from write receipts alone (pending partition
+        rows + early extract-emitted triple records), no file reads. None
+        without a store or when receipts are missing (old checkpoints)."""
+        if store is None:
+            return None
+        try:
+            by_part = (store.manifest("triples").get("metrics")
+                       or {}).get("rows_by_partition")
+            file_rows = store.shard_file_rows("records")
+        except (OSError, json.JSONDecodeError):
+            return None
+        if by_part is None or file_rows is None:
+            return None
+        return (by_part.get("t_kind=triple", 0)
+                + sum(n for p, n in file_rows.items()
+                      if "rec_kind=triple" in p))
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -39,6 +39,13 @@ def test_triple_precision_recall(tiny_run, tiny_corpus):
     assert recall >= 0.95, f"recall {recall}"
 
 
+def test_receipt_triple_count_matches_full_count(tiny_run):
+    """bench.py reports res['n_triples'] (manifest write receipts) instead
+    of re-reading the triple table — the two must agree exactly."""
+    _p, res, _root = tiny_run
+    assert res["n_triples"] == res["triples"].count()
+
+
 def test_span_sequence_preserved(tiny_corpus):
     """Per-row invariant (BASELINE.json:15): the (kind, text, media_ref)
     tuple sequence of every doc row survives the pipeline's document scan."""
