@@ -40,6 +40,7 @@ parser re-evaluates per line, ``graphalytics_importer.py:112-124``).
 from __future__ import annotations
 
 import json
+import os
 import re
 
 import numpy as np
@@ -566,10 +567,27 @@ def item_source(items: list[dict], n_tasks: int) -> ray.data.Dataset:
     (lazy — blocks materialize in tasks) plus ONE broadcast of the item
     list: driver-side block creation (``from_items`` / ``repartition``)
     costs ~20 ms of plasma put per block on this host, ~1 s of plan
-    time per fused stage."""
+    time per fused stage.
+
+    Slices are ROW-balanced, not item-count-balanced: cumulative-row
+    split points keep every task within ~one item of equal work, so the
+    last scheduling wave is not stretched by whichever task drew the
+    fattest items."""
     n_tasks = max(1, min(n_tasks, len(items)))
-    bounds = [len(items) * i // n_tasks for i in range(n_tasks + 1)]
-    groups = [items[bounds[i]:bounds[i + 1]] for i in range(n_tasks)]
+    rows = [max(1, int(it.get("rows", 1))) for it in items]
+    total = sum(rows)
+    bounds = [0]
+    csum, k = 0, 1
+    for i, r in enumerate(rows):
+        csum += r
+        while k < n_tasks and csum >= total * k / n_tasks:
+            bounds.append(i + 1)
+            k += 1
+    bounds.append(len(items))
+    groups = [items[bounds[i]:bounds[i + 1]]
+              for i in range(len(bounds) - 1)]
+    groups = [g for g in groups if g]  # an oversized item can skip targets
+    n_tasks = len(groups)
     ref = ray.put(groups)
 
     def attach(b: pa.Table) -> pa.Table:
@@ -619,13 +637,19 @@ def _iter_item_tables(batch: pa.Table):
     """Yield (item_dict, row-group table) for every item in a fused
     batch produced by ``item_source``. ``rg_hi`` of -1 (or past the end)
     means "to the file's last row group" — ranges are clamped against
-    the actual footer, which is read HERE, in the worker."""
+    the actual footer, which is read HERE, in the worker. Consecutive
+    items over the same file (the common case: a task's items are a
+    contiguous plan slice) share one ``ParquetFile`` handle, so a
+    finer-than-file item grain does not multiply footer reads."""
     import pyarrow.parquet as pq
 
+    cur_path, pf = None, None
     for encoded in batch["items"].to_pylist():
         for s in encoded:
             it = json.loads(s)
-            pf = pq.ParquetFile(it["path"])
+            if it["path"] != cur_path:
+                cur_path = it["path"]
+                pf = pq.ParquetFile(cur_path)
             n_rg = pf.metadata.num_row_groups
             lo, hi = it["rg_lo"], it["rg_hi"]
             if hi < 0 or hi > n_rg:
@@ -648,9 +672,20 @@ def extract_records_fused(files: list[str], gazetteer: dict,
     gaz_ref = ray.put(gazetteer)
     key = gaz_ref.hex()
     cfg = detect_cfg
-    items = plan_read_items(files, target_rows)
+    # plan finer than the task grain, then regroup row-balanced into a
+    # wave-aligned task count: file-grain items quantize to ragged final
+    # waves (245 files at 32 CPUs = 7.7 waves, the last one 2/3 idle),
+    # while fine items regrouped to a multiple of the CPU count pack
+    # into full waves of near-equal tasks
+    plan_grain = int(os.environ.get("KG_EX_PLAN_GRAIN", "0")) \
+        or max(512, target_rows // 4)
+    items = plan_read_items(files, plan_grain)
     if not items:
         return ray.data.from_arrow(RECORD_SCHEMA.empty_table())
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    total_rows = sum(it["rows"] for it in items)
+    waves = max(1, round(total_rows / (target_rows * ncpu)))
+    n_tasks = min(len(items), waves * ncpu)
 
     def read_and_extract(b: pa.Table) -> pa.Table:
         outs = [_cached_extract(key, gaz_ref, cfg, t)
@@ -658,5 +693,5 @@ def extract_records_fused(files: list[str], gazetteer: dict,
         return (pa.concat_tables(outs) if outs
                 else RECORD_SCHEMA.empty_table())
 
-    return item_source(items, len(items)).map_batches(
+    return item_source(items, n_tasks).map_batches(
         read_and_extract, batch_format="pyarrow", batch_size=None)
