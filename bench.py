@@ -139,7 +139,7 @@ def main():
     ray.shutdown()
 
 
-def scaling(repeats: int = 2, n_docs: int = 1_000_000,
+def scaling(repeats: int = 2, n_docs: int = 2_000_000,
             lo_cpus: int = 8, hi_cpus: int = 32):
     """Paired protocol: each repeat runs lo then hi BACK TO BACK (fresh
     subprocess each) and computes that pair's efficiency, plus the
@@ -229,7 +229,10 @@ def scaling(repeats: int = 2, n_docs: int = 1_000_000,
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         pair = os.environ.get("KG_SCALE_PAIR", "8,32").split(",")
-        scaling(n_docs=int(os.environ.get("KG_SCALE_NDOCS", "1000000")),
+        # 2M docs: big enough that the two fixed per-run streaming-
+        # executor startups (~0.5 s total) stay under ~3% of the hi-CPU
+        # wall — the 100 TB job this models amortizes them to nothing
+        scaling(n_docs=int(os.environ.get("KG_SCALE_NDOCS", "2000000")),
                 repeats=int(os.environ.get("KG_SCALE_REPEATS", "2")),
                 lo_cpus=int(pair[0]), hi_cpus=int(pair[1]))
     else:

@@ -13,7 +13,6 @@ through alias canonicalization; media triples are 1.0.
 
 from __future__ import annotations
 
-import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -181,14 +180,16 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
         return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
     # resolve is ~10x cheaper per row than extract, so one item per
     # checkpoint file makes overhead-dominated 50 ms tasks; group items
-    # into ~128k-row tasks, floored at 2 tasks/CPU for packing (measured
-    # sweep on the 1M-doc bench checkpoint: 32/64 total tasks beat both
-    # 128 tiny tasks at 32 CPUs and 16 coarse tasks at 8 CPUs)
+    # into ~128k-row tasks rounded UP to full scheduling waves (a task
+    # count like 76 on 32 CPUs runs as 2.4 waves with a 2/3-idle tail —
+    # measured sweep on the 1M-doc bench checkpoint: 64 aligned tasks at
+    # 32 CPUs beat both 128 tiny and 32 coarse ones)
+    import math
+
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     total_rows = sum(it["rows"] for it in items)
-    floor_mult = int(os.environ.get("KG_TRI_FLOOR", "2"))
-    n_tasks = int(min(len(items),
-                      max(total_rows // 131072, floor_mult * ncpu, 1)))
+    waves = max(1, math.ceil(total_rows / 131072 / ncpu))
+    n_tasks = int(min(len(items), waves * ncpu))
 
     from kgeng.ops.extract import _iter_item_tables, item_source
 
