@@ -64,17 +64,32 @@ def triples_to_edges(triples: ray.data.Dataset,
     return triples.map_batches(project, batch_format="pyarrow")
 
 
-def write_graph(out_dir: str, vertices: ray.data.Dataset,
-                edges: ray.data.Dataset, cfg: SmartGraphConfig,
-                overwrite: bool = True) -> dict:
+def write_graph(out_dir: str, vertices, edges, cfg: SmartGraphConfig,
+                overwrite: bool = True, lineage: dict | None = None) -> dict:
     """Materialize both collections + manifest. Vertices are written before
     edges — the reference's ordering invariant
-    (graphalytics_importer.py:173-175; edge_list.py:50-51)."""
+    (graphalytics_importer.py:173-175; edge_list.py:50-51).
+
+    ``vertices`` / ``edges`` may be Datasets or zero-arg callables
+    returning them — callables are only invoked when a write actually
+    happens. A previous INTACT export (manifest + ``_SUCCESS`` sentinel
+    written after both collections) with the same ``lineage`` is reused
+    instead of rewritten: the lineage covers the pipeline config and
+    input fileset, which fully determine the collections' content, so a
+    resumed run skips a full output rewrite."""
     manifest_path = os.path.join(out_dir, "graph.json")
-    if os.path.exists(manifest_path) and not overwrite:
+    success_path = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            return json.load(f)
+            prev = json.load(f)
+        if not overwrite:
+            return prev
+        if (lineage is not None and os.path.exists(success_path)
+                and prev.get("lineage") == lineage):
+            return prev
     os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(success_path):
+        os.remove(success_path)
     vdir = os.path.join(out_dir, cfg.vertex_coll)
     edir = os.path.join(out_dir, cfg.edge_coll)
     for d in (vdir, edir):
@@ -82,8 +97,8 @@ def write_graph(out_dir: str, vertices: ray.data.Dataset,
             import shutil
 
             shutil.rmtree(d)
-    vertices.write_parquet(vdir)
-    edges.write_parquet(edir)
+    (vertices() if callable(vertices) else vertices).write_parquet(vdir)
+    (edges() if callable(edges) else edges).write_parquet(edir)
     manifest = {
         "graph_name": cfg.graph_name,
         "vertex_collection": cfg.vertex_coll,
@@ -92,7 +107,10 @@ def write_graph(out_dir: str, vertices: ray.data.Dataset,
         "smart_attribute": cfg.smart_attribute,
         "number_of_shards": cfg.num_shards,
         "replication_factor": cfg.replication_factor,
+        "lineage": lineage,
     }
+    with open(success_path, "w") as f:
+        f.write("")
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

@@ -302,12 +302,22 @@ class KGPipeline:
             result["triples"] = triples
         if out_dir:
             smart = cfg.smart
-            triples = result["triples"]
-            media = self._media_vertices(triples, smart)
-            vertices = sink.entities_to_vertices(entities, smart).union(media)
-            edges = sink.triples_to_edges(triples, smart)
+            # thunks: when the previous export's lineage matches, the
+            # collections are not rebuilt (and the triples view is not
+            # even constructed)
+            graph_lin = {"config": cfg.config_hash(), **in_lin}
+
+            def _vertices():
+                media = self._media_vertices(result["triples"], smart)
+                return sink.entities_to_vertices(entities,
+                                                 smart).union(media)
+
+            def _edges():
+                return sink.triples_to_edges(result["triples"], smart)
+
             result["graph_manifest"] = sink.write_graph(
-                out_dir, vertices, edges, smart)
+                out_dir, _vertices, _edges, smart,
+                lineage=graph_lin if store is not None else None)
         return result
 
     # ------------------------------------------------------------------

@@ -115,6 +115,33 @@ def test_resume_equals_fresh(tiny_corpus, tmp_path_factory):
     assert store.is_done("records", shard=0)
 
 
+def test_graph_export_reused_on_resume(tiny_corpus, tmp_path_factory):
+    """A resumed run with an intact previous export (same lineage) must
+    NOT rewrite the vertex/edge collections; a changed input fileset
+    must."""
+    import glob
+
+    root = str(tmp_path_factory.mktemp("ckpt_gexp"))
+    gdir = os.path.join(root, "graph")
+    corpus = os.path.join(tiny_corpus, "corpus")
+    gazp = os.path.join(tiny_corpus, "gazetteer.parquet")
+    p = KGPipeline(checkpoint_root=root)
+    p.run(corpus, gazp, out_dir=gdir)
+    vfiles = sorted(glob.glob(os.path.join(gdir, "entities", "*")))
+    assert vfiles and os.path.exists(os.path.join(gdir, "_SUCCESS"))
+    stamps = {f: os.path.getmtime(f) for f in vfiles}
+    p.run(corpus, gazp, out_dir=gdir)  # resume: export reused
+    assert {f: os.path.getmtime(f)
+            for f in sorted(glob.glob(
+                os.path.join(gdir, "entities", "*")))} == stamps
+    # a missing _SUCCESS (crashed half-export) forces a rewrite
+    os.remove(os.path.join(gdir, "_SUCCESS"))
+    p.run(corpus, gazp, out_dir=gdir)
+    assert os.path.exists(os.path.join(gdir, "_SUCCESS"))
+    new = sorted(glob.glob(os.path.join(gdir, "entities", "*")))
+    assert {f: os.path.getmtime(f) for f in new} != stamps
+
+
 def test_watch_report(tiny_run):
     """watch.py --once prints the consolidated per-stage totals table
     (the start_Pregel.py:123-164 end-of-run report analogue)."""
