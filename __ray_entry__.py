@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": Q.top_orders,
         "distinct_event_types": Q.distinct_event_types,
         "revenue_by_orderpriority": Q.revenue_by_orderpriority,
+        "events_last_order": Q.events_last_order,
         "sessionize_events": Q.sessionize_events,
         "top2_orders_per_cust": Q.top2_orders_per_cust,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
@@ -139,6 +140,15 @@ def oracle_sql() -> dict[str, str]:
                                   * 100) AS BIGINT)) / 100.0 AS sum_revenue
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "events_last_order": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_totalprice
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY e.event_id
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
         """,
         "sessionize_events": """
             WITH gaps AS (

@@ -129,3 +129,89 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         return out
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_key: str, right_key: str,
+              left_ts: str, right_ts: str,
+              tiebreak: str | None = None,
+              num_buckets: int = 32,
+              direction: str = "backward") -> ray.data.Dataset:
+    """Distributed as-of join — for each left row, the single right row
+    of the same key with the greatest ``right_ts`` at or before
+    ``left_ts`` (``direction='backward'``; 'forward' mirrors it). Ray
+    Data has no native as-of join; this composes one from the same
+    primitives as :func:`hash_join`: hash-bucket BOTH sides by join key
+    (one shuffle co-locates every key's full history with its probes),
+    then one C-level ``pandas.merge_asof`` per bucket. Rows never leave
+    their key's bucket, so the per-bucket decomposition is exact.
+
+    Right-side timestamp ties are broken deterministically: the right
+    side is sorted by ``(right_ts, tiebreak)`` and ``merge_asof`` takes
+    the last sorted occurrence, i.e. the highest ``tiebreak`` value.
+
+    Partitioning assumption (100 TB note): a bucket holds
+    ~n_rows/num_buckets of both sides and is merged in one pandas pass —
+    size ``num_buckets`` so a bucket fits a worker's heap. Unmatched
+    left rows keep null right columns (left-join semantics)."""
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision across sides: {overlap}")
+
+    def tag(which: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = _bucket_ids(t, key, num_buckets)
+            t = t.append_column("__bucket", pa.array(b.astype(np.int32)))
+            return t.append_column("__side",
+                                   pa.array([which] * len(t)))
+        return fn
+
+    both = (left.map_batches(tag("l", left_key), batch_format="pyarrow")
+            .union(right.map_batches(tag("r", right_key),
+                                     batch_format="pyarrow")))
+    # original integer dtypes: the union pads each side's missing columns
+    # with nulls, which floats integer columns NON-UNIFORMLY across reduce
+    # batches (a batch holding only one side keeps its ints). Restore each
+    # side's true dtypes from its Arrow schema before merging so the
+    # by/on keys always agree, and so output dtypes are deterministic.
+    def _dtypes(schema: "pa.Schema") -> dict:
+        out = {}
+        for f in schema:
+            if pa.types.is_integer(f.type):
+                out[f.name] = "int64"
+            elif pa.types.is_floating(f.type):
+                out[f.name] = "float64"
+        return out
+
+    ltypes = _dtypes(left.schema().base_schema)
+    rtypes = _dtypes(right.schema().base_schema)
+    int_right = [c for c, t in rtypes.items() if t == "int64"]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # reindex: a reduce batch holding only one side's rows lacks the
+        # other side's columns entirely; reindex adds them (empty frame)
+        lg = g[g["__side"] == "l"].reindex(columns=lcols).astype(ltypes)
+        rg = g[g["__side"] == "r"].reindex(columns=rcols).astype(rtypes)
+        # normalize both ON keys to one temporal dtype: the sides may
+        # differ at the source (date32 vs timestamp[us]) and a one-sided
+        # reindex leaves float64 NaN
+        lg[left_ts] = pd.to_datetime(lg[left_ts]).astype("datetime64[us]")
+        rg[right_ts] = pd.to_datetime(rg[right_ts]).astype("datetime64[us]")
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        rg = rg.sort_values([right_ts, tiebreak] if tiebreak
+                            else [right_ts], kind="mergesort")
+        out = pd.merge_asof(lg, rg, left_on=left_ts, right_on=right_ts,
+                            left_by=left_key, right_by=right_key,
+                            direction=direction)
+        # unmatched left rows null the right side; right int columns
+        # surface as float64 (NaN for no-match) so every output block has
+        # the same schema regardless of that batch's match pattern —
+        # the same convention SQL clients use for nullable ints
+        for c in int_right:
+            out[c] = out[c].astype("float64")
+        return out
+
+    return both.groupby("__bucket").map_groups(merge,
+                                               batch_format="pandas")

@@ -186,9 +186,12 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
     # 32 CPUs beat both 128 tiny and 32 coarse ones)
     import math
 
+    import os as _os
+
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     total_rows = sum(it["rows"] for it in items)
-    waves = max(1, math.ceil(total_rows / 131072 / ncpu))
+    task_rows = int(_os.environ.get("KG_TRI_TASK_ROWS", "131072"))
+    waves = max(1, math.ceil(total_rows / task_rows / ncpu))
     n_tasks = int(min(len(items), waves * ncpu))
 
     from kgeng.ops.extract import _iter_item_tables, item_source

@@ -634,6 +634,24 @@ def kg_media_features(sf_dir: str):
         batch_format="pyarrow")
 
 
+def events_last_order(sf_dir: str):
+    """As-of join: for each event, the same customer's most recent order
+    at or before the event time (ties on o_orderdate broken by highest
+    o_orderkey — mirrored exactly in the SQL oracle's ORDER BY)."""
+    from kgeng.ops.join import asof_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _pq(sf_dir, "orders",
+             ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    out = asof_join(ev, od, left_key="user_id", right_key="o_custkey",
+                    left_ts="ts", right_ts="o_orderdate",
+                    tiebreak="o_orderkey", num_buckets=32)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts",
+                            "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")
+
+
 def revenue_by_orderpriority(sf_dir: str):
     """Large x large join: lineitem x orders via the explicit
     hash-partitioned join (ops/join.py), then grouped revenue."""

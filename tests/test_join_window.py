@@ -238,3 +238,44 @@ def test_tumbling_counts():
                    width_seconds=60).to_pandas().sort_values("window")
     assert out["n"].tolist() == [2, 1]
     assert out["total"].tolist() == [3.0, 3.0]
+
+
+def test_asof_join_backward_ties_and_unmatched():
+    """Backward as-of: greatest right ts <= left ts per key; o_orderdate
+    ties resolve to the highest tiebreak id; keys with no prior right
+    row keep null right columns (left-join semantics)."""
+    from kgeng.ops.join import asof_join
+
+    ev = pa.table({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [10, 10, 20, 30],     # 30 has no orders at all
+        "ts": pd.to_datetime(["2024-01-05", "2024-01-01",
+                              "2024-01-02", "2024-01-02"]),
+    })
+    od = pa.table({
+        "o_custkey": [10, 10, 10, 20],
+        "o_orderdate": pd.to_datetime(["2024-01-03", "2024-01-03",
+                                       "2024-01-04", "2024-01-10"]),
+        "o_orderkey": [7, 9, 5, 1],      # tie on 01-03 -> pick 9
+        "o_totalprice": [70.0, 90.0, 50.0, 10.0],
+    })
+    out = asof_join(ray.data.from_arrow(ev), ray.data.from_arrow(od),
+                    left_key="user_id", right_key="o_custkey",
+                    left_ts="ts", right_ts="o_orderdate",
+                    tiebreak="o_orderkey", num_buckets=4
+                    ).to_pandas().sort_values("event_id")
+    # event 1 (10 @ 01-05): latest is 01-04 -> orderkey 5
+    # event 2 (10 @ 01-01): nothing at-or-before -> null
+    # event 3 (20 @ 01-02): order is 01-10 (future) -> null
+    # event 4 (30): no orders for the key -> null
+    assert out["o_orderkey"].tolist()[0] == 5.0
+    assert out["o_orderkey"].isna().tolist() == [False, True, True, True]
+    # tie determinism: shift event 1 to 01-03 -> highest orderkey (9) wins
+    ev2 = ev.set_column(2, "ts", pa.array(pd.to_datetime(
+        ["2024-01-03", "2024-01-01", "2024-01-02", "2024-01-02"])))
+    out2 = asof_join(ray.data.from_arrow(ev2), ray.data.from_arrow(od),
+                     left_key="user_id", right_key="o_custkey",
+                     left_ts="ts", right_ts="o_orderdate",
+                     tiebreak="o_orderkey", num_buckets=4
+                     ).to_pandas().sort_values("event_id")
+    assert out2["o_orderkey"].tolist()[0] == 9.0
