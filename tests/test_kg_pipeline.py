@@ -324,3 +324,49 @@ def test_identical_content_blocks_write_safely(tmp_path_factory):
     assert pq.read_table(files[0])["subj"].to_pylist() == ["E1", "E2", "E3"]
     ((key, rows),) = receipts.items()
     assert key[0] == "rec_kind=eid" and rows == 3
+
+
+def test_vectorized_media_resolve_matches_per_row_reference():
+    """resolve_media picks the FIRST '|'-candidate that resolves, in
+    candidate order, dropping rows where none resolves — the vectorized
+    (split + index_in + searchsorted) kernel must match the per-row
+    reference loop exactly, including multi-chunk inputs, null subj, and
+    empty candidate lists."""
+    import pyarrow as pa
+
+    from kgeng.ops.triples import ResolveTriples
+
+    res = {"Ada Lovelace": ("E1", False), "A. Lovelace": ("E1", True),
+           "Grace Hopper": ("E2", False)}
+    r = ResolveTriples(res)
+    chunk1 = pa.table({
+        "subj": ["Nobody|A. Lovelace|Ada Lovelace",  # 2nd wins, not 3rd
+                 "Grace Hopper",                      # direct hit
+                 "Unknown|Missing",                   # dropped
+                 ""],                                 # dropped
+        "obj": ["media://a", "media://b", "media://c", "media://d"],
+        "doc_id": ["d1", "d2", "d3", "d4"],
+    })
+    chunk2 = pa.table({
+        "subj": [None, "Ada Lovelace|Grace Hopper"],  # null dropped
+        "obj": ["media://e", "media://f"],
+        "doc_id": ["d5", "d6"],
+    })
+    med = pa.concat_tables([chunk1, chunk2])
+
+    out = r.resolve_media(med)
+    # per-row reference
+    want = []
+    for cand, obj, doc in zip(med["subj"].to_pylist(),
+                              med["obj"].to_pylist(),
+                              med["doc_id"].to_pylist()):
+        for s in (cand or "").split("|"):
+            if s in res:
+                want.append((res[s][0], obj, doc))
+                break
+    got = list(zip(out["subj"].to_pylist(), out["obj"].to_pylist(),
+                   out["doc_id"].to_pylist()))
+    assert got == want == [("E1", "media://a", "d1"),
+                           ("E2", "media://b", "d2"),
+                           ("E1", "media://f", "d6")]
+    assert out["pred"].to_pylist() == ["mentions_media"] * 3
