@@ -661,7 +661,8 @@ def _iter_item_tables(batch: pa.Table):
 
 def extract_records_fused(files: list[str], gazetteer: dict,
                           detect_cfg: DetectConfig | None = None,
-                          target_rows: int = 4096) -> ray.data.Dataset:
+                          target_rows: int = 4096,
+                          writer=None) -> ray.data.Dataset:
     """Fused read+extract: each task reads its own row-group range and
     runs the detector kernel on it in-process — the decoded documents
     table never round-trips the object store, and the (read task -> map
@@ -681,6 +682,9 @@ def extract_records_fused(files: list[str], gazetteer: dict,
         or max(512, target_rows // 4)
     items = plan_read_items(files, plan_grain)
     if not items:
+        if writer is not None:
+            return ray.data.from_arrow(
+                writer(RECORD_SCHEMA.empty_table()))
         return ray.data.from_arrow(RECORD_SCHEMA.empty_table())
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     total_rows = sum(it["rows"] for it in items)
@@ -690,8 +694,14 @@ def extract_records_fused(files: list[str], gazetteer: dict,
     def read_and_extract(b: pa.Table) -> pa.Table:
         outs = [_cached_extract(key, gaz_ref, cfg, t)
                 for _it, t in _iter_item_tables(b)]
-        return (pa.concat_tables(outs) if outs
-                else RECORD_SCHEMA.empty_table())
+        res = (pa.concat_tables(outs) if outs
+               else RECORD_SCHEMA.empty_table())
+        if writer is not None:
+            # fused write: records go straight from the kernel to
+            # partitioned parquet; only tiny receipts leave the task
+            # (the corpus-scale record stream never enters plasma)
+            return writer(res)
+        return res
 
     return item_source(items, n_tasks).map_batches(
         read_and_extract, batch_format="pyarrow", batch_size=None)

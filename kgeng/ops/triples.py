@@ -192,8 +192,8 @@ def emit_triples(records: ray.data.Dataset,
 def emit_triples_fused(relation_files: list[str], media_files: list[str],
                        resolution: dict[str, tuple[str, bool]],
                        target_rows: int = 16384,
-                       file_rows: dict[str, int] | None = None
-                       ) -> ray.data.Dataset:
+                       file_rows: dict[str, int] | None = None,
+                       writer=None) -> ray.data.Dataset:
     """Fused read+resolve over checkpointed record partitions: each task
     reads its own row-group range and resolves it in-process, so the
     corpus-scale relation table never round-trips the object store
@@ -219,6 +219,8 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
     items = ([dict(it, kind="relation") for it in plan(relation_files)]
              + [dict(it, kind="media") for it in plan(media_files)])
     if not items:
+        if writer is not None:
+            return ray.data.from_arrow(writer(TRIPLE_SCHEMA.empty_table()))
         return ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
     # resolve is ~10x cheaper per row than extract, so one item per
     # checkpoint file makes overhead-dominated 50 ms tasks; group items
@@ -252,6 +254,10 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
         eids = ResolveTriples.eid_rows(result)
         if eids is not None:
             result = pa.concat_tables([result, eids])
+        if writer is not None:
+            # fused write: triples go straight to partitioned parquet,
+            # only receipts leave the task
+            return writer(result)
         return result
 
     return item_source(items, n_tasks).map_batches(
