@@ -1,15 +1,23 @@
 """Raw multiprocessing scaling ceiling for the EXTRACT KERNEL itself.
 
 Runs the exact per-batch extraction kernel (kgeng/ops/extract.py) in K
-plain multiprocessing workers over pre-loaded batches — no Ray, no I/O,
-no object store — and reports aggregate docs/sec per K. The K_hi/K_lo
-ratio is the hardware ceiling for any system running THIS kernel at
-those parallelism levels on this box: frequency scaling and memory
-bandwidth cap it well below linear (measured ~3.0x for 8->32 on the
-bench host, i.e. 0.74 of ideal).
+plain multiprocessing workers — no Ray, no object store — and reports
+aggregate docs/sec per K. The K_hi/K_lo ratio is the hardware ceiling
+for any system running THIS kernel at those parallelism levels on this
+box: frequency scaling and memory bandwidth cap it well below linear.
+
+Calibration matters: the kernel's cost per doc depends on the corpus.
+An earlier version looped a single cache-hot 3000-doc part file, which
+ran 1.76x faster per doc than the real bench corpus and so measured a
+different operating point. This version scans the BENCH corpus itself
+(size from $KG_BENCH_NDOCS, default 2,000,000 — the same corpus the
+paired scaling runs use), each worker reading DISTINCT part files once
+(cold-style, no shared-page-cache inflation), so the ceiling is the
+hardware's attainable speedup for the actual job.
 
 Usage: python scripts/extract_ceiling.py [K ...]   (default: 1 8 32)
-Prints one JSON line: {"K<k>": docs_per_sec, ..., "ratio_hi_lo": r}.
+Prints one JSON line: {"K<k>": docs_per_sec, ..., "ratio_hi_lo": r,
+"ceiling_vs_ideal": r/(hi/lo)}.
 """
 
 from __future__ import annotations
@@ -24,43 +32,45 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _worker(corpus_dir: str, n_iters: int, out_q):
+def _worker(args):
+    corpus_dir, files = args
     import pyarrow.parquet as pq
 
     from kgeng.ops.extract import Extract, load_gazetteer_dict
 
-    tbl = pq.read_table(os.path.join(corpus_dir, "corpus",
-                                     "part-00000.parquet"))
-    gaz = load_gazetteer_dict(os.path.join(corpus_dir, "gazetteer.parquet"))
+    gaz = load_gazetteer_dict(os.path.join(corpus_dir,
+                                           "gazetteer.parquet"))
     ex = Extract(gaz)
-    batches = [tbl.slice(i, 4096) for i in range(0, len(tbl), 4096)]
-    ex(batches[0])  # warm (regex caches, JIT-ish numpy paths)
+    tabs = [pq.read_table(f) for f in files]
+    batches = [t.slice(i, 8192) for t in tabs
+               for i in range(0, len(t), 8192)]
+    ex(batches[0])  # warm (regex caches, numpy paths)
     t0 = time.monotonic()
     docs = 0
-    for _ in range(n_iters):
-        for b in batches:
-            ex(b)
-            docs += len(b)
-    out_q.put(docs / (time.monotonic() - t0))
+    for b in batches:
+        ex(b)
+        docs += len(b)
+    return docs / (time.monotonic() - t0)
 
 
-def measure(corpus_dir: str, k: int, n_iters: int = 3) -> float:
-    q = mp.Queue()
-    procs = [mp.Process(target=_worker, args=(corpus_dir, n_iters, q))
-             for _ in range(k)]
-    for p in procs:
-        p.start()
-    rates = [q.get() for _ in range(k)]
-    for p in procs:
-        p.join()
+def measure(corpus_dir: str, k: int, files_per_worker: int = 2) -> float:
+    cd = os.path.join(corpus_dir, "corpus")
+    files = sorted(os.path.join(cd, f) for f in os.listdir(cd)
+                   if f.endswith(".parquet"))
+    # strided assignment: every worker gets different files
+    assign = [files[i::k][:files_per_worker] or files[-1:]
+              for i in range(k)]
+    with mp.Pool(k) as pool:
+        rates = pool.map(_worker, [(corpus_dir, a) for a in assign])
     return sum(rates)
 
 
 def main():
-    from kgeng.synth.corpus import ensure_corpus
+    from kgeng.synth.corpus import ensure_bench_corpus
 
     ks = [int(a) for a in sys.argv[1:]] or [1, 8, 32]
-    corpus_dir = ensure_corpus(3000)
+    n_docs = int(os.environ.get("KG_BENCH_NDOCS", "2000000"))
+    corpus_dir = ensure_bench_corpus(n_docs)
     out = {}
     for k in ks:
         out[f"K{k}"] = round(measure(corpus_dir, k), 1)
