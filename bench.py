@@ -97,6 +97,7 @@ def timed_queries() -> dict[str, float]:
         ("minhash_dedup_docs", Q.minhash_dedup_docs),
         ("ann_topk", Q.ann_topk),
         ("top_orders", Q.top_orders),
+        ("events_last_order", Q.events_last_order),
     ]:
         t0 = time.monotonic()
         res = fn(SF_DIR)
