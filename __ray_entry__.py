@@ -142,8 +142,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "events_last_order": """
+            -- o_orderkey cast to DOUBLE: the as-of join surfaces
+            -- nullable right-side ints as float64 (NaN = no prior
+            -- order), the convention SQL clients use for nullable ints
             SELECT e.event_id, e.user_id, e.ts,
-                   o.o_orderkey, o.o_totalprice
+                   CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+                   o.o_totalprice
             FROM events e LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             QUALIFY row_number() OVER (
