@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": Q.distinct_event_types,
         "revenue_by_orderpriority": Q.revenue_by_orderpriority,
         "events_last_order": Q.events_last_order,
+        "events_followers_1h": Q.events_followers_1h,
+        "events_prev_gap": Q.events_prev_gap,
         "sessionize_events": Q.sessionize_events,
         "top2_orders_per_cust": Q.top2_orders_per_cust,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
@@ -153,6 +155,24 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY e.event_id
                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "events_followers_1h": """
+            SELECT a.event_id AS a_event_id, count(*) AS n_follow
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts >= a.ts
+             AND b.ts <  a.ts + INTERVAL 1 HOUR
+            GROUP BY 1
+        """,
+        "events_prev_gap": """
+            -- microsecond diff / 1e6: fractional seconds, the same
+            -- float64 op pandas total_seconds() performs
+            SELECT event_id, user_id, ts,
+                   CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+                        ts) AS DOUBLE) / 1e6 AS gap_sec
+            FROM events
         """,
         "sessionize_events": """
             WITH gaps AS (

@@ -18,13 +18,17 @@ import ray.data
 
 
 def salted_count(ds: ray.data.Dataset, key: str, salt: int = 16,
-                 out: str = "n") -> ray.data.Dataset:
+                 out: str = "n", key_type=None) -> ray.data.Dataset:
     """Row count per distinct ``key`` value; skew-immune. Returns
-    Dataset(key, out)."""
+    Dataset(key, out). Non-string keys salt through their decimal
+    string form; pass ``key_type`` (a pyarrow type) to cast the result
+    key column back."""
 
     def partial(t: pa.Table) -> pa.Table:
         counts = t.group_by([key]).aggregate([([], "count_all")])
         ks = counts[key].combine_chunks()
+        if not pa.types.is_string(ks.type):
+            ks = pc.cast(ks, pa.string())
         cnt = counts["count_all"]
         # salt on a stable content hash of the key string
         np_keys = np.array([hash_str(s) % salt for s in ks.to_pylist()],
@@ -48,8 +52,14 @@ def salted_count(ds: ray.data.Dataset, key: str, salt: int = 16,
 
     unsalted = summed.map_batches(unsalt, batch_format="pyarrow")
     final = unsalted.groupby(key).sum("partial")
-    return final.map_batches(
-        lambda t: t.rename_columns([key, out]), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([key, out])
+        if key_type is not None:
+            t = t.set_column(0, key, pc.cast(t[key], key_type))
+        return t
+
+    return final.map_batches(finish, batch_format="pyarrow")
 
 
 def hash_str(s: str) -> int:

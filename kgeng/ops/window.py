@@ -92,3 +92,43 @@ def tumbling(events: ray.data.Dataset, key: str, ts: str, value: str,
     return events.map_batches(bucket, batch_format="pyarrow") \
         .groupby([key, "window"]).aggregate(
             Count(alias_name="n"), Sum(value, alias_name="total"))
+
+
+def partitioned_lag_gap(events: ray.data.Dataset, key: str = "user_id",
+                        ts: str = "ts", order_tiebreak: str | None = None,
+                        out: str = "gap_sec",
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """LAG-style window function: per key, seconds since the PREVIOUS
+    event in (ts, tiebreak) order — NaN for each key's first event
+    (SQL: ``lag(ts) OVER (PARTITION BY key ORDER BY ts, tiebreak)``).
+
+    Same plan shape as :func:`sessionize`: one shuffle into a bounded
+    number of coarse hash buckets, then ONE vectorized pandas pass per
+    bucket (sort + per-key diff) — no per-key Python. A key's rows all
+    land in one bucket, so the per-bucket diff is exact."""
+
+    def bucket(t):
+        import pyarrow as pa
+
+        vals = t[key].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iu":
+            h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            b = ((h >> np.uint64(33)) % np.uint64(num_buckets))
+        else:
+            import zlib
+
+            b = np.array([zlib.crc32(str(v).encode()) % num_buckets
+                          for v in vals], dtype=np.uint64)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    sort_cols = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"]).sort_values(sort_cols,
+                                                     kind="mergesort")
+        d = g.groupby(key, sort=False)[ts].diff()
+        g[out] = d.dt.total_seconds().astype("float64")
+        return g
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

@@ -652,6 +652,43 @@ def events_last_order(sf_dir: str):
         batch_format="pyarrow")
 
 
+def events_followers_1h(sf_dir: str):
+    """Range (interval) join: per event, the number of same-user events
+    inside [ts, ts + 1 hour) — a SELF interval join (every event matches
+    at least itself) through the custom range_join operator (ops/join.py)
+    plus the salted count aggregate."""
+    from kgeng.ops.agg import salted_count
+    from kgeng.ops.join import range_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t["ts"], pa.timestamp("us"))
+        hi = pc.add(lo, pa.scalar(3_600_000_000, pa.duration("us")))
+        return pa.table({"a_event_id": t["event_id"],
+                         "a_user_id": t["user_id"],
+                         "w_lo": lo, "w_hi": hi})
+
+    win = _pq(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(add_window, batch_format="pyarrow")
+    joined = range_join(ev, win, left_key="user_id",
+                        right_key="a_user_id", left_ts="ts",
+                        right_lo="w_lo", right_hi="w_hi")
+    return salted_count(joined, "a_event_id", salt=8, out="n_follow",
+                        key_type=pa.int64())
+
+
+def events_prev_gap(sf_dir: str):
+    """LAG window function: per event, seconds since the same user's
+    previous event (NaN for each user's first; ties on ts broken by
+    event_id, mirrored in the SQL oracle's ORDER BY)."""
+    from kgeng.ops.window import partitioned_lag_gap
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return partitioned_lag_gap(ev, key="user_id", ts="ts",
+                               order_tiebreak="event_id", out="gap_sec")
+
+
 def revenue_by_orderpriority(sf_dir: str):
     """Large x large join: lineitem x orders via the explicit
     hash-partitioned join (ops/join.py), then grouped revenue."""

@@ -279,3 +279,63 @@ def test_asof_join_backward_ties_and_unmatched():
                      tiebreak="o_orderkey", num_buckets=4
                      ).to_pandas().sort_values("event_id")
     assert out2["o_orderkey"].tolist()[0] == 9.0
+
+
+def test_range_join_matches_and_boundaries():
+    """Half-open [lo, hi) by default: a probe at lo matches, at hi does
+    not; multiple overlapping intervals each emit a row; keys with no
+    interval drop (inner semantics)."""
+    from kgeng.ops.join import range_join
+
+    left = pa.table({
+        "ev": [1, 2, 3, 4],
+        "uid": [10, 10, 10, 20],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                              "2024-01-01 02:00", "2024-01-01 00:30"]),
+    })
+    right = pa.table({
+        "iv": [100, 101, 200],
+        "ukey": [10, 10, 30],
+        "lo": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:30",
+                              "2024-01-01 00:00"]),
+        "hi": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 02:30",
+                              "2024-01-02 00:00"]),
+    })
+    out = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     left_key="uid", right_key="ukey", left_ts="ts",
+                     right_lo="lo", right_hi="hi", num_buckets=4
+                     ).to_pandas().sort_values(["ev", "iv"])
+    pairs = list(zip(out["ev"].astype(int), out["iv"].astype(int)))
+    # ev1@00:00 -> iv100 only (iv101 starts 00:30); ev2@01:00 -> iv101
+    # only (iv100 ends exactly 01:00, half-open); ev3@02:00 -> iv101;
+    # ev4 (uid 20) -> nothing; iv200 (key 30) matches nothing
+    assert pairs == [(1, 100), (2, 101), (3, 101)]
+    # inclusive hi keeps ev2@01:00 in iv100 too
+    out2 = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                      left_key="uid", right_key="ukey", left_ts="ts",
+                      right_lo="lo", right_hi="hi", num_buckets=4,
+                      hi_inclusive=True).to_pandas()
+    pairs2 = sorted(zip(out2["ev"].astype(int), out2["iv"].astype(int)))
+    assert pairs2 == [(1, 100), (2, 100), (2, 101), (3, 101)]
+
+
+def test_partitioned_lag_gap():
+    """Per-key diff in (ts, tiebreak) order: NaN for each key's first
+    row; fractional seconds; keys never mix across buckets."""
+    from kgeng.ops.window import partitioned_lag_gap
+
+    ev = pa.table({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 9, 9],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:10.500000",
+            "2024-01-01 00:01:00", "2024-01-01 05:00:00",
+            "2024-01-01 05:00:02"], format="mixed"),
+    })
+    out = (partitioned_lag_gap(ray.data.from_arrow(ev), key="user_id",
+                               ts="ts", order_tiebreak="event_id",
+                               num_buckets=4)
+           .to_pandas().sort_values("event_id"))
+    gaps = out["gap_sec"].tolist()
+    assert pd.isna(gaps[0]) and pd.isna(gaps[3])
+    assert gaps[1] == 10.5 and gaps[2] == 49.5 and gaps[4] == 2.0
