@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": Q.events_last_order,
         "events_followers_1h": Q.events_followers_1h,
         "events_prev_gap": Q.events_prev_gap,
+        "docs_sample_by_lang": Q.docs_sample_by_lang,
+        "docs_hash_sample": Q.docs_hash_sample,
         "sessionize_events": Q.sessionize_events,
         "top2_orders_per_cust": Q.top2_orders_per_cust,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
@@ -163,6 +165,22 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts >= a.ts
              AND b.ts <  a.ts + INTERVAL 1 HOUR
             GROUP BY 1
+        """,
+        "docs_sample_by_lang": """
+            -- Knuth multiplicative hash, exact in BIGINT: the Ray
+            -- sampler's arithmetic verbatim
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS BIGINT) AS rank
+            FROM documents
+            QUALIFY rank <= 50
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296
+                  < CAST(0.1 * 4294967296 AS BIGINT)
         """,
         "events_prev_gap": """
             -- microsecond diff / 1e6: fractional seconds, the same

@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data curation.
+
+Random sampling in a distributed, resumable pipeline must be a PURE
+FUNCTION of the row, never of placement or time — a retried task, a
+different partitioning, or a second cluster size must pick the same
+rows. Both samplers rank rows by a Knuth multiplicative hash of an id
+column (``(id * 2654435761) mod 2^32`` — exact in int64 arithmetic, so
+a SQL oracle can reproduce it verbatim):
+
+- :func:`hash_sample` — Bernoulli(rate) by hash threshold; one
+  vectorized filter per batch, no shuffle, composes with any pipeline.
+- :func:`stratified_sample` — exactly ``n`` rows per group (the lowest
+  hash ranks), the distributed
+  ``row_number() OVER (PARTITION BY key ORDER BY hash, id) <= n``;
+  one bucketed shuffle via ops/rank.py's grouped top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+KNUTH = np.uint64(2654435761)
+MOD = np.uint64(1) << np.uint64(32)
+
+
+def _knuth_hash(ids: np.ndarray) -> np.ndarray:
+    return ((ids.astype(np.uint64) * KNUTH) % MOD).astype(np.int64)
+
+
+def hash_sample(ds: ray.data.Dataset, id_col: str,
+                rate: float) -> ray.data.Dataset:
+    """Keep each row iff ``knuth_hash(id) < rate * 2^32`` — a
+    deterministic Bernoulli(rate) sample, stable across runs,
+    partitionings, and cluster sizes."""
+    threshold = np.int64(int(rate * float(MOD)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_knuth_hash(ids) < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, key: str, n: int,
+                      id_col: str,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Exactly ``n`` rows per ``key`` group (fewer if the group is
+    smaller): the ``n`` lowest hash ranks, ties broken by the id
+    itself. Adds a 1-based ``rank`` column. One bucketed shuffle."""
+    from kgeng.ops.rank import top_k_per_group
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column("__rk", pa.array(_knuth_hash(ids)))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = top_k_per_group(ranked, key, "__rk", n,
+                          tie_breakers=[id_col], descending=False,
+                          num_buckets=num_buckets)
+
+    def drop_rk(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__rk"])
+
+    return out.map_batches(drop_rk, batch_format="pyarrow")

@@ -678,6 +678,25 @@ def events_followers_1h(sf_dir: str):
                         key_type=pa.int64())
 
 
+def docs_sample_by_lang(sf_dir: str):
+    """Stratified sample: exactly 50 docs per language, picked by
+    deterministic Knuth-hash rank (stable across runs / partitionings /
+    cluster sizes; the SQL oracle reproduces the arithmetic verbatim)."""
+    from kgeng.ops.sample import stratified_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return stratified_sample(ds, key="lang", n=50, id_col="doc_id")
+
+
+def docs_hash_sample(sf_dir: str):
+    """Deterministic Bernoulli(10%) sample by hash threshold — no
+    shuffle, a pure per-batch filter."""
+    from kgeng.ops.sample import hash_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_sample(ds, id_col="doc_id", rate=0.1)
+
+
 def events_prev_gap(sf_dir: str):
     """LAG window function: per event, seconds since the same user's
     previous event (NaN for each user's first; ties on ts broken by

@@ -47,7 +47,7 @@ def _to_pandas(res):
     "q1_lineitem_agg", "doc_token_count", "dedup_exact_docs",
     "synth_clique_edges", "synth_kpartite_edges", "top_orders",
     "compat_edge_list_edges", "events_last_order",
-    "events_followers_1h", "events_prev_gap",
+    "events_followers_1h", "events_prev_gap", "docs_sample_by_lang",
 ])
 def test_query_matches_oracle(name, con):
     import __ray_entry__ as E

@@ -375,3 +375,43 @@ def test_grouped_quantiles_auto_cutover():
     width = (vals0.max() - vals0.min()) / 512
     assert abs(out2[("h0", 0.5)] - float(_np.quantile(vals0, 0.5))) \
         <= width * 8  # interpolation-free estimate within a few buckets
+
+
+def test_hash_sample_deterministic_and_partition_invariant():
+    """The Bernoulli hash sample must pick the same ids regardless of
+    how the input is partitioned (retries / cluster size stability)."""
+    import pyarrow as pa
+
+    from kgeng.ops.sample import hash_sample
+
+    t = pa.table({"doc_id": list(range(1000)),
+                  "v": [i * 2 for i in range(1000)]})
+    one = ray.data.from_arrow(t)
+    many = ray.data.from_arrow(t).repartition(7)
+    a = sorted(hash_sample(one, "doc_id", 0.2).to_pandas()["doc_id"])
+    b = sorted(hash_sample(many, "doc_id", 0.2).to_pandas()["doc_id"])
+    assert a == b and 0 < len(a) < 1000
+    # rate is approximately honored
+    assert abs(len(a) / 1000 - 0.2) < 0.05
+
+
+def test_stratified_sample_exact_n_per_group():
+    """Exactly n rows per group (fewer when the group is smaller),
+    rank 1..n, and the pick is partition-invariant."""
+    import pyarrow as pa
+
+    from kgeng.ops.sample import stratified_sample
+
+    t = pa.table({
+        "doc_id": list(range(300)),
+        "lang": ["en"] * 150 + ["de"] * 140 + ["xx"] * 10,
+    })
+    out = stratified_sample(ray.data.from_arrow(t).repartition(5),
+                            key="lang", n=25, id_col="doc_id",
+                            num_buckets=8).to_pandas()
+    sizes = out.groupby("lang")["doc_id"].count().to_dict()
+    assert sizes == {"en": 25, "de": 25, "xx": 10}
+    assert set(out["rank"]) <= set(range(1, 26))
+    out2 = stratified_sample(ray.data.from_arrow(t), key="lang", n=25,
+                             id_col="doc_id").to_pandas()
+    assert (sorted(out["doc_id"]) == sorted(out2["doc_id"]))
