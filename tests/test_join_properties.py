@@ -1,0 +1,123 @@
+"""Property-based checks: the distributed asof/range joins and the lag
+window must match brute-force per-row references on arbitrary small
+inputs (random keys, duplicate timestamps, empty sides, singleton
+groups). Hypothesis drives the shapes; the references are deliberately
+naive Python."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ts(base_minutes: list[int]) -> pd.Series:
+    return pd.to_datetime("2024-01-01") + pd.to_timedelta(base_minutes,
+                                                          unit="m")
+
+
+keys = st.integers(min_value=0, max_value=3)
+minutes = st.integers(min_value=0, max_value=30)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(keys, minutes), min_size=0, max_size=12),
+    right=st.lists(st.tuples(keys, minutes), min_size=0, max_size=12),
+)
+def test_asof_join_matches_bruteforce(left, right):
+    from kgeng.ops.join import asof_join
+
+    lt = pa.table({
+        "lid": list(range(len(left))),
+        "k": [k for k, _ in left],
+        "lts": _ts([m for _, m in left]),
+    })
+    rt = pa.table({
+        "rid": list(range(len(right))),
+        "rk": [k for k, _ in right],
+        "rts": _ts([m for _, m in right]),
+    })
+    if len(lt) == 0 or len(rt) == 0:
+        return  # schema() of an empty from_arrow dataset is fine but dull
+    out = asof_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_key="k", right_key="rk",
+                    left_ts="lts", right_ts="rts",
+                    tiebreak="rid", num_buckets=3).to_pandas()
+    got = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+           for r in out.itertuples()}
+    # brute force: max (rts, rid) among same-key rows with rts <= lts
+    want = {}
+    for lid, (k, lm) in enumerate(left):
+        best = None
+        for rid, (rk, rm) in enumerate(right):
+            if rk == k and rm <= lm:
+                cand = (rm, rid)
+                if best is None or cand > best:
+                    best = cand
+        want[lid] = best[1] if best else None
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(keys, minutes), min_size=1, max_size=12),
+    right=st.lists(st.tuples(keys, minutes,
+                             st.integers(min_value=0, max_value=10)),
+                   min_size=1, max_size=12),
+)
+def test_range_join_matches_bruteforce(left, right):
+    from kgeng.ops.join import range_join
+
+    lt = pa.table({
+        "lid": list(range(len(left))),
+        "k": [k for k, _ in left],
+        "lts": _ts([m for _, m in left]),
+    })
+    rt = pa.table({
+        "rid": list(range(len(right))),
+        "rk": [k for k, _, _ in right],
+        "lo": _ts([m for _, m, _ in right]),
+        "hi": _ts([m + w for _, m, w in right]),
+    })
+    out = range_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                     left_key="k", right_key="rk", left_ts="lts",
+                     right_lo="lo", right_hi="hi",
+                     num_buckets=3).to_pandas()
+    got = sorted((int(r.lid), int(r.rid)) for r in out.itertuples())
+    want = sorted(
+        (lid, rid)
+        for lid, (k, lm) in enumerate(left)
+        for rid, (rk, rm, w) in enumerate(right)
+        if rk == k and rm <= lm < rm + w)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(keys, minutes), min_size=1, max_size=15))
+def test_lag_gap_matches_bruteforce(rows):
+    from kgeng.ops.window import partitioned_lag_gap
+
+    t = pa.table({
+        "eid": list(range(len(rows))),
+        "k": [k for k, _ in rows],
+        "ts": _ts([m for _, m in rows]),
+    })
+    out = (partitioned_lag_gap(ray.data.from_arrow(t), key="k", ts="ts",
+                               order_tiebreak="eid", num_buckets=3)
+           .to_pandas().set_index("eid"))
+    # brute force per key
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][0],
+                                                    rows[i][1], i))
+    prev: dict[int, int] = {}
+    for i in order:
+        k, m = rows[i]
+        exp = float((m - prev[k]) * 60) if k in prev else None
+        gap = out.loc[i, "gap_sec"]
+        assert (exp is None and pd.isna(gap)) or gap == exp, (i, exp, gap)
+        prev[k] = m
