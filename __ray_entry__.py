@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count_bpe": Q.doc_token_count_bpe,
         "doc_quality": Q.doc_quality,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
+        "docs_above_median_quality": Q.docs_above_median_quality,
         "doc_length_histogram": Q.doc_length_histogram,
         "lang_id_pred": Q.lang_id_pred,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -265,6 +266,26 @@ def oracle_sql() -> dict[str, str]:
                    round((na / greatest(nc, 1)) *
                          least(nt / 20.0, 1.0), 6) AS quality_score
             FROM base
+        """,
+        "docs_above_median_quality": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS nc,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) AS na,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+                          AS nt
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     round((na / greatest(nc, 1)) *
+                           least(nt / 20.0, 1.0), 6) AS quality_score
+              FROM base),
+            med AS (
+              SELECT round(quantile_cont(quality_score, 0.5), 9) AS m
+              FROM scored)
+            SELECT s.doc_id, s.quality_score
+            FROM scored s, med WHERE s.quality_score >= med.m
         """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,

@@ -197,6 +197,36 @@ def doc_quality(sf_dir: str):
          "avg_token_len", "quality_score"])
 
 
+def docs_above_median_quality(sf_dir: str):
+    """Quality gate: keep docs at or above the GLOBAL median quality
+    score — the small-aggregate-then-broadcast pattern (an exact global
+    quantile is one tiny row; the filter is a vectorized per-batch
+    compare). Scale path: swap the exact quantile for
+    ops/rank.approx_grouped_quantiles (mergeable histogram) when the
+    value set can't sit in one task."""
+    import numpy as np
+
+    from kgeng.ops.rank import grouped_quantiles
+
+    scored = text_ops.add_quality_score(
+        _pq(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+            ["doc_id", "quality_score"])
+
+    def const_group(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(len(t), np.int8)))
+
+    med_tbl = grouped_quantiles(scored.map_batches(
+        const_group, batch_format="pyarrow"), "g", "quality_score",
+        [0.5], round_to=9).take_all()
+    med = float(med_tbl[0]["quantile_value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["quality_score"],
+                                         pa.scalar(med)))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
 def doc_stats_by_lang(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
     out = ds.groupby("lang").aggregate(
