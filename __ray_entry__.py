@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": Q.doc_quality,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "docs_above_median_quality": Q.docs_above_median_quality,
+        "docs_packed_2k": Q.docs_packed_2k,
         "doc_length_histogram": Q.doc_length_histogram,
         "lang_id_pred": Q.lang_id_pred,
         "doc_fingerprints": Q.doc_fingerprints,

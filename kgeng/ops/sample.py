@@ -64,3 +64,71 @@ def stratified_sample(ds: ray.data.Dataset, key: str, n: int,
         return t.drop_columns(["__rk"])
 
     return out.map_batches(drop_rk, batch_format="pyarrow")
+
+
+def pack_sequences(ds: ray.data.Dataset, count_col: str, id_col: str,
+                   budget: int, num_buckets: int = 64) -> ray.data.Dataset:
+    """Token-budget sequence packing: assign each row to a packed
+    sequence so no sequence exceeds ``budget`` tokens (rows larger than
+    the budget get a sequence of their own). Deterministic
+    best-fit-decreasing: rows sorted by (count desc, id), each placed
+    in the open sequence with the SMALLEST remaining capacity that
+    still fits (ties to the lowest sequence id), via a bisect-sorted
+    capacity list — O(n log n) per bucket, not FFD's O(n^2) scan.
+
+    Packing is inherently sequential, so the cluster-scale shape is
+    bucket-parallel: rows hash-shuffle into ``num_buckets`` independent
+    buckets by id and each bucket packs alone (sequences never span
+    buckets; seq ids are globally unique via bucket * 2^32 + local).
+    The in-bucket loop is per-ROW Python, justified because each
+    iteration depends on every previous assignment — there is no
+    vectorized form — and bucket parallelism bounds the serial span.
+
+    Output: one row per input row — (id, count, seq_id, seq_fill) where
+    seq_fill is the sequence's total token count after packing."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = ((ids.astype(np.uint64) * KNUTH) >> np.uint64(3)) \
+            % np.uint64(num_buckets)
+        return t.append_column("__bucket",
+                               pa.array(b.astype(np.int32)))
+
+    def pack(g):
+        import bisect
+
+        import pandas as pd
+
+        g = g.sort_values([count_col, id_col],
+                          ascending=[False, True], kind="mergesort")
+        counts = g[count_col].to_numpy()
+        bkt = int(g["__bucket"].iloc[0])
+        caps: list[tuple[int, int]] = []  # sorted (remaining, seq_local)
+        fills: list[int] = []             # total fill per sequence
+        assign = np.empty(len(g), np.int64)
+        for i, c in enumerate(counts):
+            c = int(c)
+            j = bisect.bisect_left(caps, (c,))
+            if j == len(caps):            # nothing fits: open a sequence
+                assign[i] = len(fills)
+                rem = budget - c
+                if rem > 0:
+                    bisect.insort(caps, (rem, len(fills)))
+                fills.append(c)
+            else:                          # tightest fit, lowest seq id
+                rem, s = caps.pop(j)
+                assign[i] = s
+                fills[s] += c
+                if rem - c > 0:
+                    bisect.insort(caps, (rem - c, s))
+        base = np.int64(bkt) << np.int64(32)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            count_col: counts,
+            "seq_id": base + assign,
+            "seq_fill": np.array(fills, np.int64)[assign],
+        })
+        return out
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(pack, batch_format="pandas")

@@ -227,6 +227,21 @@ def docs_above_median_quality(sf_dir: str):
     return scored.map_batches(keep, batch_format="pyarrow")
 
 
+def docs_packed_2k(sf_dir: str):
+    """Token-budget sequence packing (rows-only: packing has no SQL
+    form): pack every document into 2048-token training sequences with
+    deterministic best-fit-decreasing; invariants (fill <= budget,
+    oversized docs isolated, partition invariance) are pinned in
+    tests/test_training_ops.py."""
+    from kgeng.ops.sample import pack_sequences
+
+    ds = text_ops.add_token_count(
+        _pq(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+            ["doc_id", "n_tokens"])
+    return pack_sequences(ds, count_col="n_tokens", id_col="doc_id",
+                          budget=2048)
+
+
 def doc_stats_by_lang(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
     out = ds.groupby("lang").aggregate(

@@ -415,3 +415,39 @@ def test_stratified_sample_exact_n_per_group():
     out2 = stratified_sample(ray.data.from_arrow(t), key="lang", n=25,
                              id_col="doc_id").to_pandas()
     assert (sorted(out["doc_id"]) == sorted(out2["doc_id"]))
+
+
+def test_pack_sequences_invariants():
+    """Budget honored, oversized rows isolated, every row assigned
+    exactly once, deterministic across partitionings, and seq_fill is
+    the true total of its sequence."""
+    import pyarrow as pa
+
+    from kgeng.ops.sample import pack_sequences
+
+    rng = list(range(120))
+    counts = [((i * 37) % 900) + 1 for i in rng]   # 1..900
+    counts[7] = 5000                               # oversized
+    t = pa.table({"doc_id": rng, "n_tokens": counts})
+    out = pack_sequences(ray.data.from_arrow(t).repartition(5),
+                         count_col="n_tokens", id_col="doc_id",
+                         budget=1000, num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == rng             # each row once
+    fills = out.groupby("seq_id")["n_tokens"].sum()
+    # fill column = true total per sequence
+    per_row = out.set_index("doc_id")
+    for sid, total in fills.items():
+        rows = out[out["seq_id"] == sid]
+        assert (rows["seq_fill"] == total).all()
+    # budget honored except the single oversized doc's own sequence
+    big = per_row.loc[7, "seq_id"]
+    assert (fills.drop(index=big) <= 1000).all()
+    assert fills[big] == 5000
+    assert (out[out["seq_id"] == big]["doc_id"] == 7).all()
+    # partition invariance
+    out2 = pack_sequences(ray.data.from_arrow(t), count_col="n_tokens",
+                          id_col="doc_id", budget=1000,
+                          num_buckets=4).to_pandas()
+    a = out.sort_values("doc_id")[["seq_id", "seq_fill"]].to_numpy()
+    b = out2.sort_values("doc_id")[["seq_id", "seq_fill"]].to_numpy()
+    assert (a == b).all()
