@@ -47,6 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
         "docs_hash_sample": Q.docs_hash_sample,
+        "events_rolling_sum": Q.events_rolling_sum,
+        "events_type_pivot": Q.events_type_pivot,
+        "cust_big_order_counts": Q.cust_big_order_counts,
+        "distinct_users_by_type": Q.distinct_users_by_type,
+        "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
         "sessionize_events": Q.sessionize_events,
         "top2_orders_per_cust": Q.top2_orders_per_cust,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
@@ -183,6 +188,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "events_rolling_sum": """
+            SELECT event_id, user_id, ts,
+                   sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   / 10000.0 AS roll4_value
+            FROM events
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')
+                       AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')
+                       AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')
+                       AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')
+                       AS n_view
+            FROM events GROUP BY 1
+        """,
+        "cust_big_order_counts": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(coalesce(b.n_big, 0) AS BIGINT) AS n_big
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, count(*) AS n_big FROM orders
+              WHERE o_totalprice > 400000 GROUP BY 1) b
+            ON b.o_custkey = c.c_custkey
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "events_prev_gap": """
             -- microsecond diff / 1e6: fractional seconds, the same

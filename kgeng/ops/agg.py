@@ -70,6 +70,137 @@ def hash_str(s: str) -> int:
     return h
 
 
+def pivot_count(ds: ray.data.Dataset, key: str, pivot: str,
+                values: list[str], prefix: str = "n_") -> ray.data.Dataset:
+    """Pivot-by-count: one row per ``key`` with a ``prefix<v>`` int64
+    column per pivot value in ``values`` (SQL: ``count(*) FILTER
+    (WHERE pivot = v)`` per v).
+
+    Plan: per-batch WIDE partial — each pivot value becomes a 0/1 mask
+    column summed per key inside the batch (all `pyarrow.compute`) — so
+    the shuffle moves one wide row per key per batch, never raw rows;
+    then one small groupby sums the partials. Pivot values must be
+    enumerated up front (standard for pivot: the output schema cannot
+    depend on the data)."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"{prefix}{v}" for v in values]
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = {c: pc.cast(pc.equal(t[pivot], v), pa.int64())
+                 for c, v in zip(cols, values)}
+        wide = pa.table({key: t[key], **masks})
+        return wide.group_by([key]).aggregate([(c, "sum") for c in cols])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(key).aggregate(
+        *[Sum(f"{c}_sum", alias_name=c) for c in cols])
+
+    def order(t: pa.Table) -> pa.Table:
+        return t.select([key] + cols)
+
+    return final.map_batches(order, batch_format="pyarrow")
+
+
+def grouped_count_distinct(ds: ray.data.Dataset, key: str, value: str,
+                           out: str = "n_distinct") -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT value) GROUP BY key. Per-batch partial
+    dedup shrinks the shuffle to the batch's distinct (key, value)
+    pairs; one groupby materializes globally-unique pairs; a second
+    (tiny — one row per surviving pair) partial+final count finishes.
+    The pair shuffle is the unavoidable cost of exactness — see
+    :func:`hll_count_distinct` for the sketch that avoids it."""
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by([key, value]).aggregate([([], "count_all")])
+        return g.select([key, value])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby([key, value]).aggregate(Count(alias_name="__c"))
+
+    def count_per_key(t: pa.Table) -> pa.Table:
+        g = t.group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "partial"])
+
+    final = pairs.map_batches(count_per_key, batch_format="pyarrow") \
+        .groupby(key).sum("partial")
+    return final.map_batches(
+        lambda t: t.rename_columns([key, out]), batch_format="pyarrow")
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) —
+    uint64 in/out, numpy wrapping arithmetic."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_count_distinct(ds: ray.data.Dataset, key: str, value: str,
+                       p: int = 12,
+                       out: str = "n_approx") -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT value) GROUP BY key via a mergeable
+    HyperLogLog sketch (Flajolet et al. 2007): 2^p byte registers per
+    key (~1.04/sqrt(2^p) relative error; 1.6% at the default p=12),
+    with the standard linear-counting correction for small
+    cardinalities.
+
+    This is the 100-TB shape for distinct counts: each batch emits ONE
+    (key, 2^p-byte register blob) row per key it contains, so the
+    shuffle volume is #batches x #keys x 4 KB regardless of row count —
+    the exact version (:func:`grouped_count_distinct`) must shuffle
+    every distinct pair. ``value`` must be integer-typed (hash is a
+    vectorized splitmix64); register merge is an elementwise max."""
+    import pandas as pd
+
+    m = 1 << p
+    wbits = np.uint64(64 - p)
+    wmask = (np.uint64(1) << wbits) - np.uint64(1)
+    max_rank = np.uint8(64 - p + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind not in "iu":
+            raise TypeError(
+                f"hll_count_distinct needs an integer value column, got "
+                f"{vals.dtype} — hash strings to int64 upstream")
+        h = _splitmix64(vals.astype(np.uint64))
+        idx = (h >> wbits).astype(np.int64)
+        w = h & wmask
+        # rank = leading-zero count of the low 64-p bits, + 1.
+        # frexp exponent == bit length (exact: w < 2^52 <= 2^53).
+        bitlen = np.frexp(w.astype(np.float64))[1]
+        rank = (max_rank - bitlen.astype(np.uint8))
+        rank[w == 0] = max_rank
+        keys = t[key].to_numpy(zero_copy_only=False)
+        out_keys, blobs = [], []
+        for k in np.unique(keys):
+            mask = keys == k
+            regs = np.zeros(m, np.uint8)
+            np.maximum.at(regs, idx[mask], rank[mask])
+            out_keys.append(k)
+            blobs.append(regs.tobytes())
+        kt = t.schema.field(key).type
+        return pa.table({key: pa.array(out_keys, kt),
+                         "__regs": pa.array(blobs, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, np.uint8) for b in g["__regs"]])
+        est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out: np.array([round(est)], np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(merge, batch_format="pandas")
+
+
 def partial_sum(ds: ray.data.Dataset, key: str, value: str,
                 out: str = "total") -> ray.data.Dataset:
     """Partial+final SUM(value) GROUP BY key (combiner pattern): per-batch

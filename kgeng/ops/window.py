@@ -94,6 +94,55 @@ def tumbling(events: ray.data.Dataset, key: str, ts: str, value: str,
             Count(alias_name="n"), Sum(value, alias_name="total"))
 
 
+def partitioned_rolling_sum(events: ray.data.Dataset, key: str,
+                            ts: str, value: str, window: int,
+                            order_tiebreak: str | None = None,
+                            out: str = "roll_sum",
+                            num_buckets: int = 64) -> ray.data.Dataset:
+    """Rolling-window aggregate: per key, SUM(value) over the last
+    ``window`` rows INCLUDING the current one, in (ts, tiebreak) order
+    (SQL: ``sum(value) OVER (PARTITION BY key ORDER BY ts, tiebreak
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``).
+
+    Same plan shape as :func:`sessionize`: one shuffle into a bounded
+    number of coarse hash buckets, then ONE vectorized pandas pass per
+    bucket. The rolling sum itself is the cumsum-difference identity
+    (``cumsum - cumsum.shift(window)`` within each key) — two C-level
+    grouped scans, no per-key Python and no pandas ``rolling`` object
+    per group. Exact for integer values below 2^53 (pandas cumsum
+    carries them in int64; the grouped shift is the only float step and
+    it only moves already-exact values)."""
+
+    def bucket(t):
+        import pyarrow as pa
+
+        vals = t[key].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iu":
+            h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            b = ((h >> np.uint64(33)) % np.uint64(num_buckets))
+        else:
+            import zlib
+
+            b = np.array([zlib.crc32(str(v).encode()) % num_buckets
+                          for v in vals], dtype=np.uint64)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    sort_cols = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"]).sort_values(sort_cols,
+                                                     kind="mergesort")
+        grouped = g.groupby(key, sort=False)[value]
+        cs = grouped.cumsum()
+        # cumsum of the row `window` back, 0 before the window fills
+        prev = cs.groupby(g[key].values, sort=False).shift(window)
+        g[out] = (cs - prev.fillna(0)).astype(np.int64)
+        return g
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def partitioned_lag_gap(events: ray.data.Dataset, key: str = "user_id",
                         ts: str = "ts", order_tiebreak: str | None = None,
                         out: str = "gap_sec",

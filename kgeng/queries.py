@@ -753,6 +753,96 @@ def events_prev_gap(sf_dir: str):
                                order_tiebreak="event_id", out="gap_sec")
 
 
+def events_rolling_sum(sf_dir: str):
+    """Rolling-window aggregate: per event, the user's value sum over
+    the last 4 events (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW).
+    Values go through the scaled-int64 policy so the windowed sums are
+    order-exact on both sides."""
+    from kgeng.ops.window import partitioned_rolling_sum
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_c(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                         "value_c": _cents(t["value"], 10000.0)})
+
+    rolled = partitioned_rolling_sum(
+        ev.map_batches(add_c, batch_format="pyarrow"),
+        key="user_id", ts="ts", value="value_c", window=4,
+        order_tiebreak="event_id", out="roll4_c")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "roll4_value": _uncents(t["roll4_c"], 10000.0)})
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str):
+    """Pivot-by-count: one row per user with a count column per event
+    type — the wide-partial pattern (masks summed per batch, one small
+    groupby over partials; raw rows never shuffle)."""
+    from kgeng.ops.agg import pivot_count
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_count(ev, key="user_id", pivot="event_type",
+                       values=EVENT_TYPES)
+
+
+def cust_big_order_counts(sf_dir: str):
+    """LEFT OUTER join with zero-fill: every customer, with their count
+    of > $400k orders (202 customers have none at sf0.01 — the
+    unmatched side is genuinely exercised). Pre-aggregates the right
+    side (salted count), then one hash-partitioned left join."""
+    from kgeng.ops.agg import salted_count
+    from kgeng.ops.join import hash_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    big = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 400000.0)),
+            batch_format="pyarrow")
+    counts = salted_count(big, "o_custkey", out="n_big",
+                          key_type=pa.int64()) \
+        .map_batches(lambda t: t.rename_columns(["c_custkey", "n_big"]),
+                     batch_format="pyarrow")
+    joined = hash_join(cust, counts, key="c_custkey", how="left")
+
+    def fill(df):
+        df["n_big"] = df["n_big"].fillna(0).astype("int64")
+        return df
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — per-batch pair dedup
+    shrinks the shuffle, one pair groupby, tiny final count."""
+    from kgeng.ops.agg import grouped_count_distinct
+
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(ev, "event_type", "user_id",
+                                  out="n_users")
+
+
+def approx_distinct_users_by_type(sf_dir: str):
+    """HyperLogLog distinct-count sketch (p=12, ~1.6% error): the scale
+    path for distinct counts — 4 KB of registers per key per batch
+    shuffle instead of every distinct pair. Rows-only for the driver;
+    tests pin it against the exact op within the sketch's error bound."""
+    from kgeng.ops.agg import hll_count_distinct
+
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return hll_count_distinct(ev, "event_type", "user_id",
+                              out="n_users_approx")
+
+
 def revenue_by_orderpriority(sf_dir: str):
     """Large x large join: lineitem x orders via the explicit
     hash-partitioned join (ops/join.py), then grouped revenue."""

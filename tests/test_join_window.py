@@ -339,3 +339,33 @@ def test_partitioned_lag_gap():
     gaps = out["gap_sec"].tolist()
     assert pd.isna(gaps[0]) and pd.isna(gaps[3])
     assert gaps[1] == 10.5 and gaps[2] == 49.5 and gaps[4] == 2.0
+
+
+def test_partitioned_rolling_sum_matches_pandas_rolling():
+    """Randomized check of the cumsum-difference rolling sum against
+    pandas' own rolling() per group, across bucket boundaries."""
+    import numpy as np
+
+    from kgeng.ops.window import partitioned_rolling_sum
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 23, n).astype(np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "v": rng.integers(-50, 500, n).astype(np.int64),
+    })
+    out = (partitioned_rolling_sum(
+        ray.data.from_pandas(df.copy()).repartition(7),
+        key="user_id", ts="ts", value="v", window=4,
+        order_tiebreak="event_id", out="roll", num_buckets=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ref["roll"] = (ref.groupby("user_id", sort=False)["v"]
+                   .rolling(4, min_periods=1).sum()
+                   .reset_index(level=0, drop=True)).astype(np.int64)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert out["roll"].tolist() == ref["roll"].tolist()

@@ -451,3 +451,74 @@ def test_pack_sequences_invariants():
     a = out.sort_values("doc_id")[["seq_id", "seq_fill"]].to_numpy()
     b = out2.sort_values("doc_id")[["seq_id", "seq_fill"]].to_numpy()
     assert (a == b).all()
+
+
+def test_pivot_count_matches_crosstab():
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.agg import pivot_count
+
+    rng = np.random.default_rng(11)
+    types = ["a", "b", "c"]
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, 300).astype(np.int64),
+        "t": rng.choice(types + ["zzz_not_pivoted"], 300),
+    })
+    got = (pivot_count(ray.data.from_pandas(df.copy()).repartition(5),
+                       key="k", pivot="t", values=types)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    ct = pd.crosstab(df["k"], df["t"]).reindex(columns=types, fill_value=0)
+    for v in types:
+        assert got[f"n_{v}"].tolist() == ct[v].astype(np.int64).tolist()
+    assert list(got.columns) == ["k", "n_a", "n_b", "n_c"]
+
+
+def test_grouped_count_distinct_matches_nunique():
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.agg import grouped_count_distinct
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 500),
+        "v": rng.integers(0, 40, 500).astype(np.int64),
+    })
+    got = (grouped_count_distinct(
+        ray.data.from_pandas(df.copy()).repartition(6), "k", "v",
+        out="nd").to_pandas().sort_values("k").reset_index(drop=True))
+    ref = df.groupby("k")["v"].nunique()
+    assert dict(zip(got["k"], got["nd"])) == ref.to_dict()
+
+
+def test_hll_count_distinct_within_error_and_partition_invariant():
+    """The sketch estimate must (a) sit within its theoretical error
+    band of the exact count and (b) be EXACTLY reproducible under a
+    different partitioning (register merge is associative+commutative)."""
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.agg import hll_count_distinct
+
+    rng = np.random.default_rng(17)
+    # two groups: one small-cardinality (linear-counting regime, near
+    # exact), one larger
+    small = pd.DataFrame({"k": "s", "v": rng.integers(0, 300, 2000)})
+    big = pd.DataFrame({"k": "b", "v": rng.integers(0, 1_000_000, 30000)})
+    df = pd.concat([small, big], ignore_index=True)
+    df["v"] = df["v"].astype(np.int64)
+
+    def run(nparts):
+        out = hll_count_distinct(
+            ray.data.from_pandas(df.copy()).repartition(nparts),
+            "k", "v", out="n").to_pandas()
+        return dict(zip(out["k"], out["n"]))
+
+    got = run(4)
+    exact = df.groupby("k")["v"].nunique().to_dict()
+    # p=12 -> sigma ~1.6%; allow 4 sigma plus linear-counting slack
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(0.07 * exact[k], 8), \
+            (k, got[k], exact[k])
+    assert run(9) == got
