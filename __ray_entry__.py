@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": Q.top_orders,
         "distinct_event_types": Q.distinct_event_types,
         "revenue_by_orderpriority": Q.revenue_by_orderpriority,
+        "urgent_order_revenue": Q.urgent_order_revenue,
         "events_last_order": Q.events_last_order,
         "events_followers_1h": Q.events_followers_1h,
         "events_prev_gap": Q.events_prev_gap,
@@ -150,6 +151,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
                                   * 100) AS BIGINT)) / 100.0 AS sum_revenue
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "urgent_order_revenue": """
+            SELECT o.o_orderpriority, count(*) AS n_items,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT)) / 100.0 AS sum_revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
             GROUP BY 1
         """,
         "events_last_order": """

@@ -292,3 +292,73 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     return both.groupby("__bucket").map_groups(merge,
                                                batch_format="pandas")
+
+
+# ---------------------------------------------------------------- bloom
+
+def build_bloom(ds: ray.data.Dataset, key: str, num_bits: int = 1 << 20,
+                k: int = 4) -> bytes:
+    """Build a Bloom filter over an integer key column: each batch
+    emits its own bitmap (one num_bits/8-byte blob per block), the
+    driver ORs them — a bounded, associative reduce. num_bits must be a
+    power of two. With m=2^20, k=4 the filter holds ~100k keys at <1%
+    false positives in 128 KB — the broadcast-cheap summary of a join's
+    build side.
+
+    Double hashing (Kirsch-Mitzenmacher): the k probe positions are
+    h1 + i*h2 from one splitmix64 pass, all vectorized."""
+    from kgeng.ops.agg import _splitmix64
+
+    assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of 2"
+    mask = np.uint64(num_bits - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[key].to_numpy(zero_copy_only=False)
+        h = _splitmix64(v.astype(np.uint64))
+        h1 = h & mask
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd => full cycle
+        bm = np.zeros(num_bits >> 3, np.uint8)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1),
+                                           (pos & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"__bm": pa.array([bm.tobytes()], pa.binary())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = np.zeros(num_bits >> 3, np.uint8)
+    for row in blobs:
+        out |= np.frombuffer(row["__bm"], np.uint8)
+    return out.tobytes()
+
+
+def bloom_prefilter(ds: ray.data.Dataset, key: str, bloom: bytes,
+                    num_bits: int = 1 << 20,
+                    k: int = 4) -> ray.data.Dataset:
+    """Drop rows whose ``key`` is definitely absent from the filter
+    (no false negatives; false positives pass through, so compose with
+    an exact join AFTER). The bitmap ships once via ``ray.put`` and
+    each task reads it zero-copy from the local object store — at
+    cluster scale this replaces shuffling every non-matching probe row
+    with broadcasting ~128 KB."""
+    import ray
+
+    from kgeng.ops.agg import _splitmix64
+
+    mask = np.uint64(num_bits - 1)
+    ref = ray.put(np.frombuffer(bloom, np.uint8))
+
+    def keep(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        v = t[key].to_numpy(zero_copy_only=False)
+        h = _splitmix64(v.astype(np.uint64))
+        h1 = h & mask
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        ok = np.ones(len(v), bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            bits = bm[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= (bits >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -843,6 +843,46 @@ def approx_distinct_users_by_type(sf_dir: str):
                               out="n_users_approx")
 
 
+def urgent_order_revenue(sf_dir: str):
+    """Bloom-prefiltered join: revenue of URGENT orders only. The
+    selective build side (1/5 of orders) is summarized as a 128 KB
+    Bloom bitmap and broadcast; lineitem drops definite non-matches
+    BEFORE the shuffle (false positives pass and die in the exact join
+    after) — at cluster scale this replaces shuffling ~80% of the probe
+    side with one small broadcast. Result is exactly the plain join's."""
+    from kgeng.ops.join import bloom_prefilter, build_bloom, hash_join
+
+    urgent = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow")
+    bloom = build_bloom(urgent, "o_orderkey")
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "rev_c": _cents(r)})
+
+    probe = bloom_prefilter(
+        li.map_batches(add_rev, batch_format="pyarrow"),
+        "o_orderkey", bloom)
+    joined = hash_join(probe, urgent, key="o_orderkey", how="inner")
+
+    from ray.data.aggregate import Count as _Count
+
+    out = joined.groupby("o_orderpriority").aggregate(
+        _Count(alias_name="n_items"), Sum("rev_c", alias_name="rev"))
+    return out.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "n_items": t["n_items"],
+                            "sum_revenue": _uncents(t["rev"])}),
+        batch_format="pyarrow")
+
+
 def revenue_by_orderpriority(sf_dir: str):
     """Large x large join: lineitem x orders via the explicit
     hash-partitioned join (ops/join.py), then grouped revenue."""

@@ -369,3 +369,27 @@ def test_partitioned_rolling_sum_matches_pandas_rolling():
                    .reset_index(level=0, drop=True)).astype(np.int64)
     ref = ref.sort_values("event_id").reset_index(drop=True)
     assert out["roll"].tolist() == ref["roll"].tolist()
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp():
+    """Every build-side key must survive the prefilter (no false
+    negatives — join correctness depends on it); false positives stay
+    under a loose multiple of the theoretical rate."""
+    import numpy as np
+
+    from kgeng.ops.join import bloom_prefilter, build_bloom
+
+    members = np.arange(0, 30000, 3, dtype=np.int64)       # 10k keys
+    bloom = build_bloom(
+        ray.data.from_arrow(pa.table({"k": members})).repartition(5),
+        "k", num_bits=1 << 18, k=4)
+    probe = np.arange(60000, dtype=np.int64)
+    out = bloom_prefilter(
+        ray.data.from_arrow(pa.table({"k": probe})).repartition(4),
+        "k", bloom, num_bits=1 << 18, k=4).to_pandas()
+    got = set(out["k"])
+    assert set(members.tolist()) <= got
+    n_out = len(probe) - len(members)
+    fp = (len(got) - len(members)) / n_out
+    # m/n = 26 bits/key, k=4 -> ~0.24% theoretical; allow 4x slack
+    assert fp < 0.01, fp
