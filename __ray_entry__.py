@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
         "docs_hash_sample": Q.docs_hash_sample,
+        "docs_mix_by_lang": Q.docs_mix_by_lang,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -197,6 +198,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "docs_mix_by_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  CAST((CASE lang WHEN 'en' THEN 0.5
+                                  WHEN 'de' THEN 0.25
+                                  ELSE 0.05 END) * 4294967296 AS BIGINT)
         """,
         "events_rolling_sum": """
             SELECT event_id, user_id, ts,

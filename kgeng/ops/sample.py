@@ -66,6 +66,36 @@ def stratified_sample(ds: ray.data.Dataset, key: str, n: int,
     return out.map_batches(drop_rk, batch_format="pyarrow")
 
 
+def mix_sample(ds: ray.data.Dataset, source_col: str,
+               rates: dict[str, float], id_col: str,
+               default_rate: float = 0.0) -> ray.data.Dataset:
+    """Dataset mixing for training corpora: keep each row with a
+    SOURCE-dependent rate (``rates[source]``, ``default_rate`` for
+    unlisted sources) — the per-source Bernoulli uses the same
+    deterministic Knuth-hash threshold as :func:`hash_sample`, so the
+    mixture is exactly reproducible across runs, partitionings, and
+    cluster sizes, and a SQL oracle can state it as a CASE expression.
+
+    Pure per-batch filter, no shuffle: the source->threshold map rides
+    in the task closure (it is tiny — one entry per source), and the
+    lookup is one vectorized ``pc.index_in`` + ``np.where``."""
+    import pyarrow.compute as pc
+
+    keys = pa.array(list(rates.keys()))
+    thr = np.array([int(r * float(MOD)) for r in rates.values()],
+                   np.int64)
+    dflt = np.int64(int(default_rate * float(MOD)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        idx = pc.fill_null(pc.index_in(t[source_col], keys), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        th = np.where(idx >= 0, thr[np.clip(idx, 0, None)], dflt)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_knuth_hash(ids) < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def pack_sequences(ds: ray.data.Dataset, count_col: str, id_col: str,
                    budget: int, num_buckets: int = 64) -> ray.data.Dataset:
     """Token-budget sequence packing: assign each row to a packed

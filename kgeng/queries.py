@@ -742,6 +742,19 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+def docs_mix_by_lang(sf_dir: str):
+    """Training-corpus mixture: keep 50% of English, 25% of German, 5%
+    of every other language — per-source deterministic Bernoulli, one
+    vectorized filter, no shuffle. The SQL oracle states the mixture as
+    a CASE over the same hash arithmetic."""
+    from kgeng.ops.sample import mix_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return mix_sample(ds, source_col="lang",
+                      rates={"en": 0.5, "de": 0.25}, id_col="doc_id",
+                      default_rate=0.05)
+
+
 def events_prev_gap(sf_dir: str):
     """LAG window function: per event, seconds since the same user's
     previous event (NaN for each user's first; ties on ts broken by

@@ -522,3 +522,29 @@ def test_hll_count_distinct_within_error_and_partition_invariant():
         assert abs(got[k] - exact[k]) <= max(0.07 * exact[k], 8), \
             (k, got[k], exact[k])
     assert run(9) == got
+
+
+def test_mix_sample_per_source_rates_and_reference_match():
+    """Per-source mixture: each row's keep decision must equal the
+    hash_sample decision at its source's rate (exact reference), and
+    unlisted sources must fall back to default_rate."""
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.sample import KNUTH, MOD, mix_sample
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "doc_id": np.arange(5000, dtype=np.int64),
+        "src": rng.choice(["a", "b", "c", "unlisted"], 5000),
+    })
+    rates = {"a": 0.5, "b": 0.1, "c": 0.9}
+    got = sorted(mix_sample(
+        ray.data.from_pandas(df.copy()).repartition(6), "src", rates,
+        "doc_id", default_rate=0.0).to_pandas()["doc_id"])
+
+    h = (df["doc_id"].to_numpy().astype(np.uint64) * KNUTH) % MOD
+    thr = df["src"].map(lambda s: int(rates.get(s, 0.0) * float(MOD)))
+    want = sorted(df.loc[h.astype(np.int64) < thr.to_numpy(), "doc_id"])
+    assert got == want
+    assert not set(df.loc[df["src"] == "unlisted", "doc_id"]) & set(got)
