@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_by_lang": Q.docs_sample_by_lang,
         "docs_hash_sample": Q.docs_hash_sample,
         "docs_mix_by_lang": Q.docs_mix_by_lang,
+        "events_hourly_active_users": Q.events_hourly_active_users,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -198,6 +199,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "events_hourly_active_users": """
+            SELECT epoch_us(ts) // 3600000000 AS window_start_hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_active_users
+            FROM events GROUP BY 1
         """,
         "docs_mix_by_lang": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -742,6 +742,24 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+def events_hourly_active_users(sf_dir: str):
+    """Windowed distinct count (composition): tumbling-hour bucket
+    (vectorized epoch // width) feeding the exact grouped
+    COUNT(DISTINCT) — per-batch pair dedup still bounds the shuffle."""
+    from kgeng.ops.agg import grouped_count_distinct
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t_us = pc.cast(t["ts"], pa.timestamp("us"))
+        w = pc.divide(pc.cast(t_us, pa.int64()), 3_600_000_000)
+        return pa.table({"window_start_hour": w, "user_id": t["user_id"]})
+
+    return grouped_count_distinct(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        "window_start_hour", "user_id", out="n_active_users")
+
+
 def docs_mix_by_lang(sf_dir: str):
     """Training-corpus mixture: keep 50% of English, 25% of German, 5%
     of every other language — per-source deterministic Bernoulli, one
