@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": Q.docs_hash_sample,
         "docs_mix_by_lang": Q.docs_mix_by_lang,
         "events_hourly_active_users": Q.events_hourly_active_users,
+        "parts_never_bulk_ordered": Q.parts_never_bulk_ordered,
+        "docs_weighted_sample": Q.docs_weighted_sample,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -199,6 +201,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "parts_never_bulk_ordered": """
+            SELECT p_partkey FROM part
+            EXCEPT
+            SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45
         """,
         "events_hourly_active_users": """
             SELECT epoch_us(ts) // 3600000000 AS window_start_hour,

@@ -96,6 +96,39 @@ def mix_sample(ds: ray.data.Dataset, source_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(ds: ray.data.Dataset, id_col: str, weight_col: str,
+                    k: int) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row gets the key ``u ** (1/w)`` with
+    ``u = (knuth_hash(id) + 0.5) / 2^32`` — deterministic, so the
+    sample is stable across runs and partitionings — and the sample is
+    the global top-``k`` keys. Inclusion probability is proportional
+    to weight, exactly the reservoir semantics of the A-ES paper.
+
+    Distributed as the top-k shape: each block keeps only its local
+    top-``k`` (argpartition, no full sort), then a tiny global
+    sort+limit over the <= k-per-block survivors. Rows with
+    non-positive or null weight are excluded. Not SQL-oracle-checked:
+    the float ``pow`` is library-dependent in the last ulp; tests pin
+    the exact selection against a numpy reference instead."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(w) & (w > 0)
+        u = (_knuth_hash(ids).astype(np.float64) + 0.5) / float(MOD)
+        key = np.where(ok, np.power(u, 1.0 / np.where(ok, w, 1.0)), -1.0)
+        n = min(k, len(ids))
+        top = np.argpartition(-key, n - 1)[:n] if n else np.array([], int)
+        t = t.append_column("__skey", pa.array(key))
+        return t.take(pa.array(np.sort(top)))
+
+    return ds.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["__skey", id_col], descending=[True, False]).limit(k) \
+        .map_batches(lambda t: t.drop_columns(["__skey"]),
+                     batch_format="pyarrow")
+
+
 def pack_sequences(ds: ray.data.Dataset, count_col: str, id_col: str,
                    budget: int, num_buckets: int = 64) -> ray.data.Dataset:
     """Token-budget sequence packing: assign each row to a packed

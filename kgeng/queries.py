@@ -742,6 +742,41 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+def docs_weighted_sample(sf_dir: str):
+    """Length-weighted sample of 25 docs without replacement (A-ES
+    keys, deterministic) — the importance-sampling primitive for
+    corpus curation. Rows-only for the driver (float pow is
+    library-dependent in the last ulp); tests pin the exact selection
+    against a numpy reference."""
+    from kgeng.ops.sample import weighted_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_sample(ds, id_col="doc_id", weight_col="n_chars",
+                           k=25)
+
+
+def parts_never_bulk_ordered(sf_dir: str):
+    """Set difference (EXCEPT) as distributed dataflow: part keys
+    ANTI-joined against the distinct keys of bulk lineitems
+    (quantity > 45) — the subtrahend side pre-shrunk by per-batch
+    dedup before its one shuffle."""
+    from kgeng.ops.join import hash_join
+
+    parts = _pq(sf_dir, "part", ["p_partkey"])
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def bulk_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        g = t.group_by(["l_partkey"]).aggregate([([], "count_all")])
+        return pa.table({"p_partkey": g["l_partkey"]})
+
+    bulk = li.map_batches(bulk_keys, batch_format="pyarrow") \
+        .groupby("p_partkey").count() \
+        .map_batches(lambda t: t.select(["p_partkey"]),
+                     batch_format="pyarrow")
+    return hash_join(parts, bulk, key="p_partkey", how="anti")
+
+
 def events_hourly_active_users(sf_dir: str):
     """Windowed distinct count (composition): tumbling-hour bucket
     (vectorized epoch // width) feeding the exact grouped

@@ -60,6 +60,8 @@ PINS = {
     "media_frame_samples": "6d4e240461cd4761",
     "media_features": "9b3c66b6609a91af",
     "kg_media_features": "478c173304cacd3e",
+    "docs_weighted_sample": "7fb6aa41239899e6",
+    "approx_distinct_users_by_type": "4b4e721d29182f10",
 }
 
 

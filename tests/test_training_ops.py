@@ -548,3 +548,36 @@ def test_mix_sample_per_source_rates_and_reference_match():
     want = sorted(df.loc[h.astype(np.int64) < thr.to_numpy(), "doc_id"])
     assert got == want
     assert not set(df.loc[df["src"] == "unlisted", "doc_id"]) & set(got)
+
+
+def test_weighted_sample_matches_reference_and_partition_invariant():
+    """A-ES selection must equal the brute-force numpy top-k on
+    u**(1/w) keys, exclude non-positive weights, and be identical
+    under a different partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.sample import KNUTH, MOD, weighted_sample
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "w": rng.integers(-5, 200, n).astype(np.int64),
+    })
+
+    def run(nparts):
+        out = weighted_sample(
+            ray.data.from_pandas(df.copy()).repartition(nparts),
+            "doc_id", "w", k=40).to_pandas()
+        return sorted(out["doc_id"])
+
+    got = run(5)
+    w = df["w"].to_numpy().astype(np.float64)
+    u = (((df["doc_id"].to_numpy().astype(np.uint64) * KNUTH) % MOD)
+         .astype(np.float64) + 0.5) / float(MOD)
+    key = np.where(w > 0, np.power(u, 1.0 / np.where(w > 0, w, 1.0)), -1.0)
+    want = sorted(np.argsort(-key, kind="stable")[:40].tolist())
+    assert got == want
+    assert (df.loc[df["doc_id"].isin(got), "w"] > 0).all()
+    assert run(11) == got
