@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_active_users": Q.events_hourly_active_users,
         "parts_never_bulk_ordered": Q.parts_never_bulk_ordered,
         "docs_weighted_sample": Q.docs_weighted_sample,
+        "corpus_term_stats": Q.corpus_term_stats,
+        "docs_normalized": Q.docs_normalized,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -201,6 +203,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "docs_normalized": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS norm_text
+            FROM documents
+        """,
+        "corpus_term_stats": """
+            WITH tokens AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                         AS term
+              FROM documents)
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   count(*) AS tf
+            FROM tokens GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 5
         """,
         "parts_never_bulk_ordered": """
             SELECT p_partkey FROM part

@@ -29,6 +29,70 @@ def add_token_count(ds: ray.data.Dataset, col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def normalize_text(ds: ray.data.Dataset, col: str = "text",
+                   out: str = "norm_text") -> ray.data.Dataset:
+    """Canonical text cleanup for dedup/training prep: lowercase,
+    collapse whitespace runs to single spaces, strip edges — three
+    vectorized Arrow kernels, no Python per row (equivalent SQL:
+    ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t[col])
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return t.append_column(out, x)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def term_stats(ds: ray.data.Dataset, col: str = "text",
+               id_col: str = "doc_id", min_df: int = 1,
+               df_out: str = "df", tf_out: str = "tf") -> ray.data.Dataset:
+    """Corpus vocabulary statistics: per whitespace token, document
+    frequency (docs containing it) and total term frequency — the
+    inverted-index-shaped aggregation behind tf-idf / vocab pruning.
+
+    Per-batch partial: Arrow regex split + ``list_flatten`` with
+    ``list_parent_indices`` provenance, one C-level pandas dedup for
+    the df side — so the shuffle moves (term, df_partial, tf_partial)
+    rows bounded by each batch's VOCABULARY, never the token stream.
+    Exact because a document never spans rows. ``min_df`` prunes the
+    long unique-token tail after the final groupby (the standard
+    vocab-pruning knob; it also keeps small-scale result sets sane)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[col], pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        rows = pc.list_parent_indices(toks)
+        g = pd.DataFrame({
+            "row": rows.to_numpy(zero_copy_only=False),
+            "term": flat.to_pandas(),
+        })
+        g = g[g["term"] != ""]  # split artifacts at string edges
+        tf = g["term"].value_counts(sort=False)
+        df = g.drop_duplicates(["row", "term"])["term"] \
+              .value_counts(sort=False)
+        terms = tf.index.to_numpy()
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df_p": pa.array(df.reindex(terms).to_numpy(np.int64)),
+            "tf_p": pa.array(tf.to_numpy(np.int64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_p", alias_name=df_out),
+                                   Sum("tf_p", alias_name=tf_out))
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t[df_out], min_df))
+        return t.select(["term", df_out, tf_out])
+
+    return agg.map_batches(prune, batch_format="pyarrow")
+
+
 # BPE-ish pre-tokenization classes (GPT-2-style, minus lookahead so the
 # same RE2 pattern runs vectorized in Arrow AND in the DuckDB oracle):
 # letter runs | digit runs | single non-space symbol

@@ -742,6 +742,23 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+def docs_normalized(sf_dir: str):
+    """Text normalization (lowercase, whitespace collapse, strip) —
+    the canonicalization pass before exact/near dedup."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = text_ops.normalize_text(ds, col="text", out="norm_text")
+    return out.map_batches(lambda t: t.select(["doc_id", "norm_text"]),
+                           batch_format="pyarrow")
+
+
+def corpus_term_stats(sf_dir: str):
+    """Vocabulary statistics over the documents table: per token,
+    document frequency + total term frequency, pruned to df >= 5 —
+    the tf-idf / vocab-pruning primitive."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return text_ops.term_stats(ds, col="text", id_col="doc_id", min_df=5)
+
+
 def docs_weighted_sample(sf_dir: str):
     """Length-weighted sample of 25 docs without replacement (A-ES
     keys, deterministic) — the importance-sampling primitive for

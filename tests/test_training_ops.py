@@ -581,3 +581,45 @@ def test_weighted_sample_matches_reference_and_partition_invariant():
     assert got == want
     assert (df.loc[df["doc_id"].isin(got), "w"] > 0).all()
     assert run(11) == got
+
+
+def test_term_stats_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.text import term_stats
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the cat sat", "the  cat\tran", "a dog", "the end",
+            "cat cat cat", "  the   the  ",
+        ],
+    })
+    got = (term_stats(ray.data.from_pandas(df.copy()).repartition(3),
+                      min_df=1)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+    # brute force
+    rows = [(i, w) for i, s in zip(df["doc_id"], df["text"])
+            for w in s.split()]
+    bf = pd.DataFrame(rows, columns=["doc_id", "term"])
+    tf = bf["term"].value_counts()
+    dfreq = bf.drop_duplicates().groupby("term").size()
+    for _, r in got.iterrows():
+        assert r["tf"] == tf[r["term"]], r["term"]
+        assert r["df"] == dfreq[r["term"]], r["term"]
+    assert set(got["term"]) == set(tf.index)
+    # min_df pruning
+    pruned = term_stats(ray.data.from_pandas(df.copy()), min_df=3) \
+        .to_pandas()
+    assert set(pruned["term"]) == {w for w in tf.index if dfreq[w] >= 3}
+
+
+def test_normalize_text_kernels():
+    import pandas as pd
+
+    from kgeng.ops.text import normalize_text
+
+    df = pd.DataFrame({"text": ["  Hello\t WORLD \n", "aB  c", ""]})
+    out = normalize_text(ray.data.from_pandas(df)).to_pandas()
+    assert out["norm_text"].tolist() == ["hello world", "ab c", ""]
