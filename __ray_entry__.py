@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": Q.docs_weighted_sample,
         "corpus_term_stats": Q.corpus_term_stats,
         "docs_normalized": Q.docs_normalized,
+        "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -203,6 +204,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "docs_benchmark_contamination": """
+            WITH docs AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(toks) - 7, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                            toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                            toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                            toks[i+6] || ' ' || toks[i+7]) AS gs
+              FROM docs),
+            dg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            bench AS (SELECT DISTINCT g FROM dg WHERE doc_id < 20)
+            SELECT d.doc_id,
+                   CAST(coalesce(max(CASE WHEN b.g IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS contaminated
+            FROM docs d
+            LEFT JOIN dg ON dg.doc_id = d.doc_id
+            LEFT JOIN bench b ON b.g = dg.g
+            GROUP BY 1
         """,
         "docs_normalized": """
             SELECT doc_id,

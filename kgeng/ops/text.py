@@ -233,6 +233,89 @@ def add_lang_id(ds: ray.data.Dataset, concurrency=(1, 4),
                           batch_size=batch_size, concurrency=concurrency)
 
 
+# ------------------------------------------------------- decontamination
+
+_GRAM_MIX = np.uint64(0x100000001B3)
+
+
+def token_gram_hashes(texts: list[str | None], n: int = 8
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit polynomial hashes of every token ``n``-gram in a batch of
+    texts: ``(flat_hashes, bounds)`` with ``bounds[d]:bounds[d+1]``
+    delimiting doc d's windows. Docs with fewer than ``n`` tokens emit
+    ZERO windows (unlike the minhash shingler, which pads — here the
+    semantics must match SQL's generate_series gram expansion exactly).
+    Same vectorized shape as dedup.word_shingle_hashes: one C-level
+    token-hash pass, sliding polynomial over the flat array, cross-doc
+    windows discarded. 64-bit width keeps the corpus-x-benchmark
+    collision expectation ~1e-11 (32 bits would make oracle-visible
+    false flags likely)."""
+    import pandas as pd
+
+    tok_lists = [(x or "").split() for x in texts]
+    n_docs = len(tok_lists)
+    lens = np.fromiter(map(len, tok_lists), np.int64, n_docs)
+    nw = np.maximum(lens - n + 1, 0)
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(nw, out=bounds[1:])
+    out = np.empty(bounds[-1], dtype=np.uint64)
+    if bounds[-1] == 0:
+        return out, bounds
+    L = int(lens.sum())
+    flat = np.empty(L, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    th = pd.util.hash_array(flat)                   # uint64, C-level
+    tok_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_starts[1:])
+    W = L - n + 1
+    acc = th[:W].copy()
+    for k in range(1, n):
+        acc *= _GRAM_MIX
+        acc += th[k:k + W]
+    prev = np.concatenate(([0], np.cumsum(nw)[:-1]))
+    offs = np.arange(bounds[-1], dtype=np.int64) - np.repeat(prev, nw)
+    out[:] = acc[np.repeat(tok_starts[:-1], nw) + offs]
+    return out, bounds
+
+
+def contamination_flags(ds: ray.data.Dataset, bench_texts: list[str],
+                        col: str = "text", id_col: str = "doc_id",
+                        n: int = 8,
+                        out: str = "contaminated") -> ray.data.Dataset:
+    """Benchmark decontamination: flag every document sharing at least
+    one token ``n``-gram with the benchmark set — the standard
+    train/test-overlap scrub for training corpora.
+
+    The benchmark's gram-hash set is computed once on the driver (the
+    benchmark is small by definition), deduplicated, and broadcast via
+    ``ray.put``; each batch hashes its own grams with the same kernel
+    and takes one vectorized ``np.isin`` + per-doc any. Nothing
+    shuffles — the corpus streams through a stateless filter-shaped
+    map. Docs with fewer than ``n`` tokens have no grams and are never
+    flagged."""
+    import ray
+
+    bench = np.unique(token_gram_hashes(bench_texts, n)[0])
+    ref = ray.put(bench)
+
+    def f(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        texts = pc.fill_null(t[col], "").to_pylist()
+        flat, bounds = token_gram_hashes(texts, n)
+        nw = np.diff(bounds)
+        doc_idx = np.repeat(np.arange(len(texts)), nw)
+        hit = np.isin(flat, b)
+        flags = np.bincount(doc_idx, weights=hit,
+                            minlength=len(texts)) > 0
+        return pa.table({id_col: t[id_col],
+                         out: pa.array(flags.astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # --------------------------------------------------------- fingerprinting
 
 def _doc_fingerprint(text: str, k: int = 4, window: int = 8) -> int:

@@ -742,6 +742,22 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+def docs_benchmark_contamination(sf_dir: str):
+    """Train/test decontamination: flag documents sharing any token
+    8-gram with a 'benchmark' set (here: doc_id < 20). The benchmark
+    gram hashes broadcast once; the corpus streams through a stateless
+    vectorized check — no shuffle."""
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 20)])
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return text_ops.contamination_flags(
+        docs, bench["text"].to_pylist(), n=8, out="contaminated")
+
+
 def docs_normalized(sf_dir: str):
     """Text normalization (lowercase, whitespace collapse, strip) —
     the canonicalization pass before exact/near dedup."""

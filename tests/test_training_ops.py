@@ -623,3 +623,30 @@ def test_normalize_text_kernels():
     df = pd.DataFrame({"text": ["  Hello\t WORLD \n", "aB  c", ""]})
     out = normalize_text(ray.data.from_pandas(df)).to_pandas()
     assert out["norm_text"].tolist() == ["hello world", "ab c", ""]
+
+
+def test_contamination_flags_exact_semantics():
+    """A doc is flagged iff it shares a full token 8-gram with the
+    benchmark; shorter overlaps and short docs never flag."""
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.text import contamination_flags
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    eight = "quick brown fox jumps over the lazy dog"      # an 8-gram
+    seven = "brown fox jumps over the lazy dog"            # only 7
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "prefix words here " + eight + " suffix",      # flagged
+            "prefix " + seven + " DIFFERENT",              # not: 7-gram only
+            eight,                                         # flagged (exact)
+            "totally unrelated text with enough tokens to have grams ok",
+            "short doc",                                   # < 8 tokens
+        ],
+    })
+    out = (contamination_flags(
+        ray.data.from_pandas(df).repartition(3), bench, n=8)
+        .to_pandas().sort_values("doc_id"))
+    assert out["contaminated"].tolist() == [1, 0, 1, 0, 0]
