@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_term_stats": Q.corpus_term_stats,
         "docs_normalized": Q.docs_normalized,
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
+        "docs_pii_redacted": Q.docs_pii_redacted,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -204,6 +205,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "docs_pii_redacted": """
+            WITH withpii AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 555-000-'
+                          || CAST(doc_id AS VARCHAR) AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '[PHONE]', 'g')
+                   AS redacted_text
+            FROM withpii
         """,
         "docs_benchmark_contamination": """
             WITH docs AS (

@@ -742,6 +742,29 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+def docs_pii_redacted(sf_dir: str):
+    """PII redaction: email/phone spans become typed placeholders —
+    one vectorized RE2 replace per pattern. The sf documents table
+    contains no PII-shaped spans, so both sides first append a
+    deterministic contact line (same SQL expression in the oracle);
+    every row is then genuinely rewritten by both patterns."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_contact(t: pa.Table) -> pa.Table:
+        i = pc.cast(t["doc_id"], pa.string())
+        withpii = pc.binary_join_element_wise(
+            t["text"], pa.scalar(" contact user"), i,
+            pa.scalar("@example.com or +1 555-000-"), i, "")
+        return pa.table({"doc_id": t["doc_id"], "text": withpii})
+
+    out = text_ops.redact_pii(
+        ds.map_batches(add_contact, batch_format="pyarrow"),
+        col="text", out="redacted_text")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "redacted_text"]),
+        batch_format="pyarrow")
+
+
 def docs_benchmark_contamination(sf_dir: str):
     """Train/test decontamination: flag documents sharing any token
     8-gram with a 'benchmark' set (here: doc_id < 20). The benchmark

@@ -650,3 +650,23 @@ def test_contamination_flags_exact_semantics():
         ray.data.from_pandas(df).repartition(3), bench, n=8)
         .to_pandas().sort_values("doc_id"))
     assert out["contaminated"].tolist() == [1, 0, 1, 0, 0]
+
+
+def test_redact_pii_patterns():
+    import pandas as pd
+
+    from kgeng.ops.text import redact_pii
+
+    df = pd.DataFrame({"text": [
+        "mail me at jo.doe+x@example.co.uk today",
+        "call +1 (555) 123-4567 now",
+        "no pii here",
+        None,
+    ]})
+    out = redact_pii(ray.data.from_pandas(df)).to_pandas()
+    assert out["redacted_text"].tolist() == [
+        "mail me at [EMAIL] today",
+        "call [PHONE] now",
+        "no pii here",
+        "",
+    ]
