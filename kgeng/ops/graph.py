@@ -1,0 +1,206 @@
+"""Native iterative graph algorithms (the Pregel analogue, in-engine).
+
+The reference exists to feed graphs into a SERVER-side Pregel runner —
+``/root/reference/start_Pregel.py:194-198`` launches ``pagerank`` (its
+flagship algorithm; also wcc/sssp/...) over the imported collections and
+polls status. This engine runs the algorithm natively over the same edge
+data as Ray Data rounds; connected components (wcc) already lives in
+ops/canonicalize.py::label_propagation_components.
+
+PageRank iteration (the classic formulation):
+
+    r'(v) = (1-d)/N + d * [ sum_{u->v} r(u)/outdeg(u) + dangling/N ]
+
+where ``dangling`` is the rank mass of nodes without out-edges,
+redistributed uniformly. Ranks are rounded to ``ndigits`` EVERY round —
+this makes the result reproducible bit-for-bit across summation orders
+(partial sums across blocks vs a single-threaded SQL oracle differ by
+~1e-17 relative, far below the rounding granularity), so a DuckDB
+oracle with the same per-round rounding hash-matches exactly.
+
+Two state plans, same contract as canonicalize plan A/B:
+
+- ``state="driver"`` (plan A): the (node, rank) vector lives on the
+  driver — bounded by NODE count, like the IVF centroids or the
+  canonicalize surface set, with per-iteration work distributed
+  (edge blocks stream through a vectorized contribution kernel; one
+  groupby(dst) reduce). Right up to ~10^8 nodes.
+- ``state="distributed"`` (plan B): ranks stay a Dataset; each round is
+  broadcast-free joins (hash_join ranks into edges, groupby(dst) sum,
+  left-join back onto the node set). The driver sees only the dangling
+  scalar per round. Block growth per round is capped by an explicit
+  repartition (iterative Dataset loops otherwise double block counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _round9(x: np.ndarray, ndigits: int) -> np.ndarray:
+    # numpy round is banker's; DuckDB round() is half-away-from-zero.
+    # Ranks are strictly positive so half-UP matches half-away.
+    scale = 10.0 ** ndigits
+    return np.floor(x * scale + 0.5) / scale
+
+
+def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
+             iters: int = 5, damping: float = 0.85, ndigits: int = 9,
+             state: str = "driver") -> ray.data.Dataset:
+    """PageRank over a directed edge Dataset; returns Dataset(node, rank).
+
+    Multi-edges count multiply (dedup upstream if unwanted). See the
+    module docstring for semantics, rounding, and the two state plans.
+    """
+    if state == "distributed":
+        return _pagerank_distributed(edges, src, dst, iters, damping,
+                                     ndigits)
+
+    # ---- static structure: node ids + out-degrees (driver-bounded)
+    def ends(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[src])
+        v = pc.unique(t[dst])
+        return pa.table({"node": pa.concat_arrays(
+            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
+             v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v])})
+
+    node_rows = edges.map_batches(ends, batch_format="pyarrow") \
+        .groupby("node").count().take_all()
+    nodes = np.sort(np.array([r["node"] for r in node_rows],
+                             dtype=np.int64))
+    n = len(nodes)
+
+    deg_rows = edges.groupby(src).count().take_all()
+    deg = np.zeros(n, dtype=np.float64)
+    deg_idx = np.searchsorted(
+        nodes, np.array([r[src] for r in deg_rows], dtype=np.int64))
+    deg[deg_idx] = [r["count()"] for r in deg_rows]
+
+    base = (1.0 - damping) / n
+    ranks = _round9(np.full(n, 1.0 / n), ndigits)
+
+    for _ in range(iters):
+        has_out = deg > 0
+        contrib = np.where(has_out, ranks / np.where(has_out, deg, 1.0),
+                           0.0)
+        dangling = float(ranks[~has_out].sum()) / n
+        ref = ray.put((nodes, contrib))
+
+        def partial(t: pa.Table) -> pa.Table:
+            nd, c = ray.get(ref)
+            si = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
+            di = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
+            s = np.bincount(di, weights=c[si], minlength=len(nd))
+            nz = np.flatnonzero(s)
+            return pa.table({"di": pa.array(nz.astype(np.int64)),
+                             "c": pa.array(s[nz])})
+
+        got = edges.map_batches(partial, batch_format="pyarrow") \
+            .groupby("di").sum("c").take_all()
+        incoming = np.zeros(n, dtype=np.float64)
+        for r in got:
+            incoming[r["di"]] = r["sum(c)"]
+        ranks = _round9(base + damping * (incoming + dangling), ndigits)
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "rank": pa.array(ranks)}))
+
+
+def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
+                          iters: int, damping: float,
+                          ndigits: int) -> ray.data.Dataset:
+    """Plan B: the rank vector never materializes on the driver —
+    per-round hash joins move ranks along edges; only the dangling
+    scalar and the node count reach the driver."""
+    from kgeng.ops.join import hash_join
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t[src].combine_chunks(),
+                                 t[dst].combine_chunks()])
+        return pa.table({"node": pc.unique(both)})
+
+    nodes = edges.map_batches(ends, batch_format="pyarrow") \
+        .groupby("node").count() \
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow").materialize()
+    n = nodes.count()
+    deg = edges.groupby(src).count().map_batches(
+        lambda t: pa.table({"node": t[src],
+                            "deg": pc.cast(t["count()"], pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    base = (1.0 - damping) / n
+    r0 = round(1.0 / n, ndigits)
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("r", pa.array(
+            np.full(len(t), r0))), batch_format="pyarrow").materialize()
+
+    def rnd(x):  # pandas/arrow-safe half-up rounding on positive ranks
+        scale = 10.0 ** ndigits
+        return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) \
+            / scale
+
+    for _ in range(iters):
+        rd = hash_join(ranks, deg, key="node", how="left")
+
+        def contrib_row(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            # a bucket whose group held only left rows never saw the
+            # right side's columns at all (hash_join left-mode)
+            if "deg" not in out.columns:
+                out["deg"] = np.nan
+            d = out["deg"].to_numpy()
+            has = np.isfinite(d) & (d > 0)
+            out["c"] = np.where(has, out["r"].to_numpy()
+                                / np.where(has, d, 1.0), 0.0)
+            out["dang"] = np.where(has, 0.0, out["r"].to_numpy())
+            return out[["node", "c", "dang"]]
+
+        rc = rd.map_batches(contrib_row, batch_format="pandas") \
+            .materialize()
+        dangling = rc.sum("dang") / n
+
+        flow = hash_join(
+            edges.map_batches(lambda t: pa.table(
+                {"node": t[src], "dst_": t[dst]}),
+                batch_format="pyarrow"),
+            rc.map_batches(lambda t: t.select(["node", "c"]),
+                           batch_format="pyarrow"),
+            key="node", how="inner")
+        # explicit int64/float64 casts: empty-bucket merges upcast the
+        # key to double in some blocks, and a double key buckets/merges
+        # differently from the int64 node ids
+        incoming = flow.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["dst_"], pa.int64()),
+                "c_in": pc.cast(t["c"], pa.float64())}),
+            batch_format="pyarrow").groupby("node").sum("c_in")
+
+        # explicit right_cols: the post-groupby plan can carry
+        # zero-column empty partitions that defeat schema inference
+        joined = hash_join(nodes, incoming.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t[t.column_names[0]], pa.int64()),
+                "c_in": pc.cast(t[t.column_names[1]], pa.float64())}),
+            batch_format="pyarrow"), key="node", how="left",
+            right_cols=["node", "c_in"])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            inc = (df["c_in"].fillna(0.0).to_numpy()
+                   if "c_in" in df.columns else np.zeros(len(df)))
+            out = df[["node"]].copy()
+            out["r"] = rnd(base + damping * (inc + dangling))
+            return out
+
+        # cap block growth (iterative loops otherwise double per round)
+        ranks = joined.map_batches(finish, batch_format="pandas") \
+            .repartition(8).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
+                            "rank": t["r"]}), batch_format="pyarrow")

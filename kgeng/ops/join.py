@@ -74,7 +74,9 @@ def _bucket_ids(t: pa.Table, key: str, B: int) -> np.ndarray:
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
               num_buckets: int = 32, how: str = "inner",
               suffix: str = "_r", salt: int = 1,
-              max_bucket_rows: int | None = None) -> ray.data.Dataset:
+              max_bucket_rows: int | None = None,
+              left_cols: list[str] | None = None,
+              right_cols: list[str] | None = None) -> ray.data.Dataset:
     """Hash-partitioned equi-join of two Datasets on ``key``.
 
     Column collisions on the right side get ``suffix``. ``how`` is any
@@ -93,8 +95,13 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         n_left = left.count()
         salt = max(salt, math.ceil(max(n_left, 1) / max_bucket_rows))
     salt = max(1, salt)
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    # schema(fetch_if_missing=True) executes one block for lazy plans;
+    # it can still be None when a post-groupby dataset carries
+    # zero-column empty partitions — pass left_cols/right_cols then
+    lcols = left_cols or [c for c in
+                          left.schema(fetch_if_missing=True).names]
+    rcols = right_cols or [c for c in
+                           right.schema(fetch_if_missing=True).names]
 
     def tag_left(t: pa.Table) -> pa.Table:
         b = _bucket_ids(t, key, num_buckets)
@@ -118,15 +125,21 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
 
+    # stable output column set: a bucket whose group holds only one
+    # side must still emit the FULL schema (reindex fills the absent
+    # side's columns), or downstream consumers see diverging blocks
+    out_cols = lcols + [(c + suffix if c in lcols else c)
+                        for c in rcols if c != key]
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][[c for c in lcols if c in g.columns]]
-        rg = g[g["__side"] == "r"][[c for c in rcols if c in g.columns]]
+        lg = g[g["__side"] == "l"].reindex(columns=lcols)
+        rg = g[g["__side"] == "r"].reindex(columns=rcols)
         if how == "semi":
             return lg[lg[key].isin(rg[key].unique())]
         if how == "anti":
             return lg[~lg[key].isin(rg[key].unique())]
         out = lg.merge(rg, on=key, how=how, suffixes=("", suffix))
-        return out
+        return out.reindex(columns=out_cols)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 

@@ -742,6 +742,65 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+def lineitem_pagerank(sf_dir: str):
+    """Native PageRank (the reference's flagship server-side Pregel
+    algorithm, start_Pregel.py:194-198) over the symmetrized
+    order<->part bipartite graph from lineitem: 5 rounds, d=0.85,
+    per-round 9-digit rounding so the DuckDB unrolled-CTE oracle
+    hash-matches exactly. Node ids: order*2 / part*2+1."""
+    from kgeng.ops.graph import pagerank
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        s = pc.multiply(t["l_orderkey"], 2)
+        d = pc.add(pc.multiply(t["l_partkey"], 2), 1)
+        g = pa.table({"src": s, "dst": d}) \
+            .group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return g.select(["src", "dst"])
+
+    eo = li.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count() \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow")
+    edges = eo.union(eo.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow"))
+    return pagerank(edges, iters=5, damping=0.85, ndigits=9)
+
+
+def pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-CTE DuckDB PageRank over the same graph: one CTE per
+    round, identical per-round rounding; literals cast to DOUBLE so
+    DuckDB's decimal literals don't change the float arithmetic."""
+    parts = ["""
+        WITH eo AS (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        edges AS (SELECT src, dst FROM eo
+                  UNION ALL SELECT dst AS src, src AS dst FROM eo),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn),
+                                  9) AS r
+               FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        r{i} AS (
+          SELECT n.node,
+                 round((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * coalesce(s.c, 0), 9) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r / dg.deg) AS c
+            FROM edges e
+            JOIN r{i-1} p ON p.node = e.src
+            JOIN deg dg ON dg.node = e.src
+            GROUP BY 1) s ON s.node = n.node)""")
+    parts.append(f"\n        SELECT node, r AS rank FROM r{iters}")
+    return "".join(parts)
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction: email/phone spans become typed placeholders —
     one vectorized RE2 replace per pattern. The sf documents table

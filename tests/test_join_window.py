@@ -393,3 +393,52 @@ def test_bloom_prefilter_no_false_negatives_and_bounded_fp():
     fp = (len(got) - len(members)) / n_out
     # m/n = 26 bits/key, k=4 -> ~0.24% theoretical; allow 4x slack
     assert fp < 0.01, fp
+
+
+def test_pagerank_plans_agree_and_match_numpy():
+    """Plan A (driver rank vector) and plan B (rank Dataset, join-based
+    rounds) must produce IDENTICAL ranks, and both must match a dense
+    numpy reference — including dangling-node mass redistribution."""
+    import numpy as np
+
+    from kgeng.ops.graph import pagerank
+
+    rng = np.random.default_rng(31)
+    n_nodes, n_edges = 40, 160
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    # make node 39 dangling: never a source
+    keep = src != 39
+    src, dst = src[keep], dst[keep]
+    edges = pa.table({"src": src, "dst": dst})
+
+    def run(state):
+        out = pagerank(ray.data.from_arrow(edges).repartition(4),
+                       iters=6, damping=0.85, ndigits=9,
+                       state=state).to_pandas()
+        return out.sort_values("node").reset_index(drop=True)
+
+    a = run("driver")
+    b = run("distributed")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["rank"].tolist() == b["rank"].tolist()
+
+    # dense numpy reference with identical per-round rounding
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    np.add.at(deg, [idx[s] for s in src], 1.0)
+    r = np.floor(np.full(N, 1.0 / N) * 1e9 + 0.5) / 1e9
+    for _ in range(6):
+        contrib = np.where(deg > 0, r / np.where(deg > 0, deg, 1), 0.0)
+        dang = r[deg == 0].sum() / N
+        inc = np.zeros(N)
+        np.add.at(inc, [idx[d] for d in dst],
+                  contrib[[idx[s] for s in src]])
+        r = np.floor((0.15 / N + 0.85 * (inc + dang)) * 1e9 + 0.5) / 1e9
+    ref = dict(zip(nodes.tolist(), r.tolist()))
+    got = dict(zip(a["node"], a["rank"]))
+    assert got == ref
+    # rank mass sanity: sums to ~1 (dangling redistributed, not leaked)
+    assert abs(a["rank"].sum() - 1.0) < 1e-3
