@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "docs_pii_redacted": Q.docs_pii_redacted,
         "lineitem_pagerank": Q.lineitem_pagerank,
+        "lineitem_sssp": Q.lineitem_sssp,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
                   < CAST(0.1 * 4294967296 AS BIGINT)
         """,
         "lineitem_pagerank": Q.pagerank_oracle_sql(iters=5),
+        "lineitem_sssp": Q.SSSP_ORACLE,
         "docs_pii_redacted": """
             WITH withpii AS (
               SELECT doc_id,

@@ -204,3 +204,47 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
     return ranks.map_batches(
         lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
                             "rank": t["r"]}), batch_format="pyarrow")
+
+
+def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
+              dst: str = "dst") -> ray.data.Dataset:
+    """Single-source shortest path in hops (BFS layers) — 'sssp' in the
+    reference's Pregel algorithm list (arguments.py:187), run
+    server-side there. Returns Dataset(node, dist) for REACHED nodes
+    only (matches the recursive-CTE oracle's reachability semantics).
+
+    Plan A shape (like :func:`pagerank`): the distance vector is
+    driver-held (node-count bounded); each round broadcasts the current
+    frontier and the edge Dataset streams through a vectorized
+    membership filter emitting per-batch-unique successors — rounds
+    until the frontier empties (exact BFS, no iteration cap needed).
+    Integer distances: no float policy required, the oracle is exact.
+    """
+    frontier = np.array([source], dtype=np.int64)
+    dist = {int(source): 0}
+    d = 0
+    while len(frontier):
+        d += 1
+        ref = ray.put(np.sort(frontier))
+
+        def succ(t: pa.Table) -> pa.Table:
+            fr = ray.get(ref)
+            s = t[src].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(fr, s)
+            idx[idx == len(fr)] = 0
+            hit = fr[idx] == s
+            nxt = np.unique(t[dst].to_numpy(zero_copy_only=False)[hit])
+            return pa.table({"node": pa.array(nxt)})
+
+        rows = edges.map_batches(succ, batch_format="pyarrow") \
+            .groupby("node").count().take_all()
+        new = [int(r["node"]) for r in rows if int(r["node"]) not in dist]
+        for v in new:
+            dist[v] = d
+        frontier = np.array(new, dtype=np.int64)
+
+    nodes = np.array(sorted(dist), dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes),
+        "dist": pa.array(np.array([dist[int(v)] for v in nodes],
+                                  dtype=np.int64))}))

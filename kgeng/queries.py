@@ -769,6 +769,51 @@ def lineitem_pagerank(sf_dir: str):
     return pagerank(edges, iters=5, damping=0.85, ndigits=9)
 
 
+def lineitem_sssp(sf_dir: str):
+    """Native single-source shortest path (hops) — 'sssp' in the
+    reference's Pregel algorithm list (arguments.py:187) — over the
+    same symmetrized order<->part graph, from the lowest order node.
+    Integer distances: the recursive-CTE oracle is exact."""
+    from kgeng.ops.graph import sssp_hops
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    source = 2 * int(li.min("l_orderkey"))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        s = pc.multiply(t["l_orderkey"], 2)
+        d = pc.add(pc.multiply(t["l_partkey"], 2), 1)
+        g = pa.table({"src": s, "dst": d}) \
+            .group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return g.select(["src", "dst"])
+
+    eo = li.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count() \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow")
+    edges = eo.union(eo.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow"))
+    return sssp_hops(edges, source=source)
+
+
+SSSP_ORACLE = """
+    WITH RECURSIVE eo AS (
+      SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem),
+    edges AS (SELECT src, dst FROM eo
+              UNION ALL SELECT dst AS src, src AS dst FROM eo),
+    walk(node, d) AS (
+      SELECT (SELECT min(l_orderkey) * 2 FROM lineitem), 0
+      UNION
+      -- the d < 30 guard terminates the cyclic recursion; BFS depth on
+      -- this graph is far below it (the Ray side loops to exhaustion)
+      SELECT e.dst, w.d + 1 FROM edges e JOIN walk w ON w.node = e.src
+      WHERE w.d < 30
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 def pagerank_oracle_sql(iters: int = 5) -> str:
     """Unrolled-CTE DuckDB PageRank over the same graph: one CTE per
     round, identical per-round rounding; literals cast to DOUBLE so

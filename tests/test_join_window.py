@@ -442,3 +442,31 @@ def test_pagerank_plans_agree_and_match_numpy():
     assert got == ref
     # rank mass sanity: sums to ~1 (dangling redistributed, not leaked)
     assert abs(a["rank"].sum() - 1.0) < 1e-3
+
+
+def test_sssp_hops_matches_bfs_reference():
+    import collections
+
+    import numpy as np
+
+    from kgeng.ops.graph import sssp_hops
+
+    rng = np.random.default_rng(37)
+    src = rng.integers(0, 60, 250).astype(np.int64)
+    dst = rng.integers(0, 60, 250).astype(np.int64)
+    out = (sssp_hops(ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst})).repartition(5), source=0)
+        .to_pandas())
+    got = dict(zip(out["node"], out["dist"]))
+
+    adj = collections.defaultdict(list)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+    ref, q = {0: 0}, collections.deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
