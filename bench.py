@@ -98,6 +98,7 @@ def timed_queries() -> dict[str, float]:
         ("ann_topk", Q.ann_topk),
         ("top_orders", Q.top_orders),
         ("events_last_order", Q.events_last_order),
+        ("lineitem_pagerank", Q.lineitem_pagerank),
     ]:
         t0 = time.monotonic()
         res = fn(SF_DIR)

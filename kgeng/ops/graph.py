@@ -69,17 +69,20 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
             [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
              v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v])})
 
-    node_rows = edges.map_batches(ends, batch_format="pyarrow") \
-        .groupby("node").count().take_all()
-    nodes = np.sort(np.array([r["node"] for r in node_rows],
-                             dtype=np.int64))
+    # materialize: the edge plan re-executes once per iteration plus
+    # twice for structure otherwise; driver pulls stay COLUMNAR
+    # (to_pandas), never take_all's per-row dicts. Bound the block
+    # count so the per-block dense reduce below stays small.
+    edges = edges.repartition(64).materialize()
+    node_df = edges.map_batches(ends, batch_format="pyarrow") \
+        .groupby("node").count().to_pandas()
+    nodes = np.sort(node_df["node"].to_numpy(np.int64))
     n = len(nodes)
 
-    deg_rows = edges.groupby(src).count().take_all()
+    deg_df = edges.groupby(src).count().to_pandas()
     deg = np.zeros(n, dtype=np.float64)
-    deg_idx = np.searchsorted(
-        nodes, np.array([r[src] for r in deg_rows], dtype=np.int64))
-    deg[deg_idx] = [r["count()"] for r in deg_rows]
+    deg_idx = np.searchsorted(nodes, deg_df[src].to_numpy(np.int64))
+    deg[deg_idx] = deg_df["count()"].to_numpy(np.float64)
 
     base = (1.0 - damping) / n
     ranks = _round9(np.full(n, 1.0 / n), ndigits)
@@ -91,20 +94,34 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
         dangling = float(ranks[~has_out].sum()) / n
         ref = ray.put((nodes, contrib))
 
+        # dense reduce: each block emits ONE n-float64 blob; the driver
+        # adds <= 64 blobs — no per-iteration shuffle at all. Right up
+        # to ~10^7 nodes (80 MB/blob); beyond that fall back to the
+        # sparse (di, c) groupby reduce.
+        dense = n <= 5_000_000
+
         def partial(t: pa.Table) -> pa.Table:
             nd, c = ray.get(ref)
             si = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
             di = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
             s = np.bincount(di, weights=c[si], minlength=len(nd))
+            if dense:
+                return pa.table({"bm": pa.array([s.tobytes()],
+                                                pa.large_binary())})
             nz = np.flatnonzero(s)
             return pa.table({"di": pa.array(nz.astype(np.int64)),
                              "c": pa.array(s[nz])})
 
-        got = edges.map_batches(partial, batch_format="pyarrow") \
-            .groupby("di").sum("c").take_all()
         incoming = np.zeros(n, dtype=np.float64)
-        for r in got:
-            incoming[r["di"]] = r["sum(c)"]
+        if dense:
+            for row in edges.map_batches(
+                    partial, batch_format="pyarrow").take_all():
+                incoming += np.frombuffer(row["bm"], np.float64)
+        else:
+            got = edges.map_batches(partial, batch_format="pyarrow") \
+                .groupby("di").sum("c").to_pandas()
+            incoming[got["di"].to_numpy(np.int64)] = \
+                got["sum(c)"].to_numpy(np.float64)
         ranks = _round9(base + damping * (incoming + dangling), ndigits)
 
     return ray.data.from_arrow(pa.table({
@@ -220,8 +237,11 @@ def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
     until the frontier empties (exact BFS, no iteration cap needed).
     Integer distances: no float policy required, the oracle is exact.
     """
+    edges = edges.materialize()  # one layer-scan per round re-executes it
     frontier = np.array([source], dtype=np.int64)
-    dist = {int(source): 0}
+    seen = frontier.copy()               # sorted
+    dists = [np.int64(0)]
+    layers = [frontier]
     d = 0
     while len(frontier):
         d += 1
@@ -236,15 +256,20 @@ def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
             nxt = np.unique(t[dst].to_numpy(zero_copy_only=False)[hit])
             return pa.table({"node": pa.array(nxt)})
 
-        rows = edges.map_batches(succ, batch_format="pyarrow") \
-            .groupby("node").count().take_all()
-        new = [int(r["node"]) for r in rows if int(r["node"]) not in dist]
-        for v in new:
-            dist[v] = d
-        frontier = np.array(new, dtype=np.int64)
+        got = edges.map_batches(succ, batch_format="pyarrow") \
+            .groupby("node").count().to_pandas()
+        nd = got["node"].to_numpy(np.int64)
+        new = nd[~np.isin(nd, seen)]
+        if len(new):
+            layers.append(new)
+            dists.append(np.int64(d))
+            seen = np.sort(np.concatenate([seen, new]))
+        frontier = new
 
-    nodes = np.array(sorted(dist), dtype=np.int64)
+    node_col = np.concatenate(layers)
+    dist_col = np.concatenate([np.full(len(l), dv, np.int64)
+                               for l, dv in zip(layers, dists)])
+    order = np.argsort(node_col)
     return ray.data.from_arrow(pa.table({
-        "node": pa.array(nodes),
-        "dist": pa.array(np.array([dist[int(v)] for v in nodes],
-                                  dtype=np.int64))}))
+        "node": pa.array(node_col[order]),
+        "dist": pa.array(dist_col[order])}))
