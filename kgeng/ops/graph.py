@@ -273,3 +273,61 @@ def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(node_col[order]),
         "dist": pa.array(dist_col[order])}))
+
+
+def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
+         iters: int = 5, ndigits: int = 9) -> ray.data.Dataset:
+    """HITS hubs-and-authorities ('hits' in the reference's Pregel
+    algorithm list, arguments.py:187). Classic power iteration:
+    auth(v) = sum of hub(u) over in-edges, hub(u) = sum of auth(v) over
+    out-edges, each L2-normalized and rounded per round (IEEE sqrt is
+    correctly rounded, so per-round rounding again pins the result
+    across summation orders). Same plan-A shape as :func:`pagerank`:
+    driver-held node vectors, distributed edge scans with a dense
+    per-block reduce. Rows-only for the driver (no SQL analogue worth
+    the float risk); tests pin it against a numpy reference."""
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t[src].combine_chunks(),
+                                 t[dst].combine_chunks()])
+        return pa.table({"node": pc.unique(both)})
+
+    edges = edges.repartition(64).materialize()
+    node_df = edges.map_batches(ends, batch_format="pyarrow") \
+        .groupby("node").count().to_pandas()
+    nodes = np.sort(node_df["node"].to_numpy(np.int64))
+    n = len(nodes)
+
+    def sweep(vec: np.ndarray, in_col: str, out_col: str) -> np.ndarray:
+        """out[x] += vec[y] over edges (y=in_col, x=out_col)."""
+        ref = ray.put((nodes, vec))
+
+        def partial(t: pa.Table) -> pa.Table:
+            nd, v = ray.get(ref)
+            yi = np.searchsorted(nd,
+                                 t[in_col].to_numpy(zero_copy_only=False))
+            xi = np.searchsorted(nd,
+                                 t[out_col].to_numpy(zero_copy_only=False))
+            s = np.bincount(xi, weights=v[yi], minlength=len(nd))
+            return pa.table({"bm": pa.array([s.tobytes()],
+                                            pa.large_binary())})
+
+        out = np.zeros(n, dtype=np.float64)
+        for row in edges.map_batches(partial,
+                                     batch_format="pyarrow").take_all():
+            out += np.frombuffer(row["bm"], np.float64)
+        return out
+
+    def norm(x: np.ndarray) -> np.ndarray:
+        s = np.sqrt(float((x * x).sum()))
+        return _round9(x / s, ndigits) if s > 0 else x
+
+    hub = norm(np.ones(n))
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = norm(sweep(hub, src, dst))
+        hub = norm(sweep(auth, dst, src))
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "hub": pa.array(hub),
+        "auth": pa.array(auth)}))

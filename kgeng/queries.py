@@ -796,6 +796,28 @@ def lineitem_sssp(sf_dir: str):
     return sssp_hops(edges, source=source)
 
 
+def lineitem_hits(sf_dir: str):
+    """Native HITS hubs/authorities ('hits' in the reference's Pregel
+    list) over the same graph — rows-only (L2-norm float semantics stay
+    out of the SQL gate; the numpy parity test pins values)."""
+    from kgeng.ops.graph import hits
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        s = pc.multiply(t["l_orderkey"], 2)
+        d = pc.add(pc.multiply(t["l_partkey"], 2), 1)
+        g = pa.table({"src": s, "dst": d}) \
+            .group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return g.select(["src", "dst"])
+
+    eo = li.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count() \
+        .map_batches(lambda t: t.select(["src", "dst"]),
+                     batch_format="pyarrow")
+    return hits(eo, iters=3)
+
+
 SSSP_ORACLE = """
     WITH RECURSIVE eo AS (
       SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst

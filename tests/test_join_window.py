@@ -470,3 +470,36 @@ def test_sssp_hops_matches_bfs_reference():
                 ref[v] = ref[u] + 1
                 q.append(v)
     assert got == ref
+
+
+def test_hits_matches_numpy_reference():
+    import numpy as np
+
+    from kgeng.ops.graph import hits
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 30, 120).astype(np.int64)
+    dst = rng.integers(0, 30, 120).astype(np.int64)
+    out = (hits(ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+           .repartition(4), iters=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.array([idx[v] for v in src])
+    di = np.array([idx[v] for v in dst])
+    N = len(nodes)
+
+    def rnd(x):
+        return np.floor(x * 1e9 + 0.5) / 1e9
+
+    def norm(x):
+        s = np.sqrt(float((x * x).sum()))
+        return rnd(x / s) if s > 0 else x
+
+    hub, auth = norm(np.ones(N)), np.zeros(N)
+    for _ in range(4):
+        a = np.zeros(N); np.add.at(a, di, hub[si]); auth = norm(a)
+        h = np.zeros(N); np.add.at(h, si, auth[di]); hub = norm(h)
+    assert out["hub"].tolist() == hub.tolist()
+    assert out["auth"].tolist() == auth.tolist()

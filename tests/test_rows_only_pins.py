@@ -62,6 +62,7 @@ PINS = {
     "kg_media_features": "478c173304cacd3e",
     "docs_weighted_sample": "7fb6aa41239899e6",
     "approx_distinct_users_by_type": "4b4e721d29182f10",
+    "lineitem_hits": "c40d74d5ca52641d",
 }
 
 
