@@ -742,14 +742,11 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
-def lineitem_pagerank(sf_dir: str):
-    """Native PageRank (the reference's flagship server-side Pregel
-    algorithm, start_Pregel.py:194-198) over the symmetrized
-    order<->part bipartite graph from lineitem: 5 rounds, d=0.85,
-    per-round 9-digit rounding so the DuckDB unrolled-CTE oracle
-    hash-matches exactly. Node ids: order*2 / part*2+1."""
-    from kgeng.ops.graph import pagerank
-
+def _order_part_edges(sf_dir: str, symmetrize: bool = True):
+    """Distinct order<->part pairs from lineitem as int64 node ids
+    (order*2 / part*2+1) — the shared graph for the native Pregel-family
+    queries. The deduped pair set MATERIALIZES once: union would
+    otherwise re-execute the whole dedup plan for each direction."""
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -762,11 +759,24 @@ def lineitem_pagerank(sf_dir: str):
     eo = li.map_batches(pairs, batch_format="pyarrow") \
         .groupby(["src", "dst"]).count() \
         .map_batches(lambda t: t.select(["src", "dst"]),
-                     batch_format="pyarrow")
-    edges = eo.union(eo.map_batches(
+                     batch_format="pyarrow").materialize()
+    if not symmetrize:
+        return eo
+    return eo.union(eo.map_batches(
         lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
         batch_format="pyarrow"))
-    return pagerank(edges, iters=5, damping=0.85, ndigits=9)
+
+
+def lineitem_pagerank(sf_dir: str):
+    """Native PageRank (the reference's flagship server-side Pregel
+    algorithm, start_Pregel.py:194-198) over the symmetrized
+    order<->part bipartite graph from lineitem: 5 rounds, d=0.85,
+    per-round 9-digit rounding so the DuckDB unrolled-CTE oracle
+    hash-matches exactly. Node ids: order*2 / part*2+1."""
+    from kgeng.ops.graph import pagerank
+
+    return pagerank(_order_part_edges(sf_dir), iters=5, damping=0.85,
+                    ndigits=9)
 
 
 def lineitem_sssp(sf_dir: str):
@@ -776,24 +786,9 @@ def lineitem_sssp(sf_dir: str):
     Integer distances: the recursive-CTE oracle is exact."""
     from kgeng.ops.graph import sssp_hops
 
-    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    source = 2 * int(li.min("l_orderkey"))
-
-    def pairs(t: pa.Table) -> pa.Table:
-        s = pc.multiply(t["l_orderkey"], 2)
-        d = pc.add(pc.multiply(t["l_partkey"], 2), 1)
-        g = pa.table({"src": s, "dst": d}) \
-            .group_by(["src", "dst"]).aggregate([([], "count_all")])
-        return g.select(["src", "dst"])
-
-    eo = li.map_batches(pairs, batch_format="pyarrow") \
-        .groupby(["src", "dst"]).count() \
-        .map_batches(lambda t: t.select(["src", "dst"]),
-                     batch_format="pyarrow")
-    edges = eo.union(eo.map_batches(
-        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
-        batch_format="pyarrow"))
-    return sssp_hops(edges, source=source)
+    source = 2 * int(_pq(sf_dir, "lineitem", ["l_orderkey"])
+                     .min("l_orderkey"))
+    return sssp_hops(_order_part_edges(sf_dir), source=source)
 
 
 def lineitem_hits(sf_dir: str):
@@ -802,20 +797,7 @@ def lineitem_hits(sf_dir: str):
     out of the SQL gate; the numpy parity test pins values)."""
     from kgeng.ops.graph import hits
 
-    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def pairs(t: pa.Table) -> pa.Table:
-        s = pc.multiply(t["l_orderkey"], 2)
-        d = pc.add(pc.multiply(t["l_partkey"], 2), 1)
-        g = pa.table({"src": s, "dst": d}) \
-            .group_by(["src", "dst"]).aggregate([([], "count_all")])
-        return g.select(["src", "dst"])
-
-    eo = li.map_batches(pairs, batch_format="pyarrow") \
-        .groupby(["src", "dst"]).count() \
-        .map_batches(lambda t: t.select(["src", "dst"]),
-                     batch_format="pyarrow")
-    return hits(eo, iters=3)
+    return hits(_order_part_edges(sf_dir, symmetrize=False), iters=3)
 
 
 SSSP_ORACLE = """
