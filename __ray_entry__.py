@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pagerank": Q.lineitem_pagerank,
         "lineitem_sssp": Q.lineitem_sssp,
         "lineitem_hits": Q.lineitem_hits,
+        "lineitem_closeness": Q.lineitem_closeness,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,

@@ -331,3 +331,101 @@ def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes), "hub": pa.array(hub),
         "auth": pa.array(auth)}))
+
+
+def effective_closeness(edges: ray.data.Dataset, src: str = "src",
+                        dst: str = "dst", p: int = 6,
+                        max_rounds: int = 32,
+                        ndigits: int = 6) -> ray.data.Dataset:
+    """Approximate closeness centrality ('effectivecloseness' in the
+    reference's Pregel list, arguments.py:187) via the HyperBall method
+    (Boldi & Vigna 2013): every node carries a 2^p-register HyperLogLog
+    of its reachable ball; each round unions every node's sketch with
+    its out-neighbors' (elementwise max — associative, so partition
+    order can't change the result), and the per-round cardinality
+    deltas estimate the distance distribution. closeness(v) =
+    (reached-1) / sum_d d*(newly reached at d), 0 for isolated nodes.
+
+    Plan shape: edges sort by src ONCE so each block covers a disjoint
+    source range and emits exactly its own nodes' candidate registers
+    (N x 2^p bytes total per round, not per block); the register matrix
+    broadcasts via ray.put and merges on the driver (node-count bounded
+    like the other plan-A vectors). Rounds stop when no register moves.
+    """
+    def ends(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t[src].combine_chunks(),
+                                 t[dst].combine_chunks()])
+        return pa.table({"node": pc.unique(both)})
+
+    edges = edges.repartition(32).materialize()
+    node_df = edges.map_batches(ends, batch_format="pyarrow") \
+        .groupby("node").count().to_pandas()
+    nodes = np.sort(node_df["node"].to_numpy(np.int64))
+    n = len(nodes)
+    m = 1 << p
+
+    # src-sorted edge blocks: disjoint source ranges per block
+    by_src = edges.sort(src).materialize()
+
+    # init: each node's ball contains itself
+    from kgeng.ops.agg import _splitmix64
+    h = _splitmix64(nodes.astype(np.uint64))
+    idx0 = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+    bitlen = np.frexp(w.astype(np.float64))[1]
+    rank = (np.uint8(64 - p + 1) - bitlen.astype(np.uint8))
+    rank[w == 0] = np.uint8(64 - p + 1)
+    regs = np.zeros((n, m), np.uint8)
+    regs[np.arange(n), idx0] = rank
+
+    alpha = (0.673 if m == 16 else 0.697 if m == 32 else
+             0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m))
+
+    def estimate(r: np.ndarray) -> np.ndarray:
+        est = alpha * m * m / np.power(2.0, -r.astype(np.float64)) \
+            .sum(axis=1)
+        zeros = (r == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.maximum(zeros, 1))
+        return np.where(small, lin, est)
+
+    prev_est = estimate(regs)
+    sum_dist = np.zeros(n, np.float64)
+    for d in range(1, max_rounds + 1):
+        ref = ray.put((nodes, regs))
+
+        def round_max(t: pa.Table) -> pa.Table:
+            nd, rg = ray.get(ref)
+            si = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
+            di = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
+            uniq = np.unique(si)
+            out = rg[uniq].copy()
+            pos = np.searchsorted(uniq, si)
+            np.maximum.at(out, pos, rg[di])
+            # ONE packed row per block: N-bounded total per round
+            return pa.table({
+                "ni": pa.array([uniq.astype(np.int64).tobytes()],
+                               pa.large_binary()),
+                "bm": pa.array([out.tobytes()], pa.large_binary())})
+
+        new_regs = regs.copy()
+        for blk in by_src.map_batches(round_max,
+                                      batch_format="pyarrow").take_all():
+            i = np.frombuffer(blk["ni"], np.int64)
+            mat = np.frombuffer(blk["bm"], np.uint8).reshape(-1, m)
+            new_regs[i] = np.maximum(new_regs[i], mat)
+        if np.array_equal(new_regs, regs):
+            break
+        regs = new_regs
+        est = estimate(regs)
+        sum_dist += d * np.maximum(est - prev_est, 0.0)
+        prev_est = est
+
+    reached = np.maximum(prev_est - 1.0, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        clos = np.where(sum_dist > 0, reached / sum_dist, 0.0)
+    scale = 10.0 ** ndigits
+    clos = np.floor(clos * scale + 0.5) / scale
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "closeness": pa.array(clos)}))

@@ -800,6 +800,16 @@ def lineitem_hits(sf_dir: str):
     return hits(_order_part_edges(sf_dir, symmetrize=False), iters=3)
 
 
+def lineitem_closeness(sf_dir: str):
+    """Approximate closeness centrality ('effectivecloseness' in the
+    reference's Pregel list) via HyperBall: per-node HyperLogLog
+    neighborhood sketches unioned along edges each round. Rows-only
+    (sketch estimate); pinned by snapshot + exact-BFS tolerance test."""
+    from kgeng.ops.graph import effective_closeness
+
+    return effective_closeness(_order_part_edges(sf_dir))
+
+
 SSSP_ORACLE = """
     WITH RECURSIVE eo AS (
       SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst

@@ -503,3 +503,45 @@ def test_hits_matches_numpy_reference():
         h = np.zeros(N); np.add.at(h, si, auth[di]); hub = norm(h)
     assert out["hub"].tolist() == hub.tolist()
     assert out["auth"].tolist() == auth.tolist()
+
+
+def test_effective_closeness_tracks_exact_bfs():
+    """HyperBall closeness must track the exact BFS closeness within
+    the sketch's error (m=64, linear-counting regime on a small graph)
+    and be identical under a different edge partitioning (register
+    union is an elementwise max)."""
+    import collections
+
+    import numpy as np
+
+    from kgeng.ops.graph import effective_closeness
+
+    rng = np.random.default_rng(43)
+    src = rng.integers(0, 50, 300).astype(np.int64)
+    dst = rng.integers(0, 50, 300).astype(np.int64)
+    et = pa.table({"src": src, "dst": dst})
+
+    def run(nparts):
+        out = effective_closeness(
+            ray.data.from_arrow(et).repartition(nparts)).to_pandas()
+        return dict(zip(out["node"], out["closeness"]))
+
+    got = run(4)
+    assert run(7) == got
+
+    adj = collections.defaultdict(set)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].add(d)
+    nodes = sorted(set(src.tolist()) | set(dst.tolist()))
+    for v in nodes:
+        dist, q = {v: 0}, collections.deque([v])
+        while q:
+            u = q.popleft()
+            for w_ in adj[u]:
+                if w_ not in dist:
+                    dist[w_] = dist[u] + 1
+                    q.append(w_)
+        sd = sum(dist.values())
+        exact = (len(dist) - 1) / sd if sd > 0 else 0.0
+        assert abs(got[v] - exact) <= max(0.25 * exact, 0.05), \
+            (v, got[v], exact)

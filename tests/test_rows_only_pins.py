@@ -63,6 +63,7 @@ PINS = {
     "docs_weighted_sample": "7fb6aa41239899e6",
     "approx_distinct_users_by_type": "4b4e721d29182f10",
     "lineitem_hits": "c40d74d5ca52641d",
+    "lineitem_closeness": "12a4f7c450bc7b04",
 }
 
 
