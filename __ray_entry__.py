@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_bulk_ordered": Q.parts_never_bulk_ordered,
         "docs_weighted_sample": Q.docs_weighted_sample,
         "corpus_term_stats": Q.corpus_term_stats,
+        "corpus_bigram_counts": Q.corpus_bigram_counts,
         "docs_normalized": Q.docs_normalized,
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "docs_pii_redacted": Q.docs_pii_redacted,
@@ -257,6 +258,18 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
                        AS norm_text
             FROM documents
+        """,
+        "corpus_bigram_counts": """
+            WITH tokens AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM tokens)
+            SELECT bigram, count(*) AS n FROM pairs
+            GROUP BY 1 HAVING count(*) >= 20
         """,
         "corpus_term_stats": """
             WITH tokens AS (

@@ -45,6 +45,49 @@ def normalize_text(ds: ray.data.Dataset, col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def bigram_counts(ds: ray.data.Dataset, col: str = "text",
+                  min_count: int = 1,
+                  out: str = "n") -> ray.data.Dataset:
+    """Adjacent token-pair frequencies — the counting step a BPE-style
+    tokenizer trainer runs every merge round. Per batch: Arrow split,
+    one flat token array with row provenance, consecutive-pair join
+    masked at row boundaries (all vectorized), then the same
+    vocab-bounded partial + final groupby as :func:`term_stats`."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        rows = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        s = flat.to_pandas()
+        keep = s.to_numpy() != ""
+        s, rows = s[keep], rows[keep]
+        if len(s) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        a = pa.array(s.iloc[:-1].to_numpy(), pa.string())
+        b = pa.array(s.iloc[1:].to_numpy(), pa.string())
+        same_row = rows[:-1] == rows[1:]
+        pairs = pc.binary_join_element_wise(a, b, " ")
+        g = pd.Series(pairs.to_pandas().to_numpy()[same_row]) \
+            .value_counts(sort=False)
+        return pa.table({
+            "bigram": pa.array(g.index.to_numpy(), pa.string()),
+            "n_p": pa.array(g.to_numpy(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n_p", alias_name=out))
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[out], min_count)) \
+            .select(["bigram", out])
+
+    return agg.map_batches(prune, batch_format="pyarrow")
+
+
 def term_stats(ds: ray.data.Dataset, col: str = "text",
                id_col: str = "doc_id", min_df: int = 1,
                df_out: str = "df", tf_out: str = "tf") -> ray.data.Dataset:

@@ -916,6 +916,13 @@ def corpus_term_stats(sf_dir: str):
     return text_ops.term_stats(ds, col="text", id_col="doc_id", min_df=5)
 
 
+def corpus_bigram_counts(sf_dir: str):
+    """Adjacent token-pair counts over documents (the BPE-trainer
+    counting step), pruned to pairs seen >= 20 times."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return text_ops.bigram_counts(ds, col="text", min_count=20, out="n")
+
+
 def docs_weighted_sample(sf_dir: str):
     """Length-weighted sample of 25 docs without replacement (A-ES
     keys, deterministic) — the importance-sampling primitive for

@@ -670,3 +670,23 @@ def test_redact_pii_patterns():
         "no pii here",
         "",
     ]
+
+
+def test_bigram_counts_matches_brute_force():
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    from kgeng.ops.text import bigram_counts
+
+    df = pd.DataFrame({"text": [
+        "a b a b c", "  a b  ", "single", "", None, "b c b c",
+    ]})
+    got = bigram_counts(ray.data.from_pandas(df.copy()).repartition(3)) \
+        .to_pandas()
+    ref = collections.Counter()
+    for s in df["text"]:
+        toks = (s or "").split()
+        ref.update(" ".join(p) for p in zip(toks, toks[1:]))
+    assert dict(zip(got["bigram"], got["n"])) == dict(ref)
