@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_sssp": Q.lineitem_sssp,
         "lineitem_hits": Q.lineitem_hits,
         "lineitem_closeness": Q.lineitem_closeness,
+        "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
         "cust_big_order_counts": Q.cust_big_order_counts,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pagerank": Q.pagerank_oracle_sql(iters=5),
         "lineitem_sssp": Q.SSSP_ORACLE,
+        "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "docs_pii_redacted": """
             WITH withpii AS (
               SELECT doc_id,

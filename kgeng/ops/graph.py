@@ -429,3 +429,60 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     clos = np.floor(clos * scale + 0.5) / scale
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes), "closeness": pa.array(clos)}))
+
+
+def bellman_ford_rounds(edges: ray.data.Dataset, source: int,
+                        rounds: int, src: str = "src", dst: str = "dst",
+                        weight: str = "w") -> ray.data.Dataset:
+    """Weighted SSSP as EXACTLY ``rounds`` Bellman-Ford relaxations —
+    the round-synchronous Pregel formulation ('sssp' with weights).
+    Integer weights make the oracle exact: a k-round unrolled SQL
+    recurrence computes the identical partial distances even before
+    convergence, so the round count is part of the contract, not a
+    tuning knob. Returns (node, dist) for nodes reached within
+    ``rounds`` hops-by-relaxation.
+
+    Plan A shape: driver distance vector (node-bounded), edge blocks
+    relax in parallel and emit dense per-block min-vectors (int64,
+    sentinel INF), driver takes the elementwise min of <= 64 blobs."""
+    INF = np.int64(2**62)
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t[src].combine_chunks(),
+                                 t[dst].combine_chunks()])
+        return pa.table({"node": pc.unique(both)})
+
+    edges = edges.repartition(64).materialize()
+    node_df = edges.map_batches(ends, batch_format="pyarrow") \
+        .groupby("node").count().to_pandas()
+    nodes = np.sort(node_df["node"].to_numpy(np.int64))
+    n = len(nodes)
+    dist = np.full(n, INF, np.int64)
+    dist[np.searchsorted(nodes, source)] = 0
+
+    for _ in range(rounds):
+        ref = ray.put((nodes, dist))
+
+        def relax(t: pa.Table) -> pa.Table:
+            nd, dv = ray.get(ref)
+            si = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
+            di = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
+            wv = t[weight].to_numpy(zero_copy_only=False).astype(np.int64)
+            cand = np.full(len(nd), INF, np.int64)
+            ok = dv[si] < INF
+            np.minimum.at(cand, di[ok], dv[si[ok]] + wv[ok])
+            return pa.table({"bm": pa.array([cand.tobytes()],
+                                            pa.large_binary())})
+
+        new = dist.copy()
+        for row in edges.map_batches(relax,
+                                     batch_format="pyarrow").take_all():
+            np.minimum(new, np.frombuffer(row["bm"], np.int64), out=new)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+
+    reached = dist < INF
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes[reached]),
+        "dist": pa.array(dist[reached])}))

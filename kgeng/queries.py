@@ -810,6 +810,64 @@ def lineitem_closeness(sf_dir: str):
     return effective_closeness(_order_part_edges(sf_dir))
 
 
+def lineitem_sssp_weighted(sf_dir: str):
+    """Weighted SSSP as EXACTLY 6 Bellman-Ford relaxation rounds over
+    the same graph, edge weight = (src + dst) % 7 + 1 (a deterministic
+    function both sides can state). Integer distances: the unrolled
+    k-round SQL recurrence is exact even pre-convergence."""
+    import numpy as np
+
+    from kgeng.ops.graph import bellman_ford_rounds
+
+    source = 2 * int(_pq(sf_dir, "lineitem", ["l_orderkey"])
+                     .min("l_orderkey"))
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return t.append_column("w", pa.array((s + d) % 7 + 1))
+
+    ew = _order_part_edges(sf_dir).map_batches(add_w,
+                                               batch_format="pyarrow")
+    return bellman_ford_rounds(ew, source=source, rounds=6)
+
+
+def sssp_weighted_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled k-round Bellman-Ford recurrence (NULL = unreached)."""
+    head = """
+        WITH eo AS (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        edges AS (SELECT src, dst FROM eo
+                  UNION ALL SELECT dst AS src, src AS dst FROM eo),
+        ew AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM edges),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        d0 AS (SELECT node,
+                      CASE WHEN node = (SELECT min(l_orderkey) * 2
+                                        FROM lineitem)
+                           THEN 0 ELSE NULL END AS d
+               FROM nodes)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        d{i} AS (
+          SELECT n.node,
+                 CASE WHEN p.d IS NULL AND m.c IS NULL THEN NULL
+                      WHEN p.d IS NULL THEN m.c
+                      WHEN m.c IS NULL THEN p.d
+                      ELSE least(p.d, m.c) END AS d
+          FROM nodes n
+          LEFT JOIN d{i-1} p ON p.node = n.node
+          LEFT JOIN (
+            SELECT e.dst AS node, min(p2.d + e.w) AS c
+            FROM ew e JOIN d{i-1} p2 ON p2.node = e.src
+            WHERE p2.d IS NOT NULL GROUP BY 1) m ON m.node = n.node)""")
+    parts.append(f"""
+        SELECT node, CAST(d AS BIGINT) AS dist FROM d{rounds}
+        WHERE d IS NOT NULL""")
+    return "".join(parts)
+
+
 SSSP_ORACLE = """
     WITH RECURSIVE eo AS (
       SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst

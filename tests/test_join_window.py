@@ -545,3 +545,33 @@ def test_effective_closeness_tracks_exact_bfs():
         exact = (len(dist) - 1) / sd if sd > 0 else 0.0
         assert abs(got[v] - exact) <= max(0.25 * exact, 0.05), \
             (v, got[v], exact)
+
+
+def test_bellman_ford_rounds_matches_reference():
+    """k-round relaxation must equal a python Bellman-Ford run for the
+    same k, including the not-yet-converged middle rounds."""
+    import numpy as np
+
+    from kgeng.ops.graph import bellman_ford_rounds
+
+    rng = np.random.default_rng(47)
+    src = rng.integers(0, 25, 100).astype(np.int64)
+    dst = rng.integers(0, 25, 100).astype(np.int64)
+    w = rng.integers(1, 9, 100).astype(np.int64)
+    et = pa.table({"src": src, "dst": dst, "w": w})
+
+    for rounds in (1, 2, 6):
+        out = bellman_ford_rounds(
+            ray.data.from_arrow(et).repartition(4), source=0,
+            rounds=rounds).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        ref = {0: 0}
+        for _ in range(rounds):
+            nxt = dict(ref)
+            for s, d, wv in zip(src.tolist(), dst.tolist(), w.tolist()):
+                if s in ref:
+                    c = ref[s] + wv
+                    if c < nxt.get(d, 1 << 62):
+                        nxt[d] = c
+            ref = nxt
+        assert got == ref, rounds
