@@ -42,11 +42,21 @@ import ray
 import ray.data
 
 
-def _round9(x: np.ndarray, ndigits: int) -> np.ndarray:
+def _round9(x, ndigits: int) -> np.ndarray:
     # numpy round is banker's; DuckDB round() is half-away-from-zero.
-    # Ranks are strictly positive so half-UP matches half-away.
+    # Ranks are strictly positive so half-UP matches half-away. This is
+    # THE rounding that makes iterative results hash-match the SQL
+    # oracles — every algorithm in this module must round through it.
     scale = 10.0 ** ndigits
-    return np.floor(x * scale + 0.5) / scale
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+
+
+def _node_ids(t: pa.Table, src: str, dst: str) -> pa.Table:
+    """Per-batch distinct endpoint ids (both columns) — the shared
+    node-extraction partial for every algorithm here."""
+    both = pa.concat_arrays([t[src].combine_chunks(),
+                             t[dst].combine_chunks()])
+    return pa.table({"node": pc.unique(both)})
 
 
 def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
@@ -63,11 +73,7 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
 
     # ---- static structure: node ids + out-degrees (driver-bounded)
     def ends(t: pa.Table) -> pa.Table:
-        u = pc.unique(t[src])
-        v = pc.unique(t[dst])
-        return pa.table({"node": pa.concat_arrays(
-            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
-             v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v])})
+        return _node_ids(t, src, dst)
 
     # materialize: the edge plan re-executes once per iteration plus
     # twice for structure otherwise; driver pulls stay COLUMNAR
@@ -136,18 +142,20 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
     scalar and the node count reach the driver."""
     from kgeng.ops.join import hash_join
 
-    def ends(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([t[src].combine_chunks(),
-                                 t[dst].combine_chunks()])
-        return pa.table({"node": pc.unique(both)})
+    # project + materialize ONCE: the loop's flow join would otherwise
+    # re-execute the whole upstream edge plan every iteration
+    eproj = edges.map_batches(
+        lambda t: pa.table({"node": t[src], "dst_": t[dst]}),
+        batch_format="pyarrow").materialize()
 
-    nodes = edges.map_batches(ends, batch_format="pyarrow") \
-        .groupby("node").count() \
+    nodes = eproj.map_batches(
+        lambda t: _node_ids(t, "node", "dst_"),
+        batch_format="pyarrow").groupby("node").count() \
         .map_batches(lambda t: t.select(["node"]),
                      batch_format="pyarrow").materialize()
     n = nodes.count()
-    deg = edges.groupby(src).count().map_batches(
-        lambda t: pa.table({"node": t[src],
+    deg = eproj.groupby("node").count().map_batches(
+        lambda t: pa.table({"node": t["node"],
                             "deg": pc.cast(t["count()"], pa.float64())}),
         batch_format="pyarrow").materialize()
 
@@ -157,20 +165,13 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
         lambda t: t.append_column("r", pa.array(
             np.full(len(t), r0))), batch_format="pyarrow").materialize()
 
-    def rnd(x):  # pandas/arrow-safe half-up rounding on positive ranks
-        scale = 10.0 ** ndigits
-        return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) \
-            / scale
-
     for _ in range(iters):
         rd = hash_join(ranks, deg, key="node", how="left")
 
         def contrib_row(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()
-            # a bucket whose group held only left rows never saw the
-            # right side's columns at all (hash_join left-mode)
-            if "deg" not in out.columns:
-                out["deg"] = np.nan
+            # hash_join emits the full stable column set per bucket;
+            # unmatched left rows carry NaN deg (isfinite handles it)
             d = out["deg"].to_numpy()
             has = np.isfinite(d) & (d > 0)
             out["c"] = np.where(has, out["r"].to_numpy()
@@ -183,9 +184,7 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
         dangling = rc.sum("dang") / n
 
         flow = hash_join(
-            edges.map_batches(lambda t: pa.table(
-                {"node": t[src], "dst_": t[dst]}),
-                batch_format="pyarrow"),
+            eproj,
             rc.map_batches(lambda t: t.select(["node", "c"]),
                            batch_format="pyarrow"),
             key="node", how="inner")
@@ -199,19 +198,24 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
             batch_format="pyarrow").groupby("node").sum("c_in")
 
         # explicit right_cols: the post-groupby plan can carry
-        # zero-column empty partitions that defeat schema inference
-        joined = hash_join(nodes, incoming.map_batches(
-            lambda t: pa.table({
+        # zero-column empty partitions that defeat schema inference —
+        # the rename map must tolerate them too (early return)
+        def cast_in(t: pa.Table) -> pa.Table:
+            if t.num_columns < 2:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "c_in": pa.array([], pa.float64())})
+            return pa.table({
                 "node": pc.cast(t[t.column_names[0]], pa.int64()),
-                "c_in": pc.cast(t[t.column_names[1]], pa.float64())}),
-            batch_format="pyarrow"), key="node", how="left",
+                "c_in": pc.cast(t[t.column_names[1]], pa.float64())})
+
+        joined = hash_join(nodes, incoming.map_batches(
+            cast_in, batch_format="pyarrow"), key="node", how="left",
             right_cols=["node", "c_in"])
 
         def finish(df: pd.DataFrame) -> pd.DataFrame:
-            inc = (df["c_in"].fillna(0.0).to_numpy()
-                   if "c_in" in df.columns else np.zeros(len(df)))
+            inc = df["c_in"].fillna(0.0).to_numpy()
             out = df[["node"]].copy()
-            out["r"] = rnd(base + damping * (inc + dangling))
+            out["r"] = _round9(base + damping * (inc + dangling), ndigits)
             return out
 
         # cap block growth (iterative loops otherwise double per round)
@@ -288,9 +292,7 @@ def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     the float risk); tests pin it against a numpy reference."""
 
     def ends(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([t[src].combine_chunks(),
-                                 t[dst].combine_chunks()])
-        return pa.table({"node": pc.unique(both)})
+        return _node_ids(t, src, dst)
 
     edges = edges.repartition(64).materialize()
     node_df = edges.map_batches(ends, batch_format="pyarrow") \
@@ -353,19 +355,16 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     like the other plan-A vectors). Rounds stop when no register moves.
     """
     def ends(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([t[src].combine_chunks(),
-                                 t[dst].combine_chunks()])
-        return pa.table({"node": pc.unique(both)})
+        return _node_ids(t, src, dst)
 
-    edges = edges.repartition(32).materialize()
-    node_df = edges.map_batches(ends, batch_format="pyarrow") \
+    # ONE materialized copy: src-sorted blocks (disjoint source ranges
+    # per block) serve both the per-round scans and node extraction
+    by_src = edges.sort(src).materialize()
+    node_df = by_src.map_batches(ends, batch_format="pyarrow") \
         .groupby("node").count().to_pandas()
     nodes = np.sort(node_df["node"].to_numpy(np.int64))
     n = len(nodes)
     m = 1 << p
-
-    # src-sorted edge blocks: disjoint source ranges per block
-    by_src = edges.sort(src).materialize()
 
     # init: each node's ball contains itself
     from kgeng.ops.agg import _splitmix64
@@ -425,8 +424,7 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     reached = np.maximum(prev_est - 1.0, 0.0)
     with np.errstate(divide="ignore", invalid="ignore"):
         clos = np.where(sum_dist > 0, reached / sum_dist, 0.0)
-    scale = 10.0 ** ndigits
-    clos = np.floor(clos * scale + 0.5) / scale
+    clos = _round9(clos, ndigits)
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes), "closeness": pa.array(clos)}))
 
@@ -448,17 +446,18 @@ def bellman_ford_rounds(edges: ray.data.Dataset, source: int,
     INF = np.int64(2**62)
 
     def ends(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([t[src].combine_chunks(),
-                                 t[dst].combine_chunks()])
-        return pa.table({"node": pc.unique(both)})
+        return _node_ids(t, src, dst)
 
     edges = edges.repartition(64).materialize()
     node_df = edges.map_batches(ends, batch_format="pyarrow") \
         .groupby("node").count().to_pandas()
     nodes = np.sort(node_df["node"].to_numpy(np.int64))
     n = len(nodes)
+    si0 = int(np.searchsorted(nodes, source))
+    if si0 >= n or nodes[si0] != source:
+        raise ValueError(f"source {source} has no edges in the graph")
     dist = np.full(n, INF, np.int64)
-    dist[np.searchsorted(nodes, source)] = 0
+    dist[si0] = 0
 
     for _ in range(rounds):
         ref = ray.put((nodes, dist))
