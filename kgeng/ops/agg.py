@@ -4,8 +4,10 @@ salting — the north rule's explicit skew handling for Zipfian entity keys.
 ``salted_count``: count rows per key without ever forming a hot-key group:
 1. map_batches: vectorized per-batch value_counts -> (key, partial_count)
    — one row per key per batch, so the shuffle moves partials, not rows;
-2. salt: append ``#<h%S>`` to the key so even a single dominant key spreads
-   over S reducers;
+2. salt: append ``#<row position % S>`` so a hot key's PARTIALS (one per
+   batch, at varying positions) spread over up to S reducers — the salt
+   must vary across a key's partial rows, a key-deterministic hash would
+   send them all to one reducer;
 3. groupby(salted) sum -> unsalt -> second (tiny) groupby(key) sum.
 """
 
@@ -24,17 +26,21 @@ def salted_count(ds: ray.data.Dataset, key: str, salt: int = 16,
     string form; pass ``key_type`` (a pyarrow type) to cast the result
     key column back."""
 
+    _NULL = "\x00null\x00"  # sentinel: null keys stay a (SQL-style) group
+
     def partial(t: pa.Table) -> pa.Table:
         counts = t.group_by([key]).aggregate([([], "count_all")])
         ks = counts[key].combine_chunks()
         if not pa.types.is_string(ks.type):
             ks = pc.cast(ks, pa.string())
+        ks = pc.fill_null(ks, _NULL)
         cnt = counts["count_all"]
-        # salt on a stable content hash of the key string
-        np_keys = np.array([hash_str(s) % salt for s in ks.to_pylist()],
-                           dtype=np.int64)
+        # per-ROW salt (position % S): a hot key's partials sit at
+        # different positions across batches, so they spread over up to
+        # S reducers — a key-deterministic hash would not spread at all
+        sidx = np.arange(len(ks), dtype=np.int64) % salt
         salted = pc.binary_join_element_wise(
-            ks, pa.scalar("#"), pa.array(np_keys.astype(str)), "")
+            ks, pa.scalar("#"), pa.array(sidx.astype(str)), "")
         return pa.table({"salted": salted,
                          "partial": pc.cast(cnt, pa.int64())})
 
@@ -46,6 +52,8 @@ def salted_count(ds: ray.data.Dataset, key: str, salt: int = 16,
 
     def unsalt(t: pa.Table) -> pa.Table:
         ks = t["salted"].to_pylist()
+        # the null sentinel stays until AFTER the final groupby — Ray's
+        # sort-based shuffle cannot order null against string keys
         bare = [s.rsplit("#", 1)[0] for s in ks]
         return pa.table({key: pa.array(bare, pa.string()),
                          "partial": t["partial"]})
@@ -55,19 +63,14 @@ def salted_count(ds: ray.data.Dataset, key: str, salt: int = 16,
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.rename_columns([key, out])
+        ks = pc.if_else(pc.equal(t[key], _NULL),
+                        pa.scalar(None, pa.string()), t[key])
+        t = t.set_column(0, key, ks)
         if key_type is not None:
             t = t.set_column(0, key, pc.cast(t[key], key_type))
         return t
 
     return final.map_batches(finish, batch_format="pyarrow")
-
-
-def hash_str(s: str) -> int:
-    """Stable string hash (FNV-1a 64) — never Python's randomized hash()."""
-    h = 0xcbf29ce484222325
-    for ch in s.encode():
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def pivot_count(ds: ray.data.Dataset, key: str, pivot: str,
@@ -113,6 +116,9 @@ def grouped_count_distinct(ds: ray.data.Dataset, key: str, value: str,
     from ray.data.aggregate import Count
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
+        # SQL COUNT(DISTINCT value) ignores null values (null KEYS
+        # still form a group, matching GROUP BY)
+        t = t.filter(pc.is_valid(t[value]))
         g = t.group_by([key, value]).aggregate([([], "count_all")])
         return g.select([key, value])
 
@@ -155,6 +161,10 @@ def hll_count_distinct(ds: ray.data.Dataset, key: str, value: str,
     vectorized splitmix64); register merge is an elementwise max."""
     import pandas as pd
 
+    if p < 11:
+        # the frexp bit-length trick below is exact only while the low
+        # 64-p bits fit a float64 mantissa (64-p <= 53)
+        raise ValueError(f"p must be >= 11 (got {p})")
     m = 1 << p
     wbits = np.uint64(64 - p)
     wmask = (np.uint64(1) << wbits) - np.uint64(1)
@@ -176,16 +186,17 @@ def hll_count_distinct(ds: ray.data.Dataset, key: str, value: str,
         rank = (max_rank - bitlen.astype(np.uint8))
         rank[w == 0] = max_rank
         keys = t[key].to_numpy(zero_copy_only=False)
-        out_keys, blobs = [], []
-        for k in np.unique(keys):
-            mask = keys == k
-            regs = np.zeros(m, np.uint8)
-            np.maximum.at(regs, idx[mask], rank[mask])
-            out_keys.append(k)
-            blobs.append(regs.tobytes())
+        # one vectorized pass over ALL keys: flat (n_keys x m) register
+        # matrix indexed by inverse-key * m + register — no per-key scan
+        uniq, inv = np.unique(keys, return_inverse=True)
+        flat = np.zeros(len(uniq) * m, np.uint8)
+        np.maximum.at(flat, inv * np.int64(m) + idx, rank)
         kt = t.schema.field(key).type
-        return pa.table({key: pa.array(out_keys, kt),
-                         "__regs": pa.array(blobs, pa.binary())})
+        return pa.table({
+            key: pa.array(uniq, kt),
+            "__regs": pa.array([row.tobytes()
+                                for row in flat.reshape(len(uniq), m)],
+                               pa.binary())})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         regs = np.maximum.reduce(

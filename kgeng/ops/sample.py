@@ -116,8 +116,12 @@ def weighted_sample(ds: ray.data.Dataset, id_col: str, weight_col: str,
         ids = t[id_col].to_numpy(zero_copy_only=False)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = np.isfinite(w) & (w > 0)
+        # drop invalid-weight rows OUTRIGHT — a sentinel key would still
+        # survive the global limit when fewer than k valid rows exist
+        t = t.filter(pa.array(ok))
+        ids, w = ids[ok], w[ok]
         u = (_knuth_hash(ids).astype(np.float64) + 0.5) / float(MOD)
-        key = np.where(ok, np.power(u, 1.0 / np.where(ok, w, 1.0)), -1.0)
+        key = np.power(u, 1.0 / w)
         n = min(k, len(ids))
         top = np.argpartition(-key, n - 1)[:n] if n else np.array([], int)
         t = t.append_column("__skey", pa.array(key))

@@ -690,3 +690,43 @@ def test_bigram_counts_matches_brute_force():
         toks = (s or "").split()
         ref.update(" ".join(p) for p in zip(toks, toks[1:]))
     assert dict(zip(got["bigram"], got["n"])) == dict(ref)
+
+
+def test_weighted_sample_excludes_invalid_even_when_short():
+    """Fewer valid rows than k: the result must contain ONLY the valid
+    rows, never sentinel-keyed zero/negative/null-weight rows."""
+    import pandas as pd
+
+    from kgeng.ops.sample import weighted_sample
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6],
+                       "w": [5, 0, -1, 7, 0, 0]})
+    out = weighted_sample(ray.data.from_pandas(df).repartition(3),
+                          "doc_id", "w", k=5).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
+
+
+def test_grouped_count_distinct_ignores_null_values():
+    import pandas as pd
+
+    from kgeng.ops.agg import grouped_count_distinct
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                       "v": [1.0, None, 1.0, None]})
+    out = grouped_count_distinct(ray.data.from_pandas(df), "k", "v",
+                                 out="nd").to_pandas()
+    got = dict(zip(out["k"], out["nd"]))
+    assert got.get("a") == 1 and got.get("b") in (None, 0)
+
+
+def test_salted_count_spreads_hot_key_and_keeps_null_group():
+    import pandas as pd
+
+    from kgeng.ops.agg import salted_count
+
+    df = pd.DataFrame({"k": ["hot"] * 500 + ["x", None, None]})
+    out = salted_count(ray.data.from_pandas(df).repartition(6), "k",
+                       salt=8).to_pandas()
+    got = {(None if pd.isna(r["k"]) else r["k"]): r["n"]
+           for _, r in out.iterrows()}
+    assert got == {"hot": 500, "x": 1, None: 2}
