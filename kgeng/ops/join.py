@@ -131,15 +131,51 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     out_cols = lcols + [(c + suffix if c in lcols else c)
                         for c in rcols if c != key]
 
+    # stable dtypes too (same fix as asof_join/range_join): the union
+    # pads each side's missing columns with nulls, floating integer
+    # columns NON-UNIFORMLY across reduce batches. Restore each side's
+    # true numeric dtypes before merging; right int columns surface as
+    # float64 in the OUTPUT (NaN = unmatched under how='left'), the
+    # nullable-int convention, so every block agrees.
+    def _numeric_dtypes(ds: ray.data.Dataset) -> dict:
+        s = ds.schema(fetch_if_missing=True)
+        if s is None:
+            return {}
+        base = getattr(s, "base_schema", None)
+        out = {}
+        if isinstance(base, pa.Schema):
+            for f in base:
+                if pa.types.is_integer(f.type):
+                    out[f.name] = "int64"
+                elif pa.types.is_floating(f.type):
+                    out[f.name] = "float64"
+        else:  # PandasBlockSchema: names + numpy dtypes
+            for name, typ in zip(s.names, getattr(base, "types", [])):
+                kind = getattr(typ, "kind", "")
+                if kind in "iu":
+                    out[name] = "int64"
+                elif kind == "f":
+                    out[name] = "float64"
+        return out
+
+    ltypes = _numeric_dtypes(left)
+    rtypes = _numeric_dtypes(right)
+    int_right = [c for c, t in rtypes.items()
+                 if t == "int64" and c != key]
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].reindex(columns=lcols)
-        rg = g[g["__side"] == "r"].reindex(columns=rcols)
+        lg = g[g["__side"] == "l"].reindex(columns=lcols).astype(ltypes)
+        rg = g[g["__side"] == "r"].reindex(columns=rcols).astype(rtypes)
         if how == "semi":
             return lg[lg[key].isin(rg[key].unique())]
         if how == "anti":
             return lg[~lg[key].isin(rg[key].unique())]
         out = lg.merge(rg, on=key, how=how, suffixes=("", suffix))
-        return out.reindex(columns=out_cols)
+        out = out.reindex(columns=out_cols)
+        for c in int_right:
+            cc = c + suffix if c in lcols else c
+            out[cc] = out[cc].astype("float64")
+        return out
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 

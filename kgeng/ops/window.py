@@ -20,6 +20,17 @@ import pandas as pd
 import ray.data
 
 
+def _bucket_col(t, key: str, num_buckets: int):
+    """Append the coarse-bucket column (shared with join._bucket_ids —
+    ONE definition of the bucket hash, used by every windowed op)."""
+    import pyarrow as pa
+
+    from kgeng.ops.join import _bucket_ids
+
+    b = _bucket_ids(t, key, num_buckets)
+    return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+
 def sessionize(events: ray.data.Dataset, key: str = "user_id",
                ts: str = "ts", gap_minutes: float = 30.0,
                num_buckets: int = 64) -> ray.data.Dataset:
@@ -37,18 +48,7 @@ def sessionize(events: ray.data.Dataset, key: str = "user_id",
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def bucket(t):
-        import pyarrow as pa
-
-        vals = t[key].to_numpy(zero_copy_only=False)
-        if vals.dtype.kind in "iu":
-            h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            b = ((h >> np.uint64(33)) % np.uint64(num_buckets))
-        else:
-            import zlib
-
-            b = np.array([zlib.crc32(str(v).encode()) % num_buckets
-                          for v in vals], dtype=np.uint64)
-        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+        return _bucket_col(t, key, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts], kind="mergesort")
@@ -82,9 +82,13 @@ def tumbling(events: ray.data.Dataset, key: str, ts: str, value: str,
 
     def bucket(t: pa.Table) -> pa.Table:
         # normalize to microseconds first: pandas-born timestamps arrive
-        # as timestamp[ns] and a bare int64 cast would be in ns
+        # as timestamp[ns] and a bare int64 cast would be in ns.
+        # FLOOR division (numpy), not Arrow's truncate-toward-zero
+        # divide: pre-epoch timestamps must window to -1, not 0,
+        # matching the `epoch // width` contract and SQL `//`.
         t_us = pc.cast(t[ts], pa.timestamp("us"))
-        b = pc.divide(pc.cast(t_us, pa.int64()), us)
+        e = pc.cast(t_us, pa.int64()).to_numpy(zero_copy_only=False)
+        b = pa.array(e // us)
         return pa.table({key: t[key], "window": b, value: t[value]})
 
     from ray.data.aggregate import Count, Sum
@@ -114,24 +118,20 @@ def partitioned_rolling_sum(events: ray.data.Dataset, key: str,
     it only moves already-exact values)."""
 
     def bucket(t):
-        import pyarrow as pa
-
-        vals = t[key].to_numpy(zero_copy_only=False)
-        if vals.dtype.kind in "iu":
-            h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            b = ((h >> np.uint64(33)) % np.uint64(num_buckets))
-        else:
-            import zlib
-
-            b = np.array([zlib.crc32(str(v).encode()) % num_buckets
-                          for v in vals], dtype=np.uint64)
-        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+        return _bucket_col(t, key, num_buckets)
 
     sort_cols = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"]).sort_values(sort_cols,
                                                      kind="mergesort")
+        if g[value].dtype.kind not in "iu":
+            # loud, not silent: a float value column would be truncated
+            # by the int64 cast below, and a null would crash it —
+            # scale floats to ints upstream (see queries._cents)
+            raise TypeError(
+                f"partitioned_rolling_sum needs an integer value "
+                f"column, got {g[value].dtype}")
         grouped = g.groupby(key, sort=False)[value]
         cs = grouped.cumsum()
         # cumsum of the row `window` back, 0 before the window fills
@@ -157,18 +157,7 @@ def partitioned_lag_gap(events: ray.data.Dataset, key: str = "user_id",
     land in one bucket, so the per-bucket diff is exact."""
 
     def bucket(t):
-        import pyarrow as pa
-
-        vals = t[key].to_numpy(zero_copy_only=False)
-        if vals.dtype.kind in "iu":
-            h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            b = ((h >> np.uint64(33)) % np.uint64(num_buckets))
-        else:
-            import zlib
-
-            b = np.array([zlib.crc32(str(v).encode()) % num_buckets
-                          for v in vals], dtype=np.uint64)
-        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+        return _bucket_col(t, key, num_buckets)
 
     sort_cols = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
 
