@@ -10,6 +10,7 @@ only library-adjacent place that owns a session) unless one exists.
     python -m kgeng.run import-edge-list --file F --out DIR
     python -m kgeng.run generate --graphtype clique|cliques-graph|k-partite ...
     python -m kgeng.run status --checkpoint DIR
+    python -m kgeng.run query [NAME] [--sf-dir D] [--out F] [--limit N]
 """
 
 from __future__ import annotations
@@ -75,6 +76,16 @@ def main(argv=None):
     st = sub.add_parser("status", help="print checkpoint manifests")
     st.add_argument("--checkpoint", required=True)
 
+    q = sub.add_parser(
+        "query", help="run a registered analytics query over an sf dir")
+    q.add_argument("name", nargs="?", default=None,
+                   help="query name (omit to list all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing")
+    q.add_argument("--limit", type=int, default=20,
+                   help="rows to print when --out is not given")
+
     args = p.parse_args(argv)
 
     if args.cmd == "status":
@@ -91,11 +102,54 @@ def main(argv=None):
             pass
         return 0
 
+    def _entry_mod():
+        # __ray_entry__ lives at the repo root, one level above kgeng/
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        import __ray_entry__ as entry_mod
+        return entry_mod
+
+    if args.cmd == "query":
+        # listing and name validation need no Ray session
+        reg = _entry_mod().queries()
+        if args.name is None:
+            for name in sorted(reg):
+                print(name)
+            return 0
+        if args.name not in reg:
+            print(f"unknown query {args.name!r}; run "
+                  f"`python -m kgeng.run query` for the list",
+                  file=sys.stderr)
+            return 2
+
     _ensure_ray(args.num_cpus)
     import ray
 
     try:
-        if args.cmd == "kg":
+        if args.cmd == "query":
+            res = reg[args.name](args.sf_dir)
+            import pandas as pd
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                if args.out:
+                    res.write_parquet(args.out)
+                    print(json.dumps({"query": args.name,
+                                      "rows": res.count(),
+                                      "out": args.out}))
+                    return 0
+                res = res.to_pandas()
+            if not isinstance(res, pd.DataFrame):
+                res = res.to_pandas()
+            if args.out:
+                res.to_parquet(os.path.join(args.out), index=False)
+                print(json.dumps({"query": args.name, "rows": len(res),
+                                  "out": args.out}))
+            else:
+                print(res.head(args.limit).to_string(index=False))
+                print(f"[{len(res)} rows]")
+        elif args.cmd == "kg":
             from kgeng.pipeline import KGPipeline
 
             pl = KGPipeline(checkpoint_root=args.checkpoint,

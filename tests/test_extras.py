@@ -277,3 +277,15 @@ def test_http_bulk_sink_retries_transient_failures():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_query_cli_list_and_validation(capsys):
+    """The `query` subcommand's listing and name validation run without
+    owning a Ray session (safe to call in-process)."""
+    from kgeng.run import main
+
+    assert main(["query"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "lineitem_pagerank" in out and "dedup_exact_docs" in out
+
+    assert main(["query", "not_a_query"]) == 2
