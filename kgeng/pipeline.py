@@ -165,12 +165,22 @@ class KGPipeline:
         # instead of silently mixing stale and fresh shards
         corpus_files = _list_parquet_files(corpus_path)
         n_shards = self._resolve_num_shards(corpus_files)
-        in_lin = {"corpus_files": corpus_files, "num_shards": n_shards}
+        # the gazetteer's CONTENT is part of every stage's identity —
+        # linking, resolution, and the early-emitted triples all depend
+        # on it, so an edited gazetteer must invalidate old checkpoints
+        # (the file is broadcast-small by construction; hashing it is
+        # cheap relative to one stage execution)
+        import hashlib
+
+        with open(gazetteer_path, "rb") as gf:
+            gaz_sha = hashlib.sha1(gf.read()).hexdigest()
+        in_lin = {"corpus_files": corpus_files, "num_shards": n_shards,
+                  "gazetteer_sha1": gaz_sha}
 
         # ---- stage 1: extract (sharded over input files) --------------
         _t("start")
         records = self._extract_stage(corpus_path, gaz, store, resume,
-                                      n_shards)
+                                      n_shards, gaz_sha=gaz_sha)
         _t("extract_done")
 
         # ---- stage 2: linked mentions ---------------------------------
@@ -324,7 +334,8 @@ class KGPipeline:
     # ------------------------------------------------------------------
     def _extract_stage(self, corpus_path: str, gaz: dict,
                        store: CheckpointStore | None, resume: bool,
-                       n_shards: int | None = None):
+                       n_shards: int | None = None,
+                       gaz_sha: str = ""):
         cfg = self.cfg
         if store is None:
             docs = ray.data.read_parquet(corpus_path)
@@ -349,9 +360,14 @@ class KGPipeline:
                 if d.startswith("shard=") and d not in valid:
                     shutil.rmtree(os.path.join(base, d))
 
+        # records lineage includes the gazetteer hash: extraction emits
+        # link columns AND the both-exact triples, both functions of it
+        def _lin(sf):
+            return {"files": sf, "gazetteer_sha1": gaz_sha}
+
         todo = [(i, sf) for i, sf in enumerate(shards)
                 if not (resume and store.is_done(
-                    "records", shard=i, lineage={"files": sf}))]
+                    "records", shard=i, lineage=_lin(sf)))]
         # build the lazy per-shard pipelines on the MAIN thread (dataset
         # construction does eager path resolution that is not thread-safe
         # in this environment); only the executions run concurrently
@@ -393,11 +409,11 @@ class KGPipeline:
                 list(ex.map(
                     lambda j: store.commit_stage_receipts(
                         "records", j[2], shard=j[0],
-                        lineage={"files": j[1]}), jobs))
+                        lineage=_lin(j[1])), jobs))
         else:
             for i, shard_files, recs in jobs:
                 store.commit_stage_receipts("records", recs, shard=i,
-                                            lineage={"files": shard_files})
+                                            lineage=_lin(shard_files))
         # the records Dataset view is constructed lazily by run()'s
         # LazyResult — building it here would prefetch every part-file
         # footer on the driver inside the extract stage wall
@@ -410,8 +426,11 @@ class KGPipeline:
         res_path = (os.path.join(store.root, "resolution.json")
                     if store else None)
         if res_path and resume and os.path.exists(res_path):
-            with open(res_path) as f:
-                raw = json.load(f)
+            try:
+                with open(res_path) as f:
+                    raw = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                raw = {}  # half-written by a killed run: recompute
             if (raw.get("config_hash") == cfg.config_hash()
                     and raw.get("lineage") == in_lin):
                 return {s: tuple(v) for s, v in raw["map"].items()}
@@ -437,6 +456,7 @@ class KGPipeline:
         # multithreaded pyarrow scan instead.
         surf_set: set[str] = set()
         uniq = None  # Dataset of (possibly batch-duplicated) NER surfaces
+        force_distributed = False
         if store is not None:
             files = store.shard_files("records",
                                       path_contains="rec_kind=surface")
@@ -444,15 +464,21 @@ class KGPipeline:
                 surf_set = set(_driver_read_column(files, "surface"))
             elif files:  # pragma: no cover - extreme cardinality
                 uniq = ray.data.read_parquet(files, columns=["surface"])
+                # far beyond any plan-A-viable surface set: decide the
+                # cutover from BYTES and never pull the values onto the
+                # driver just to count them
+                force_distributed = (_total_bytes(files)
+                                     > _FORCE_DISTRIBUTED_SURFACE_BYTES)
         else:
             uniq = linked.map_batches(block_unique,
                                       batch_format="pyarrow")
-        if uniq is not None:
+        if uniq is not None and not force_distributed:
             for b in uniq.iter_batches(batch_format="pyarrow",
                                        batch_size=65536):
                 surf_set.update(b["surface"].to_pylist())
         uniq_surfaces = list(surf_set)
-        if len(uniq_surfaces) <= self.driver_max_surfaces:
+        if (not force_distributed
+                and len(uniq_surfaces) <= self.driver_max_surfaces):
             from kgeng.ops.block import candidate_pairs_driver
             from kgeng.ops.canonicalize import build_resolution_from_pairs
 
@@ -477,6 +503,10 @@ class KGPipeline:
                 # tests): rebuild the Dataset from the driver-side set
                 uniq = ray.data.from_arrow(
                     pa.table({"surface": sorted(surf_set)}))
+            elif force_distributed:
+                # the checkpoint partition is only per-BATCH unique;
+                # dedup distributed before banding
+                uniq = distinct(uniq, ["surface"])
             uniq = uniq.map_batches(
                 lambda t: t.append_column(
                     "is_gaz", pa.array([False] * len(t))),
@@ -491,11 +521,16 @@ class KGPipeline:
                 pairs = store.read_stage("pairs")
             resolution = build_resolution(pairs, gaz, cfg.block)
         if res_path:
-            with open(res_path, "w") as f:
+            # tmp + atomic rename: a kill mid-dump must never leave a
+            # parseable-looking half file (same protocol as the
+            # checkpoint stages)
+            tmp = res_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"config_hash": cfg.config_hash(),
                            "lineage": in_lin,
                            "map": {s: list(v) for s, v in resolution.items()}},
                           f)
+            os.replace(tmp, res_path)
         return resolution
 
     # ------------------------------------------------------------------
@@ -513,7 +548,6 @@ class KGPipeline:
         for eid, ts in true_surface.items():
             forms.setdefault(eid, set()).add(ts)
             meta[eid] = (ts.lower(), gaz[ts][1], sorted(forms[eid]))
-        meta_ref = ray.put(meta)
 
         def to_entity_rows(batch: pa.Table) -> pa.Table:
             subj = batch["subj"]
@@ -558,9 +592,8 @@ class KGPipeline:
             for b in used.iter_batches(batch_format="pyarrow",
                                        batch_size=65536):
                 eid_set.update(b["entity_id"].to_pylist())
-        m = ray.get(meta_ref)
         eids = sorted(eid_set)
-        rows = [m.get(e, ("", "", [])) for e in eids]
+        rows = [meta.get(e, ("", "", [])) for e in eids]
         ent_tbl = pa.table({
             "entity_id": pa.array(eids, pa.string()),
             "canon_key": pa.array([r[0] for r in rows], pa.string()),
@@ -598,10 +631,11 @@ class KGPipeline:
     @staticmethod
     def _media_vertices(triples, smart: SmartGraphConfig):
         def media_rows(batch: pa.Table) -> pa.Table:
+            # entity_id only: distinct() drops everything else anyway
+            # and the constant ent_type is re-appended after the dedup
             obj = batch["obj"].combine_chunks()
             refs = pc.unique(obj.filter(pc.starts_with(obj, "media://")))
-            return pa.table({"entity_id": refs,
-                             "ent_type": pa.array(["MEDIA"] * len(refs))})
+            return pa.table({"entity_id": refs})
 
         media = triples.map_batches(media_rows, batch_format="pyarrow")
         media = distinct(media, ["entity_id"]).map_batches(
@@ -616,6 +650,10 @@ class KGPipeline:
 # KB-sized files costs seconds of pure scheduling); bigger ones use the
 # distributed read path
 _DRIVER_SIDE_READ_BYTES = 256 << 20
+# a 'surface' partition beyond this size cannot correspond to a plan-A
+# viable surface set (driver_max_surfaces strings are ~100 MB); go
+# straight to the distributed canonicalization without collecting
+_FORCE_DISTRIBUTED_SURFACE_BYTES = 512 << 20
 
 
 def _total_bytes(files: list[str]) -> int:

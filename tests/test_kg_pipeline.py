@@ -190,10 +190,15 @@ def test_resume_invalidated_by_shard_layout_change(tiny_corpus,
     files = _list_parquet_files(corpus)
     assert files[0::2] != files[0::3]  # layouts differ: test is not vacuous
     # the old shard-0 checkpoint must fail the lineage gate
+    import hashlib
+    with open(gazp, "rb") as gf:
+        gsha = hashlib.sha1(gf.read()).hexdigest()
     assert store.is_done("records", shard=0,
-                         lineage={"files": files[0::3]})
+                         lineage={"files": files[0::3],
+                                  "gazetteer_sha1": gsha})
     assert not store.is_done("records", shard=0,
-                             lineage={"files": files[0::2]})
+                             lineage={"files": files[0::2],
+                                      "gazetteer_sha1": gsha})
     res2 = p2.run(corpus, gazp, resume=True)
     t2 = sorted(map(tuple, res2["triples"].to_pandas()[
         ["subj", "pred", "obj", "doc_id"]].values.tolist()))
@@ -370,3 +375,33 @@ def test_vectorized_media_resolve_matches_per_row_reference():
                            ("E2", "media://b", "d2"),
                            ("E1", "media://f", "d6")]
     assert out["pred"].to_pylist() == ["mentions_media"] * 3
+
+
+def test_resume_invalidated_by_gazetteer_change(tiny_corpus,
+                                                tmp_path_factory):
+    """Editing the gazetteer must invalidate checkpoints: linking,
+    resolution, and early-emitted triples all depend on its content, so
+    a resumed run over the same corpus must recompute and reflect the
+    NEW gazetteer, never serve stale entities."""
+    import pyarrow.parquet as pq
+
+    corpus = os.path.join(tiny_corpus, "corpus")
+    gaz1 = os.path.join(tiny_corpus, "gazetteer.parquet")
+    root = str(tmp_path_factory.mktemp("ckpt_gaz"))
+
+    res1 = KGPipeline(checkpoint_root=root).run(corpus, gaz1)
+    subj1 = set(res1["triples"].to_pandas()["subj"])
+
+    # drop one entity from the gazetteer -> its id must vanish
+    g = pq.read_table(gaz1)
+    victims = [e for e in set(g["entity_id"].to_pylist()) if e in subj1]
+    assert victims, "test needs an entity that actually produced triples"
+    victim = sorted(victims)[0]
+    import pyarrow.compute as _pc
+    g2 = g.filter(_pc.not_equal(g["entity_id"], victim))
+    gaz2 = str(tmp_path_factory.mktemp("gaz") / "gazetteer.parquet")
+    pq.write_table(g2, gaz2)
+
+    res2 = KGPipeline(checkpoint_root=root).run(corpus, gaz2)
+    subj2 = set(res2["triples"].to_pandas()["subj"])
+    assert victim in subj1 and victim not in subj2
