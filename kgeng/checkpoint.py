@@ -170,6 +170,27 @@ class CheckpointStore:
             stage, make_receipts(writer), shard=shard, lineage=lineage,
             metrics=metrics)
 
+    def _seal_stage_dir(self, d: str, stage: str, shard: int | None,
+                        rows: int, n_files: int, wall: float,
+                        lineage: dict | None,
+                        metrics: dict | None) -> str:
+        """THE manifest + _SUCCESS protocol — every stage writer funnels
+        through here so the checkpoint format cannot fork."""
+        with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+            json.dump({
+                "stage": stage,
+                "shard": shard,
+                "config_hash": self.config_hash,
+                "rows": rows,
+                "files": n_files,
+                "write_wall_sec": round(wall, 3),
+                "lineage": lineage or {},
+                "metrics": metrics or {},
+            }, f, indent=1)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("")
+        return d
+
     def _finalize_stage(self, stage: str, shard: int | None, d: str,
                         tmp: str, part_counts, wall: float,
                         lineage: dict | None, metrics: dict | None) -> str:
@@ -197,20 +218,8 @@ class CheckpointStore:
             n_files = len(files)
             rows = _count_rows(files)
         os.rename(tmp, d)
-        with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
-            json.dump({
-                "stage": stage,
-                "shard": shard,
-                "config_hash": self.config_hash,
-                "rows": rows,
-                "files": n_files,
-                "write_wall_sec": round(wall, 3),
-                "lineage": lineage or {},
-                "metrics": metrics or {},
-            }, f, indent=1)
-        with open(os.path.join(d, "_SUCCESS"), "w") as f:
-            f.write("")
-        return d
+        return self._seal_stage_dir(d, stage, shard, rows, n_files, wall,
+                                    lineage, metrics)
 
     def write_stage_table(self, stage: str, table,
                           shard: int | None = None,
@@ -234,20 +243,8 @@ class CheckpointStore:
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
         wall = time.monotonic() - t0
         os.rename(tmp, d)
-        with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
-            json.dump({
-                "stage": stage,
-                "shard": shard,
-                "config_hash": self.config_hash,
-                "rows": table.num_rows,
-                "files": 1,
-                "write_wall_sec": round(wall, 3),
-                "lineage": lineage or {},
-                "metrics": metrics or {},
-            }, f, indent=1)
-        with open(os.path.join(d, "_SUCCESS"), "w") as f:
-            f.write("")
-        return d
+        return self._seal_stage_dir(d, stage, shard, table.num_rows, 1,
+                                    wall, lineage, metrics)
 
     # ------------------------------------------------------------ read
     def read_stage(self, stage: str, shard: int | None = None,
