@@ -162,8 +162,9 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
 
     Stage 1 (map): shingle -> minhash (vectorized reduceat) -> one row per
     (band_idx, band_hash, doc_id). Stage 2 (shuffle): groupby band ->
-    pairwise candidates; oversized bands dropped with a sentinel row
-    (a = "", jac = -size) — counted, not silent.
+    pairwise candidates; an oversized band is dropped with ONE sentinel
+    row (a = b = "", skipped = group size; real pairs carry skipped = 0)
+    — counted, not silent.
 
     ``dedup_pairs=False`` skips the global pair-dedup groupby (a second
     all-to-all): near-dup pairs recur in up to ``num_bands`` band groups,
@@ -425,7 +426,16 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
                            max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs by simhash: band the 64-bit signature into 4 16-bit
     chunks (any pair within Hamming<=3 shares at least one chunk), groupby
-    chunk, verify Hamming distance inside the group."""
+    chunk, verify Hamming distance inside the group.
+
+    The 4-chunk banding only GUARANTEES candidate recall for
+    ``max_hamming <= 3`` (pigeonhole: 4+ differing bits can spread so
+    every chunk differs) — a larger bound would silently miss pairs, so
+    it is rejected rather than under-delivered."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds what 4x16-bit banding "
+            f"guarantees (<= 3); re-band with more chunks instead")
     with_sig = add_simhash(ds, text_col)
 
     def chunks(t: pa.Table) -> pa.Table:

@@ -19,8 +19,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+
+
+def _global_topk(k: int):
+    """The ONE global reduce for every top-k path: (sim desc, vec_id
+    asc) tie-break — DuckDB-oracle parity depends on all paths agreeing."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "vec_id"],
+                             ascending=[False, True]).head(k)
+    return fn
 
 
 def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -67,10 +77,7 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
     local = ds.map_batches(local_topk, batch_format="pyarrow",
                            batch_size=8192)
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"],
-                          ascending=[False, True]).head(k)
-        return g
+    global_topk = _global_topk(k)
 
     return local.groupby("query_id").map_groups(
         global_topk, batch_format="pandas")
@@ -125,9 +132,7 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
 
     local_ds = ds.map_batches(local, batch_format="pyarrow", batch_size=8192)
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["sim", "vec_id"],
-                             ascending=[False, True]).head(k)
+    global_topk = _global_topk(k)
 
     return local_ds.groupby("query_id").map_groups(
         global_topk, batch_format="pandas")
@@ -155,24 +160,44 @@ def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95,
         # 63-bit int64 shuffle key (uint64 > 2^63-1 breaks Ray's
         # block-boundary Arrow conversion; relevant at num_planes >= 63)
         sig = (sig & np.uint64((1 << 63) - 1)).astype(np.int64)
+        # fixed-size-list from the flat buffer — never n*d Python floats
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), m.shape[1])
         return pa.table({
             "bucket": pa.array(sig),
-            "vec_id": pa.array([str(i) for i in t[id_col].to_pylist()]),
-            "emb": pa.array(m.tolist(),
-                            pa.list_(pa.float64())),
+            "vec_id": pc.cast(t[id_col], pa.string()),
+            "emb": emb,
         })
 
     buck = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    # in-bucket exact scoring, TILED: a hot bucket (the near-dup use
+    # case concentrates duplicates) must not allocate an n x n matrix —
+    # 2048-row tiles bound each sims block to ~32 MB regardless of
+    # bucket size, with identical output
+    tile = 2048
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         m = np.stack([np.asarray(e) for e in g["emb"]])
         ids = np.asarray(g["vec_id"])
         order = np.argsort(ids)
         m, ids = m[order], ids[order]
-        sims = np.round(m @ m.T, round_to)
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj],
-                             "sim": sims[ii, jj]})
+        n = len(ids)
+        outs = {"a": [], "b": [], "sim": []}
+        for i0 in range(0, n, tile):
+            mi = m[i0:i0 + tile]
+            for j0 in range(i0, n, tile):
+                sims = np.round(mi @ m[j0:j0 + tile].T, round_to)
+                ii, jj = np.where(sims >= threshold)
+                keep = (i0 + ii) < (j0 + jj)  # strict upper triangle
+                ii, jj = ii[keep], jj[keep]
+                outs["a"].append(ids[i0 + ii])
+                outs["b"].append(ids[j0 + jj])
+                outs["sim"].append(sims[ii, jj])
+        cat = {k: (np.concatenate(v) if v else np.array([], dtype=object))
+               for k, v in outs.items()}
+        return pd.DataFrame({"a": cat["a"], "b": cat["b"],
+                             "sim": cat["sim"].astype(np.float64)})
 
     pairs = buck.groupby("bucket").map_groups(emit, batch_format="pandas")
     dedup = pairs.groupby(["a", "b"]).max("sim")
@@ -209,7 +234,23 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
     ``lsh_topk``: coarse k-means cells built once from a driver-side sample
     and broadcast; each block scores a query only against its vectors in
     the query's ``nprobe`` nearest cells. Recall < 1 by construction."""
-    sample_rows = ds.limit(sample_size).take_all()
+    # deterministic pseudo-random sample: lowest pandas-hash ids, NOT
+    # the first N rows — a sorted/clustered corpus prefix would place
+    # every centroid in one region and collapse recall
+    n_total = ds.count()
+    if n_total > sample_size:
+        rate = min(1.0, 3.0 * sample_size / n_total)
+        thr = np.uint64(int(rate * float(2**64 - 1)))
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+            h = pd.util.hash_array(ids)
+            return t.filter(pa.array(h <= thr))
+
+        sample_rows = ds.map_batches(keep, batch_format="pyarrow") \
+            .limit(sample_size).take_all()
+    else:
+        sample_rows = ds.limit(sample_size).take_all()
     sample = _normalize(np.asarray(
         [r[emb_col] for r in sample_rows], dtype=np.float64))
     cents = _kmeans(sample, num_cells, seed=seed)
@@ -241,9 +282,7 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
     local_ds = ds.map_batches(local, batch_format="pyarrow",
                               batch_size=8192)
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["sim", "vec_id"],
-                             ascending=[False, True]).head(k)
+    global_topk = _global_topk(k)
 
     return local_ds.groupby("query_id").map_groups(
         global_topk, batch_format="pandas")

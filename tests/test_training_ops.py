@@ -176,10 +176,15 @@ def test_simhash_near_dup():
     t = pa.table({"doc_id": ["a", "b", "c"],
                   "text": [base, near, other]})
     pairs = dedup.simhash_near_dup_pairs(
-        ray.data.from_arrow(t), max_hamming=8).take_all()
+        ray.data.from_arrow(t), max_hamming=3).take_all()
     got = {(r["a"], r["b"]) for r in pairs}
     assert ("a", "b") in got
     assert not any("c" in p for p in got)
+    # bounds beyond the 4x16-bit banding guarantee are rejected, not
+    # silently under-delivered
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(ray.data.from_arrow(t),
+                                     max_hamming=8)
 
 
 def test_ngram_jaccard_kernel():
