@@ -247,7 +247,12 @@ def emit_triples_fused(relation_files: list[str], media_files: list[str],
             outs.append(r.resolve_relation(t) if it["kind"] == "relation"
                         else r.resolve_media(t))
         if not outs:
-            return TRIPLE_SCHEMA.empty_table()
+            # through the writer seam even when every planned range
+            # clamped empty: the task must emit a RECEIPTS-schema block
+            # (an empty one), never a triple-schema block into the
+            # receipts Dataset (extract.py handles this identically)
+            empty = TRIPLE_SCHEMA.empty_table()
+            return writer(empty) if writer is not None else empty
         result = pa.concat_tables(outs)
         # eid side rows once per TASK (not per item): same downstream
         # semantics (the entities stage dedups), fewer duplicate rows
