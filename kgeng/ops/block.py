@@ -21,9 +21,9 @@ import pyarrow as pa
 import ray
 
 from kgeng.config import BlockConfig
-from kgeng.ops.hashing import mask63, minhash_signatures
+from kgeng.ops.hashing import MERSENNE61, mask63, minhash_signatures
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = int(MERSENNE61)  # single home: kgeng/ops/hashing.py
 
 
 def _perm_tables(num_perm: int, seed: int = 7):
@@ -83,14 +83,15 @@ class BandEmitter:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # is_gaz is NOT emitted: emit_pairs never reads it, and
+        # replicating it num_bands times would pad the stage's only
+        # shuffle with dead weight
         surfaces = batch["surface"].to_pylist()
-        is_gaz = batch["is_gaz"].to_pylist()
         sig = minhash_batch(surfaces, self.cfg)
         band_idx, band_hash = band_keys(sig, self.cfg)
         B = self.cfg.num_bands
         return pa.table({
             "surface": pa.array(np.repeat(surfaces, B), pa.string()),
-            "is_gaz": pa.array(np.repeat(is_gaz, B), pa.bool_()),
             "band_idx": pa.array(band_idx, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
         })
@@ -119,27 +120,49 @@ def candidate_pairs(surfaces: ray.data.Dataset,
     cap = cfg.max_band_group
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # UNVERIFIED candidates: the same pair collides in up to
+        # num_bands groups, so Jaccard runs AFTER the (a, b) dedup —
+        # once per unique pair, not once per colliding band (the same
+        # fix dedup._verify_distributed documents for doc-level LSH)
         if len(g) > cap:
-            return pd.DataFrame({"a": [""], "b": [""],
+            # sentinel key unique PER HOT BAND (a="" + the band id in
+            # b): the pair dedup must aggregate drop counts, not
+            # collapse every hot band into one row
+            bi = int(g["band_idx"].iloc[0])
+            bh = int(g["band_hash"].iloc[0])
+            return pd.DataFrame({"a": [""], "b": [f"band:{bi}:{bh}"],
                                  "jac": [-float(len(g))]})
         surfs = sorted(set(g["surface"]))
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
         for i in range(len(surfs)):
             for j in range(i + 1, len(surfs)):
-                jc = jaccard(surfs[i], surfs[j], k)
-                if jc >= thresh:
-                    out_a.append(surfs[i])
-                    out_b.append(surfs[j])
-                    out_j.append(jc)
-        return pd.DataFrame({"a": out_a, "b": out_b, "jac": out_j})
+                out_a.append(surfs[i])
+                out_b.append(surfs[j])
+        return pd.DataFrame({"a": out_a, "b": out_b,
+                             "jac": [0.0] * len(out_a)})
 
     pairs = banded.groupby(["band_idx", "band_hash"]).map_groups(
         emit_pairs, batch_format="pandas")
-    # same pair can surface from several bands -> distinct
-    deduped = pairs.groupby(["a", "b"]).max("jac")
-    return deduped.map_batches(
-        lambda t: t.rename_columns(["a", "b", "jac"]),
-        batch_format="pyarrow")
+    # min keeps the sentinels' -size; real pairs are all 0.0
+    deduped = pairs.groupby(["a", "b"]).min("jac")
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        j = t["min(jac)"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for ai, bi, ji in zip(a, b, j):
+            if ai == "":  # hot-band sentinel: pass through unchanged
+                out_a.append(ai), out_b.append(bi), out_j.append(ji)
+                continue
+            jc = jaccard(ai, bi, k)
+            if jc >= thresh:
+                out_a.append(ai), out_b.append(bi), out_j.append(jc)
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string()),
+                         "jac": pa.array(out_j, pa.float64())})
+
+    return deduped.map_batches(verify, batch_format="pyarrow")
 
 
 def candidate_pairs_driver(surfaces: list[tuple[str, bool]],

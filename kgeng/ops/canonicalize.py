@@ -30,12 +30,16 @@ class UnionFind:
         self.parent: dict[str, str] = {}
 
     def find(self, x: str) -> str:
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            root = self.find(p)
-            self.parent[x] = root
-            return root
-        return x
+        # ITERATIVE two-pass path compression: a recursive find would
+        # blow Python's frame limit on a >1000-deep parent chain (pairs
+        # arriving in decreasing chain order build exactly that)
+        parent = self.parent
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
     def union(self, a: str, b: str):
         ra, rb = self.find(a), self.find(b)

@@ -27,15 +27,11 @@ import ray.data
 
 def _bucket(ds: ray.data.Dataset, key: str, num_buckets: int):
     def f(t: pa.Table) -> pa.Table:
-        vals = t[key].to_numpy(zero_copy_only=False)
-        if vals.dtype.kind in "iu":
-            h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            b = ((h >> np.uint64(33)) % np.uint64(num_buckets))
-        else:
-            import zlib
+        # the one tested bucket-hash kernel (join._bucket_ids) — never a
+        # local copy that can drift
+        from kgeng.ops.join import _bucket_ids
 
-            b = np.array([zlib.crc32(str(v).encode()) % num_buckets
-                          for v in vals], dtype=np.uint64)
+        b = _bucket_ids(t, key, num_buckets)
         return t.append_column("__bucket", pa.array(b.astype(np.int32)))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -132,12 +128,15 @@ def approx_grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
     from ray.data.aggregate import Count, Max, Min, Sum
 
     stats_rows = ds.groupby(key).aggregate(
-        Min(value, alias_name="lo"), Max(value, alias_name="hi"),
-        Count(alias_name="n")).take_all()
+        Min(value, alias_name="lo"), Max(value, alias_name="hi")).take_all()
     keys_arr = pa.array([r[key] for r in stats_rows])
     lo = np.array([r["lo"] for r in stats_rows], dtype=np.float64)
     hi = np.array([r["hi"] for r in stats_rows], dtype=np.float64)
-    width = np.where(hi > lo, (hi - lo) / num_bins, 1.0)
+    # width 0 marks a DEGENERATE group (all values identical): binning
+    # guards the division and the estimator emits lo exactly — a
+    # nonzero fallback width would return lo + width/2 and break the
+    # (max-min)/num_bins error bound
+    width = np.where(hi > lo, (hi - lo) / num_bins, 0.0)
     stats_ref = _ray.put((keys_arr, lo, width))
 
     def bin_counts(t: pa.Table) -> pa.Table:
@@ -147,8 +146,10 @@ def approx_grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
         idx = pc.index_in(t[key], value_set=ka).to_numpy(
             zero_copy_only=False).astype(np.int64)
         v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.clip(((v - lo_a[idx]) / w_a[idx]).astype(np.int64),
-                    0, num_bins - 1)
+        w = w_a[idx]
+        raw = np.divide(v - lo_a[idx], w, out=np.zeros_like(v),
+                        where=w > 0)
+        b = np.clip(raw.astype(np.int64), 0, num_bins - 1)
         # partial aggregation inside the batch: one row per (group, bin)
         part = pa.table({"__g": pa.array(idx), "__bin": pa.array(b)}) \
             .group_by(["__g", "__bin"]).aggregate([([], "count_all")])
@@ -170,7 +171,8 @@ def approx_grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
             i = int(np.searchsorted(cum, target, side="left"))
             i = min(i, len(g) - 1)
             b = int(g["__bin"].iloc[i])
-            est = lo_a[gi] + (b + 0.5) * w_a[gi]
+            est = (lo_a[gi] if w_a[gi] == 0.0
+                   else lo_a[gi] + (b + 0.5) * w_a[gi])
             out_q.append(q)
             out_v.append(round(float(est), round_to))
         return pd.DataFrame({key: [ka[gi].as_py()] * len(quantiles),

@@ -575,3 +575,18 @@ def test_bellman_ford_rounds_matches_reference():
                         nxt[d] = c
             ref = nxt
         assert got == ref, rounds
+
+
+def test_approx_quantiles_degenerate_group_exact():
+    """A group whose values are all identical must estimate exactly that
+    value, not value + width/2."""
+    import pandas as pd
+
+    from kgeng.ops.rank import approx_grouped_quantiles
+
+    df = pd.DataFrame({"k": ["a"] * 50 + ["b"] * 50,
+                       "v": [0.25] * 50 + list(range(50))})
+    out = approx_grouped_quantiles(
+        ray.data.from_pandas(df), "k", "v", [0.5, 0.9]).to_pandas()
+    a_vals = out[out["k"] == "a"]["quantile_value"].tolist()
+    assert a_vals == [0.25, 0.25]

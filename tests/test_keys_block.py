@@ -49,3 +49,38 @@ def test_minhash_identical_surfaces_identical_signatures():
     assert (sig[0] == sig[1]).all()
     assert not (sig[0] == sig[2]).all()
     assert jaccard("Acme Systems", "Acme Systems", cfg.shingle_k) == 1.0
+
+
+def test_union_find_long_chain_no_recursion():
+    """A >1000-deep parent chain (unions in decreasing chain order) must
+    not blow Python's recursion limit."""
+    from kgeng.ops.canonicalize import UnionFind
+
+    uf = UnionFind()
+    n = 3000
+    for i in range(n - 1, 0, -1):
+        uf.union(f"s{i:05d}", f"s{i + 1:05d}")
+    root = uf.find(f"s{n:05d}")
+    assert root == "s00001"
+    assert all(uf.find(f"s{i:05d}") == root for i in (1, 2, n // 2, n))
+
+
+def test_candidate_pairs_hot_band_sentinels_not_collapsed():
+    """Each oversized band must emit its OWN counted sentinel; the pair
+    dedup must not merge different hot bands into one row."""
+    import ray.data
+
+    from kgeng.config import BlockConfig
+    from kgeng.ops.block import candidate_pairs
+
+    cfg = BlockConfig(max_band_group=1)
+    surfaces = ray.data.from_items(
+        [{"surface": "zzz identical zzz", "is_gaz": False}
+         for _ in range(4)])
+    out = candidate_pairs(surfaces, cfg).to_pandas()
+    sent = out[out["a"] == ""]
+    # 4 identical surfaces collide in EVERY band -> one sentinel per band
+    assert len(sent) == cfg.num_bands
+    assert sent["b"].nunique() == cfg.num_bands
+    assert (sent["jac"] == -4.0).all()
+    assert (out["a"] != "").sum() == 0  # all groups were oversized
