@@ -23,14 +23,22 @@ def write_jsonl_collection(ds: ray.data.Dataset, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(batch: pa.Table, *, _dir=out_dir) -> pa.Table:
-        import uuid
+        import hashlib
 
         rows = docs_to_jsonl_rows(batch)
-        path = os.path.join(_dir, f"part-{uuid.uuid4().hex[:12]}.jsonl")
-        with open(path + ".tmp", "w") as f:
-            for r in rows:
-                f.write(json.dumps(r, separators=(",", ":")) + "\n")
-        os.rename(path + ".tmp", path)
+        body = "".join(json.dumps(r, separators=(",", ":")) + "\n"
+                       for r in rows)
+        # content-keyed filename (same convention as the checkpoint
+        # part files): a retried Ray task rewrites the SAME path instead
+        # of duplicating the batch under a fresh random name
+        name = hashlib.sha1(body.encode()).hexdigest()[:16]
+        path = os.path.join(_dir, f"part-{name}.jsonl")
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(body)
+        os.replace(tmp, path)
         return pa.table({"rows": pa.array([len(rows)], pa.int64())})
 
     counts = ds.map_batches(write_part, batch_format="pyarrow",
@@ -60,12 +68,14 @@ class BulkHttpSink:
         self.backoff_base = backoff_base
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = docs_to_jsonl_rows(batch)
         if self.dry_run:
+            # row count only — never pay the per-row Arrow->Python
+            # conversion just to count what batch.num_rows already knows
             return pa.table({
                 "posted": pa.array([0], pa.int64()),
-                "would_post": pa.array([len(rows)], pa.int64()),
+                "would_post": pa.array([batch.num_rows], pa.int64()),
             })
+        rows = docs_to_jsonl_rows(batch)
         import hashlib
         import time
 
@@ -83,16 +93,23 @@ class BulkHttpSink:
         attempt = 0
         while True:
             try:
+                # explicit timeouts: a hung server must surface as a
+                # RETRYABLE failure, not stall the Ray task forever
                 resp = requests.post(self.url, data=payload,
-                                     headers=headers, auth=self.auth)
-                if resp.status_code == 202:  # the reference's accept code
+                                     headers=headers, auth=self.auth,
+                                     timeout=(10, 120))
+                if 200 <= resp.status_code < 300:
+                    # the reference checks 202 specifically, but e.g.
+                    # waitForSync collections answer 201 — any 2xx means
+                    # the documents landed
                     break
                 retryable = (resp.status_code >= 500
                              or resp.status_code == 429)
                 err = f"bulk POST failed ({resp.status_code}): " \
                       f"{resp.text[:200]}"
-            except requests.ConnectionError as e:  # server hiccup
-                retryable, err = True, f"bulk POST connection error: {e}"
+            except (requests.ConnectionError,
+                    requests.Timeout) as e:  # server hiccup / hang
+                retryable, err = True, f"bulk POST error: {e}"
             if not retryable or attempt >= self.max_retries:
                 raise RuntimeError(err)
             time.sleep(self.backoff_base * (2 ** attempt))

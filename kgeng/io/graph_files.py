@@ -51,10 +51,7 @@ class CompatGraphConfig:
 
 def _parse_edge_lines(batch: pa.Table, vcoll: str, smart: bool) -> pa.Table:
     """Vectorized M1/M2 edge-line parse. Input column: ``text``."""
-    col = batch["text"].combine_chunks()
-    if len(col) == 0 or isinstance(col, pa.ChunkedArray):
-        col = pa.concat_arrays(col.chunks) if isinstance(
-            col, pa.ChunkedArray) else col
+    col = batch["text"].combine_chunks()  # always a plain Array
     # the reference's file_reader strips every line (general.py:150)
     col = pc.utf8_trim_whitespace(col)
     nonempty = pc.greater(pc.utf8_length(col), 0)

@@ -29,11 +29,25 @@ def entities_to_vertices(entities: ray.data.Dataset,
 
     def project(batch: pa.Table) -> pa.Table:
         eid = batch["entity_id"]
+        part = (batch["ent_type"] if "ent_type" in batch.column_names
+                else pa.nulls(len(batch), pa.string()))
+        if cfg.smart_attribute == "part":
+            # the reference's smart-attr=='part' variant: the partition
+            # property IS the smart value (_key = f"{part}:{vid}",
+            # vertices_generator.py:30) — a naive dict literal would
+            # collide on the duplicate "part" key and drop the column
+            return pa.table({
+                "part": part,
+                "_key": keys.smart_key(eid.combine_chunks(),
+                                       smart_value=part.combine_chunks()
+                                       if isinstance(part, pa.ChunkedArray)
+                                       else part),
+                "entity_id": eid,
+            })
         return pa.table({
             cfg.smart_attribute: eid,
             "_key": keys.smart_key(eid.combine_chunks()),
-            "part": batch["ent_type"] if "ent_type" in batch.column_names
-            else pa.nulls(len(batch), pa.string()),
+            "part": part,
         })
 
     return entities.map_batches(project, batch_format="pyarrow")
@@ -47,12 +61,22 @@ def triples_to_edges(triples: ray.data.Dataset,
     reference stores all edge attributes as strings)."""
 
     def project(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         subj = batch["subj"].combine_chunks()
         obj = batch["obj"].combine_chunks()
-        # f-string formatting like the reference (f'{w}' -> '1.0', not the
-        # Arrow cast's shortest-repr '1')
-        conf = pa.array([f"{float(v)}" for v in
-                         batch["confidence"].to_pylist()], pa.string())
+        # f-string formatting like the reference (f'{w}' -> '1.0', not
+        # the Arrow cast's shortest-repr '1'). float32 values must
+        # format at FLOAT32 precision: widening 0.9f to double first
+        # would print '0.8999999761581421' where the reference prints
+        # '0.9'.
+        cvals = batch["confidence"].to_pylist()
+        if pa.types.is_float32(batch["confidence"].type):
+            conf = pa.array(
+                [np.format_float_positional(np.float32(v), trim="0")
+                 for v in cvals], pa.string())
+        else:
+            conf = pa.array([f"{float(v)}" for v in cvals], pa.string())
         return pa.table({
             "_from": keys.idx_to_smart_vertex(cfg.vertex_coll, subj),
             "_to": keys.idx_to_smart_vertex(cfg.vertex_coll, obj),
@@ -88,8 +112,16 @@ def write_graph(out_dir: str, vertices, edges, cfg: SmartGraphConfig,
                 and prev.get("lineage") == lineage):
             return prev
     os.makedirs(out_dir, exist_ok=True)
+    # crash-ordering: drop BOTH reuse markers before touching the
+    # collections (a stale manifest surviving a crash mid-rewrite would
+    # validate the NEW data under the OLD lineage), and re-create them
+    # only after both collections are fully written — manifest first,
+    # _SUCCESS last, so the reuse gate (manifest + _SUCCESS) can never
+    # observe a half-written state as intact.
     if os.path.exists(success_path):
         os.remove(success_path)
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
     vdir = os.path.join(out_dir, cfg.vertex_coll)
     edir = os.path.join(out_dir, cfg.edge_coll)
     for d in (vdir, edir):
@@ -109,8 +141,8 @@ def write_graph(out_dir: str, vertices, edges, cfg: SmartGraphConfig,
         "replication_factor": cfg.replication_factor,
         "lineage": lineage,
     }
-    with open(success_path, "w") as f:
-        f.write("")
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)
+    with open(success_path, "w") as f:
+        f.write("")
     return manifest
