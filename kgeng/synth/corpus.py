@@ -26,6 +26,7 @@ Closed world:
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import json
 import os
@@ -127,6 +128,11 @@ def build_gazetteer(n_entities: int = 200) -> Gazetteer:
     counts = {"PERSON": 0, "ORG": 0, "LOC": 0}
     i = 0
     while len(surfaces) < n_entities:
+        if all(counts[t] >= len(pools[t]) for t in order):
+            raise ValueError(
+                f"n_entities={n_entities} exceeds the name pools' unique-"
+                f"surface ceiling ({len(surfaces)} reachable) — extend "
+                f"_FIRST/_LAST/_ORG_*/_LOC_* instead of looping forever")
         t = order[i % 3]
         pool = pools[t]
         k = counts[t]
@@ -157,12 +163,29 @@ def build_gazetteer(n_entities: int = 200) -> Gazetteer:
 
 # ---------------------------------------------------------------- doc synth
 
-def _zipf_pick(rng: np.random.Generator, idxs: list[int]) -> int:
-    """Zipf-ish pick: rank r with weight 1/(r+1); deterministic given rng."""
-    n = len(idxs)
+def _clear_parts(corpus_dir: str) -> None:
+    """Remove stale part files before regeneration: shrinking n_docs (or
+    force=True) must not leave extra parts that downstream readers would
+    include while the golden tables do not cover them."""
+    import glob
+
+    for f in glob.glob(os.path.join(corpus_dir, "part-*.parquet")):
+        os.remove(f)
+
+
+@_functools.lru_cache(maxsize=64)
+def _zipf_weights(n: int) -> np.ndarray:
     w = 1.0 / np.arange(1, n + 1)
     w /= w.sum()
-    return idxs[int(rng.choice(n, p=w))]
+    return w
+
+
+def _zipf_pick(rng: np.random.Generator, idxs: list[int]) -> int:
+    """Zipf-ish pick: rank r with weight 1/(r+1); deterministic given rng.
+    Weights depend only on len(idxs) and are cached (this runs tens of
+    millions of times at the 2M-doc bench operating point)."""
+    n = len(idxs)
+    return idxs[int(rng.choice(n, p=_zipf_weights(n)))]
 
 
 def _media_ref(doc_idx: int, span_idx: int, seed: int) -> str:
@@ -310,6 +333,7 @@ def generate_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     alias_use: dict[str, str] = {}
     corpus_dir = os.path.join(out_dir, "corpus")
     os.makedirs(corpus_dir, exist_ok=True)
+    _clear_parts(corpus_dir)  # a SHRUNK n_docs must not leave old parts
     part = 0
     part_rows = 4096  # many files + small row groups => block-level
     for di in range(n_docs):  # parallelism for the Ray readers downstream
@@ -398,6 +422,7 @@ def generate_corpus_ray(out_dir: str, n_docs: int, seed: int = SEED,
     os.makedirs(out_dir, exist_ok=True)
     corpus_dir = os.path.join(out_dir, "corpus")
     os.makedirs(corpus_dir, exist_ok=True)
+    _clear_parts(corpus_dir)  # a SHRUNK n_docs must not leave old parts
     gaz = build_gazetteer(n_entities)
     gaz_ref = ray.put(gaz)
     n_parts = (n_docs + part_rows - 1) // part_rows

@@ -107,8 +107,13 @@ def clique_edges(n: int, cfg: CompatGraphConfig, prob_missing: float = 0.0,
             "_to": _ids_to_vertex(vcoll, j_flat, smart, sv),
         })
 
+    # bound the intra-task expansion: an i-batch emits up to
+    # batch_size * n edges, so size batches to ~2M edges per task
+    # (a fixed 2048 would make the first task of a 100k-clique emit
+    # ~200M rows before any block split)
+    bs = int(max(1, min(2048, 2_000_000 // max(n, 1))))
     return ray.data.range(n).map_batches(
-        expand, batch_format="pyarrow", batch_size=2048)
+        expand, batch_format="pyarrow", batch_size=bs)
 
 
 def _empty_edges() -> pa.Table:
@@ -142,25 +147,36 @@ def connect_parts_edges(starts: list[int], cfg: CompatGraphConfig,
     if not pairs:
         return ray.data.from_arrow(_empty_edges())
 
-    def expand(row: dict) -> list[dict]:
-        c1, c2 = row["item"]
-        i = np.arange(starts[c1], starts[c1 + 1])
-        j = np.arange(starts[c2], starts[c2 + 1])
-        i_rep = np.repeat(i, len(j))
-        j_rep = np.tile(j, len(i))
-        keep = _bernoulli_keep(seed, i_rep, j_rep, prob_missing)
-        i_rep, j_rep = i_rep[keep], j_rep[keep]
-        if smart and part_labels is not None:
-            sv_i = np.full(len(i_rep), part_labels[c1])
-            sv_j = np.full(len(j_rep), part_labels[c2])
-        else:
-            sv_i = sv_j = None
-        f = _ids_to_vertex(vcoll, i_rep, smart, sv_i).to_pylist()
-        t = _ids_to_vertex(vcoll, j_rep, smart, sv_j).to_pylist()
-        return [{"_from": a, "_to": b} for a, b in zip(f, t)]
+    def expand(batch: pa.Table):
+        # vectorized + CHUNKED cross product: rows stay Arrow end to end
+        # (the old flat_map materialized one Python dict per edge — a
+        # 50k x 50k part-pair would be 2.5e9 dicts in one task), and
+        # each yielded block holds at most ~2M edges
+        for c1, c2 in zip(batch["c1"].to_pylist(),
+                          batch["c2"].to_pylist()):
+            i_all = np.arange(starts[c1], starts[c1 + 1])
+            j = np.arange(starts[c2], starts[c2 + 1])
+            step = max(1, 2_000_000 // max(len(j), 1))
+            for lo in range(0, len(i_all), step):
+                i = i_all[lo:lo + step]
+                i_rep = np.repeat(i, len(j))
+                j_rep = np.tile(j, len(i))
+                keep = _bernoulli_keep(seed, i_rep, j_rep, prob_missing)
+                i_rep, j_rep = i_rep[keep], j_rep[keep]
+                if smart and part_labels is not None:
+                    sv_i = np.full(len(i_rep), part_labels[c1])
+                    sv_j = np.full(len(j_rep), part_labels[c2])
+                else:
+                    sv_i = sv_j = None
+                yield pa.table({
+                    "_from": _ids_to_vertex(vcoll, i_rep, smart, sv_i),
+                    "_to": _ids_to_vertex(vcoll, j_rep, smart, sv_j),
+                })
 
-    return ray.data.from_items([(c1, c2) for c1, c2 in pairs]) \
-        .flat_map(expand)
+    items = pa.table({"c1": pa.array([p[0] for p in pairs], pa.int64()),
+                      "c2": pa.array([p[1] for p in pairs], pa.int64())})
+    return ray.data.from_arrow(items).map_batches(
+        expand, batch_format="pyarrow", batch_size=1)
 
 
 # ------------------------------------------------------------ presets
