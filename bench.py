@@ -47,10 +47,11 @@ def _init_ray():
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
-def headline_kg(n_docs: int) -> tuple[float, int]:
+def headline_kg(n_docs: int) -> tuple[float, int, dict]:
     """KG pipeline end-to-end (fresh checkpoints) on the bench corpus;
-    returns (wall_sec, n_triples). A tiny warmup run first spawns workers
-    so steady-state throughput is measured, not cluster cold-start."""
+    returns (wall_sec, n_triples, stage_walls). A tiny warmup run first
+    spawns workers so steady-state throughput is measured, not cluster
+    cold-start."""
     from kgeng.pipeline import KGPipeline
     from kgeng.synth.corpus import ensure_bench_corpus, ensure_corpus
 
@@ -155,10 +156,17 @@ def scaling(repeats: int = 2, n_docs: int = 2_000_000,
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    KG_BENCH_NDOCS=str(n_docs), KG_BENCH_ONLY="1")
-        out = subprocess.run(
+        r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            # surface the child's stderr — a bare CalledProcessError
+            # would discard the one diagnostic that explains a
+            # mid-protocol failure (and every completed pair with it)
+            print(f"[scaling] child run (num_cpus={ncpu}) failed:\n"
+                  f"{r.stderr[-2000:]}", file=sys.stderr)
+            r.check_returncode()
+        return json.loads(r.stdout.strip().splitlines()[-1])
 
     def ceiling() -> tuple[float | None, float | None]:
         """(kernel_ceiling, micro_ceiling) measured in this window.

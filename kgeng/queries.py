@@ -30,11 +30,6 @@ from kgeng.ops import text as text_ops
 
 # ----------------------------------------------------------------- helpers
 
-def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
-    i = t.column_names.index(col)
-    return t.set_column(i, col, pc.round(t[col], ndigits=nd, round_mode="half_towards_infinity"))
-
-
 def _cents(arr, scale: float = 100.0) -> pa.Array:
     """Order-independent money/value sums: round to scaled int64 per row
     (half away from zero, matching DuckDB round())."""
@@ -45,6 +40,15 @@ def _cents(arr, scale: float = 100.0) -> pa.Array:
 
 def _uncents(arr, scale: float = 100.0) -> pa.Array:
     return pc.divide(pc.cast(arr, pa.float64()), scale)
+
+
+def _feat_sum_batches(t: pa.Table) -> pa.Table:
+    """features -> rounded feat_sum column (shared by both media
+    queries so their rows-only pins stay byte-comparable)."""
+    return t.drop_columns(["features"]).append_column(
+        "feat_sum", pc.round(pa.array(
+            [float(np.sum(f)) for f in t["features"].to_pylist()],
+            pa.float64()), ndigits=4))
 
 
 def _pq(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
@@ -208,9 +212,11 @@ def docs_above_median_quality(sf_dir: str):
 
     from kgeng.ops.rank import grouped_quantiles
 
+    # materialize: both the quantile pass and the returned filter plan
+    # consume this — lazy, the regex-heavy scoring would execute twice
     scored = text_ops.add_quality_score(
         _pq(sf_dir, "documents", ["doc_id", "text"])).select_columns(
-            ["doc_id", "quality_score"])
+            ["doc_id", "quality_score"]).materialize()
 
     def const_group(t: pa.Table) -> pa.Table:
         return t.append_column("g", pa.array(np.zeros(len(t), np.int8)))
@@ -322,8 +328,9 @@ def ann_topk_lsh(sf_dir: str):
 
 
 def embedding_near_dup_pairs(sf_dir: str):
-    """Exact cosine>=0.8 pairs (num_planes=0 = single bucket; fine at sf
-    scale, the bucketed path is exercised in tests)."""
+    """Exact cosine >= 0.4 pairs (the oracle uses the same threshold;
+    num_planes=0 = single bucket, fine at sf scale — the bucketed path
+    is exercised in tests)."""
     emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = sim_ops.embedding_near_dup(emb, threshold=0.4,
                                      num_planes=0).to_pandas()
@@ -360,12 +367,7 @@ def media_features(sf_dir: str):
     tbl = media_ops.synth_media_table(refs)
     ds = ray.data.from_arrow(tbl)
     out = media_ops.featurize_media(ds, dim=16)
-    return out.map_batches(
-        lambda t: t.drop_columns(["features"]).append_column(
-            "feat_sum", pc.round(pa.array(
-                [float(np.sum(f)) for f in t["features"].to_pylist()],
-                pa.float64()), ndigits=4)),
-        batch_format="pyarrow")
+    return out.map_batches(_feat_sum_batches, batch_format="pyarrow")
 
 
 def media_frame_samples(sf_dir: str):
@@ -671,12 +673,7 @@ def kg_media_features(sf_dir: str):
         lambda t: media_ops.synth_media_table(t["ref"].to_pylist()),
         batch_format="pyarrow", batch_size=64)
     out = media_ops.featurize_media(media, dim=16)
-    return out.map_batches(
-        lambda t: t.drop_columns(["features"]).append_column(
-            "feat_sum", pc.round(pa.array(
-                [float(np.sum(f)) for f in t["features"].to_pylist()],
-                pa.float64()), ndigits=4)),
-        batch_format="pyarrow")
+    return out.map_batches(_feat_sum_batches, batch_format="pyarrow")
 
 
 def events_last_order(sf_dir: str):
@@ -742,11 +739,19 @@ def docs_hash_sample(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate=0.1)
 
 
+_EDGE_CACHE: dict = {}
+
+
 def _order_part_edges(sf_dir: str, symmetrize: bool = True):
     """Distinct order<->part pairs from lineitem as int64 node ids
     (order*2 / part*2+1) — the shared graph for the native Pregel-family
-    queries. The deduped pair set MATERIALIZES once: union would
-    otherwise re-execute the whole dedup plan for each direction."""
+    queries. The deduped pair set MATERIALIZES once and is CACHED per
+    (sf_dir, symmetrize) — five Pregel queries run in one driver
+    session, and each would otherwise redo the read+dedup shuffle
+    (same pattern as _KG_CACHE)."""
+    ck = (sf_dir, symmetrize)
+    if ck in _EDGE_CACHE:
+        return _EDGE_CACHE[ck]
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -760,11 +765,14 @@ def _order_part_edges(sf_dir: str, symmetrize: bool = True):
         .groupby(["src", "dst"]).count() \
         .map_batches(lambda t: t.select(["src", "dst"]),
                      batch_format="pyarrow").materialize()
-    if not symmetrize:
-        return eo
-    return eo.union(eo.map_batches(
-        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
-        batch_format="pyarrow"))
+    if symmetrize:
+        out = eo.union(eo.map_batches(
+            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+            batch_format="pyarrow")).materialize()
+    else:
+        out = eo
+    _EDGE_CACHE[ck] = out
+    return out
 
 
 def lineitem_pagerank(sf_dir: str):
