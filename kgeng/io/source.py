@@ -47,7 +47,9 @@ def read_documents(
                 "use format='parquet'. The seam exists so a Lance deployment "
                 "only swaps this reader."
             )
-        return ray.data.read_lance(path, columns=columns)
+        return ray.data.read_lance(
+            path, columns=columns,
+            override_num_blocks=override_num_blocks)
     raise ValueError(f"unknown format: {format!r}")
 
 

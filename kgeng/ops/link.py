@@ -29,6 +29,16 @@ class Linker:
         self.eid_arr = pa.array([gaz[s][0] for s in surfaces], pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.eid_arr) == 0:
+            # empty gazetteer: nothing can link — the take-with-
+            # fill_null(0) below would index position 0 of an empty
+            # array and raise ArrowIndexError
+            n = len(batch)
+            return (batch
+                    .append_column("cand_id",
+                                   pa.array([""] * n, pa.string()))
+                    .append_column("link_score",
+                                   pa.array([0.0] * n, pa.float32())))
         idx = pc.index_in(batch["surface"], value_set=self.surface_arr)
         is_gaz_src = pc.equal(batch["source"], pa.scalar("gazetteer"))
         found = pc.and_(pc.is_valid(idx), is_gaz_src)
@@ -71,5 +81,8 @@ def link_mentions(mentions: ray.data.Dataset, gazetteer: dict,
             _LINKER_CACHE[key] = lk
         return lk(batch)
 
+    # concurrency caps the task pool too (not only the actor path) —
+    # silently ignoring it would break callers bounding memory/CPU
     return mentions.map_batches(fn, batch_format="pyarrow",
-                                batch_size=batch_size)
+                                batch_size=batch_size,
+                                concurrency=concurrency)

@@ -45,8 +45,7 @@ class FnStage:
 
 
 def compose(stages: list[Stage]):
-    """Left-to-right stage composition; records row metrics per stage name
-    only when the caller asks (counting forces execution)."""
+    """Left-to-right stage composition over a shared StageContext."""
 
     def run(ds: ray.data.Dataset, ctx: StageContext | None = None):
         ctx = ctx or StageContext()

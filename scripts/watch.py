@@ -21,8 +21,11 @@ def snapshot(root: str) -> dict:
     for dirpath, _d, filenames in os.walk(root):
         if "_MANIFEST.json" not in filenames:
             continue
-        with open(os.path.join(dirpath, "_MANIFEST.json")) as f:
-            m = json.load(f)
+        try:
+            with open(os.path.join(dirpath, "_MANIFEST.json")) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue  # a commit is mid-write; the next poll will see it
         s = stages.setdefault(m["stage"], {"rows": 0, "shards": 0,
                                            "wall_sec": 0.0, "files": 0})
         s["rows"] += m.get("rows", 0)

@@ -289,3 +289,19 @@ def test_query_cli_list_and_validation(capsys):
     assert "lineitem_pagerank" in out and "dedup_exact_docs" in out
 
     assert main(["query", "not_a_query"]) == 2
+
+
+def test_linker_empty_gazetteer():
+    """An empty gazetteer links nothing — it must not index into a
+    zero-length id array."""
+    import pyarrow as pa
+
+    from kgeng.ops.link import link_mentions
+
+    m = ray.data.from_arrow(pa.table({
+        "surface": ["Acme Corp", "Paris"],
+        "source": ["gazetteer", "ner"],
+    }))
+    out = link_mentions(m, gazetteer={}).to_pandas()
+    assert out["cand_id"].tolist() == ["", ""]
+    assert out["link_score"].tolist() == [0.0, 0.0]
