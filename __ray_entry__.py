@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": Q.distinct_event_types,
         "revenue_by_orderpriority": Q.revenue_by_orderpriority,
         "urgent_order_revenue": Q.urgent_order_revenue,
+        "revenue_by_nation": Q.revenue_by_nation,
         "events_last_order": Q.events_last_order,
         "events_followers_1h": Q.events_followers_1h,
         "events_prev_gap": Q.events_prev_gap,
@@ -165,6 +166,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
                                   * 100) AS BIGINT)) / 100.0 AS sum_revenue
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name, count(*) AS n_items,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT)) / 100.0 AS sum_revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1
         """,
         "urgent_order_revenue": """

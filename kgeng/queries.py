@@ -1156,6 +1156,51 @@ def approx_distinct_users_by_type(sf_dir: str):
                               out="n_users_approx")
 
 
+def revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-style multi-join chain composing BOTH join strategies:
+    lineitem x orders through the hash-partitioned large-x-large join,
+    then customer -> nation resolved by one pre-composed broadcast
+    lookup (two dimension tables collapse into a single custkey ->
+    nation-name map on the driver, so the big stream is touched by
+    exactly one more vectorized lookup, not two)."""
+    import pyarrow.parquet as pq
+
+    from kgeng.ops.join import broadcast_join, hash_join
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "rev_c": _cents(r)})
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(li.map_batches(add_rev, batch_format="pyarrow"),
+                       orders, key="o_orderkey", how="inner")
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    # compose the two dimension hops driver-side (both broadcast-small)
+    nidx = pc.index_in(cust["c_nationkey"].combine_chunks(),
+                       value_set=nation["n_nationkey"].combine_chunks())
+    lookup = pa.table({
+        "o_custkey": cust["c_custkey"],
+        "n_name": pc.take(nation["n_name"].combine_chunks(), nidx)})
+    tagged = broadcast_join(joined, lookup, "o_custkey", how="inner")
+
+    out = tagged.groupby("n_name").aggregate(
+        Count(alias_name="n_items"), Sum("rev_c", alias_name="rev"))
+    return out.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"],
+                            "n_items": pc.cast(t["n_items"], pa.int64()),
+                            "sum_revenue": _uncents(t["rev"])}),
+        batch_format="pyarrow")
+
+
 def urgent_order_revenue(sf_dir: str):
     """Bloom-prefiltered join: revenue of URGENT orders only. The
     selective build side (1/5 of orders) is summarized as a 128 KB
