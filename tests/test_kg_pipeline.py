@@ -405,3 +405,37 @@ def test_resume_invalidated_by_gazetteer_change(tiny_corpus,
     res2 = KGPipeline(checkpoint_root=root).run(corpus, gaz2)
     subj2 = set(res2["triples"].to_pandas()["subj"])
     assert victim in subj1 and victim not in subj2
+
+
+def test_graph_export_crash_states_force_rewrite(tiny_corpus,
+                                                 tmp_path_factory):
+    """Either reuse marker missing (a crash between the destructive
+    rewrite steps) must force a full rewrite — a stale manifest alone
+    must never validate collections it did not describe."""
+    import glob
+
+    root = str(tmp_path_factory.mktemp("ckpt_crash"))
+    gdir = os.path.join(root, "graph")
+    corpus = os.path.join(tiny_corpus, "corpus")
+    gazp = os.path.join(tiny_corpus, "gazetteer.parquet")
+    p = KGPipeline(checkpoint_root=root)
+    p.run(corpus, gazp, out_dir=gdir)
+
+    def stamps():
+        return {f: os.path.getmtime(f) for f in sorted(
+            glob.glob(os.path.join(gdir, "entities", "*")))}
+
+    # crash state A: manifest missing, _SUCCESS present
+    s0 = stamps()
+    os.remove(os.path.join(gdir, "graph.json"))
+    p.run(corpus, gazp, out_dir=gdir)
+    assert os.path.exists(os.path.join(gdir, "graph.json"))
+    assert stamps() != s0  # rewritten
+
+    # crash state B: _SUCCESS missing, manifest present (already covered
+    # elsewhere; assert here for the pair)
+    s1 = stamps()
+    os.remove(os.path.join(gdir, "_SUCCESS"))
+    p.run(corpus, gazp, out_dir=gdir)
+    assert os.path.exists(os.path.join(gdir, "_SUCCESS"))
+    assert stamps() != s1
