@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": Q.docs_hash_sample,
         "docs_mix_by_lang": Q.docs_mix_by_lang,
         "events_hourly_active_users": Q.events_hourly_active_users,
+        "user_event_paths": Q.user_event_paths,
         "parts_never_bulk_ordered": Q.parts_never_bulk_ordered,
         "docs_weighted_sample": Q.docs_weighted_sample,
         "corpus_term_stats": Q.corpus_term_stats,
@@ -298,6 +299,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey FROM part
             EXCEPT
             SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45
+        """,
+        "user_event_paths": """
+            WITH first8 AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) <= 8)
+            SELECT user_id,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS path
+            FROM first8 GROUP BY 1
         """,
         "events_hourly_active_users": """
             SELECT epoch_us(ts) // 3600000000 AS window_start_hour,

@@ -73,6 +73,33 @@ def salted_count(ds: ray.data.Dataset, key: str, salt: int = 16,
     return final.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_string_agg(ds: ray.data.Dataset, key: str, value: str,
+                       order_by: list[str], sep: str = ",",
+                       out: str = "agg",
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Ordered string aggregation per key (SQL: ``string_agg(value, sep
+    ORDER BY order_by...)``) — the collect-to-list shape. Same coarse-
+    bucket plan as the windowed ops: one shuffle into a bounded number
+    of hash buckets, then ONE vectorized pandas pass per bucket (sort +
+    C-level groupby join), never a Python call per key. A key's rows all
+    land in one bucket, so the per-bucket concatenation is exact."""
+    import pandas as pd
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from kgeng.ops.join import _bucket_ids
+
+        b = _bucket_ids(t, key, num_buckets)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_by, kind="mergesort")
+        s = g.groupby(key, sort=False)[value].agg(sep.join)
+        return pd.DataFrame({key: s.index.to_numpy(), out: s.to_numpy()})
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def pivot_count(ds: ray.data.Dataset, key: str, pivot: str,
                 values: list[str], prefix: str = "n_") -> ray.data.Dataset:
     """Pivot-by-count: one row per ``key`` with a ``prefix<v>`` int64

@@ -1024,6 +1024,25 @@ def parts_never_bulk_ordered(sf_dir: str):
     return hash_join(parts, bulk, key="p_partkey", how="anti")
 
 
+def user_event_paths(sf_dir: str):
+    """User journeys: each user's FIRST 8 event types, in time order,
+    joined into one path string — grouped top-k (rank by ts) feeding the
+    ordered string aggregation; the SQL oracle states the identical
+    QUALIFY + string_agg(ORDER BY)."""
+    from kgeng.ops.agg import grouped_string_agg
+    from kgeng.ops.rank import top_k_per_group
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type", "ts",
+                                "event_id"])
+    first8 = top_k_per_group(ev, "user_id", "ts", 8,
+                             tie_breakers=["event_id"], descending=False)
+    agg = grouped_string_agg(first8, key="user_id", value="event_type",
+                             order_by=["ts", "event_id"], sep=",",
+                             out="path")
+    return agg.map_batches(
+        lambda t: t.select(["user_id", "path"]), batch_format="pyarrow")
+
+
 def events_hourly_active_users(sf_dir: str):
     """Windowed distinct count (composition): tumbling-hour bucket
     (vectorized epoch // width) feeding the exact grouped

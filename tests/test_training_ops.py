@@ -735,3 +735,21 @@ def test_salted_count_spreads_hot_key_and_keeps_null_group():
     got = {(None if pd.isna(r["k"]) else r["k"]): r["n"]
            for _, r in out.iterrows()}
     assert got == {"hot": 500, "x": 1, None: 2}
+
+
+def test_grouped_string_agg_ordered():
+    import pandas as pd
+
+    from kgeng.ops.agg import grouped_string_agg
+
+    df = pd.DataFrame({
+        "k": ["a", "b", "a", "a", "b"],
+        "v": ["x", "p", "y", "z", "q"],
+        "o": [3, 2, 1, 2, 1],
+        "t": [0, 0, 0, 0, 0],
+    })
+    out = grouped_string_agg(
+        ray.data.from_pandas(df).repartition(3), "k", "v",
+        order_by=["o", "t"], out="s").to_pandas()
+    got = dict(zip(out["k"], out["s"]))
+    assert got == {"a": "y,z,x", "b": "q,p"}
