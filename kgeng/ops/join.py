@@ -58,16 +58,31 @@ def broadcast_join(left: ray.data.Dataset, right_table: pa.Table,
 
 
 def _bucket_ids(t: pa.Table, key: str, B: int) -> np.ndarray:
-    """Deterministic bucket id per row (exposed for tests)."""
-    vals = t[key].to_numpy(zero_copy_only=False)
-    if vals.dtype.kind in "iu":
+    """Deterministic bucket id per row (exposed for tests).
+
+    Integer keys: one splitmix-style multiply+shift over the numpy view.
+    Everything else: cast to Arrow string (vectorized), then ONE
+    ``pd.util.hash_array`` pass (C-level siphash, process-deterministic —
+    the same kernel dedup.exact_dedup trusts). No per-row Python on
+    either path. Equal key values always land in the same bucket; the
+    in-bucket pandas merge compares real values, so correctness needs
+    only that co-location."""
+    col = t[key]
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False)
         h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
         b = (h >> np.uint64(33)) % np.uint64(B)
     else:
-        import zlib
+        import pyarrow.compute as pc
 
-        b = np.array([zlib.crc32(str(v).encode()) % B for v in vals],
-                     dtype=np.uint64)
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
+        if not (pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        col = pc.fill_null(col, "\x00__kgeng_null__")
+        s = col.to_numpy(zero_copy_only=False)     # object ndarray of str
+        b = pd.util.hash_array(s) % np.uint64(B)
     return b.astype(np.int64)
 
 

@@ -44,11 +44,29 @@ def _uncents(arr, scale: float = 100.0) -> pa.Array:
 
 def _feat_sum_batches(t: pa.Table) -> pa.Table:
     """features -> rounded feat_sum column (shared by both media
-    queries so their rows-only pins stay byte-comparable)."""
+    queries so their rows-only pins stay byte-comparable).
+
+    Vectorized list-sum: flatten the list column once, widen to float64
+    (the old per-row path summed Python floats, i.e. float64 — keeping
+    the widening keeps the pinned values bit-identical), row-sum with a
+    reshape when widths are uniform (the featurizer emits fixed dim)
+    else one ``np.add.reduceat`` pass."""
+    col = t["features"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    widths = np.diff(offs)
+    if len(col) == 0:
+        sums = np.zeros(0, np.float64)
+    elif (widths == widths[0]).all() and widths[0] > 0:
+        sums = flat.reshape(len(col), int(widths[0])).sum(axis=1)
+    else:
+        sums = np.zeros(len(col), np.float64)
+        nz = widths > 0
+        if flat.size:
+            sums[nz] = np.add.reduceat(flat, offs[:-1][nz])
     return t.drop_columns(["features"]).append_column(
-        "feat_sum", pc.round(pa.array(
-            [float(np.sum(f)) for f in t["features"].to_pylist()],
-            pa.float64()), ndigits=4))
+        "feat_sum", pc.round(pa.array(sums, pa.float64()), ndigits=4))
 
 
 def _pq(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
@@ -609,11 +627,13 @@ def kg_entities(sf_dir: str):
     res = _kg_results(sf_dir)
 
     def flatten(t: pa.Table) -> pa.Table:
-        forms = ["|".join(f) for f in t["surface_forms"].to_pylist()]
+        # vectorized list-of-string join (one Arrow kernel, no Python rows)
+        forms = pc.cast(pc.binary_join(t["surface_forms"], "|"),
+                        pa.string())
         return pa.table({
             "entity_id": t["entity_id"],
             "canon_key": t["canon_key"],
-            "surface_forms_str": pa.array(forms, pa.string()),
+            "surface_forms_str": forms,
             "ent_type": t["ent_type"],
             "part": t["part"],
         })
@@ -1146,11 +1166,12 @@ def cust_big_order_counts(sf_dir: str):
                      batch_format="pyarrow")
     joined = hash_join(cust, counts, key="c_custkey", how="left")
 
-    def fill(df):
-        df["n_big"] = df["n_big"].fillna(0).astype("int64")
-        return df
+    def fill(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.fill_null(t["n_big"], 0.0), pa.int64())
+        return t.set_column(t.schema.get_field_index("n_big"),
+                            "n_big", v)
 
-    return joined.map_batches(fill, batch_format="pandas")
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def distinct_users_by_type(sf_dir: str):
