@@ -34,24 +34,59 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+    # entries. Round-4 rotation: the 22 entries last driver-verified in
+    # round 2 (kg_*, compat_*, synth_*, ann_*, embedding_*, media_*,
+    # doc_pair_jaccard) lead, followed by every query whose code path
+    # changed this round (join bucketing, zero-fill, feature sums), then
+    # the rest of the registry.
     return {
-        # relational / engine core
+        # --- re-verify block (r02-green, code changed since) ---
+        "kg_triples": Q.kg_triples,
+        "kg_entities": Q.kg_entities,
+        "kg_vertices_out": Q.kg_vertices_out,
+        "kg_edges_out": Q.kg_edges_out,
+        "kg_entity_mention_counts": Q.kg_entity_mention_counts,
+        "kg_mention_stats": Q.kg_mention_stats,
+        "kg_media_features": Q.kg_media_features,
+        "compat_edge_list_edges": Q.compat_edge_list_edges,
+        "compat_edge_list_vertices": Q.compat_edge_list_vertices,
+        "compat_graphalytics_vertices": Q.compat_graphalytics_vertices,
+        "compat_graphalytics_edges": Q.compat_graphalytics_edges,
+        "synth_clique_edges": Q.synth_clique_edges,
+        "synth_kpartite_edges": Q.synth_kpartite_edges,
+        "synth_clique_vertices_smart": Q.synth_clique_vertices_smart,
+        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
+        "embedding_components": Q.embedding_components,
+        "ann_topk": Q.ann_topk,
+        "ann_topk_lsh": Q.ann_topk_lsh,
+        "ann_topk_ivf": Q.ann_topk_ivf,
+        "media_features": Q.media_features,
+        "media_frame_samples": Q.media_frame_samples,
+        "doc_pair_jaccard": Q.doc_pair_jaccard,
+        # --- queries whose code paths changed in round 4 ---
+        "cust_big_order_counts": Q.cust_big_order_counts,
+        "events_last_order": Q.events_last_order,
+        "events_followers_1h": Q.events_followers_1h,
+        "revenue_by_nation": Q.revenue_by_nation,
+        "revenue_by_orderpriority": Q.revenue_by_orderpriority,
+        "urgent_order_revenue": Q.urgent_order_revenue,
+        "custs_without_big_orders": Q.custs_without_big_orders,
+        "user_event_paths": Q.user_event_paths,
+        "lineitem_hits": Q.lineitem_hits,
+        "lineitem_closeness": Q.lineitem_closeness,
+        "lineitem_pagerank": Q.lineitem_pagerank,
+        # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
         "events_tumbling_window": Q.events_tumbling_window,
         "top_orders": Q.top_orders,
         "distinct_event_types": Q.distinct_event_types,
-        "revenue_by_orderpriority": Q.revenue_by_orderpriority,
-        "urgent_order_revenue": Q.urgent_order_revenue,
-        "revenue_by_nation": Q.revenue_by_nation,
-        "events_last_order": Q.events_last_order,
-        "events_followers_1h": Q.events_followers_1h,
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
         "docs_hash_sample": Q.docs_hash_sample,
         "docs_mix_by_lang": Q.docs_mix_by_lang,
         "events_hourly_active_users": Q.events_hourly_active_users,
-        "user_event_paths": Q.user_event_paths,
         "parts_never_bulk_ordered": Q.parts_never_bulk_ordered,
         "docs_weighted_sample": Q.docs_weighted_sample,
         "corpus_term_stats": Q.corpus_term_stats,
@@ -59,14 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalized": Q.docs_normalized,
         "docs_benchmark_contamination": Q.docs_benchmark_contamination,
         "docs_pii_redacted": Q.docs_pii_redacted,
-        "lineitem_pagerank": Q.lineitem_pagerank,
         "lineitem_sssp": Q.lineitem_sssp,
-        "lineitem_hits": Q.lineitem_hits,
-        "lineitem_closeness": Q.lineitem_closeness,
         "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
         "events_rolling_sum": Q.events_rolling_sum,
         "events_type_pivot": Q.events_type_pivot,
-        "cust_big_order_counts": Q.cust_big_order_counts,
         "distinct_users_by_type": Q.distinct_users_by_type,
         "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
         "sessionize_events": Q.sessionize_events,
@@ -74,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
         "price_quantiles_by_priority_approx":
             Q.price_quantiles_by_priority_approx,
-        "custs_without_big_orders": Q.custs_without_big_orders,
         # text analysis
         "doc_token_count": Q.doc_token_count,
         "doc_token_count_bpe": Q.doc_token_count_bpe,
@@ -89,33 +119,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": Q.dedup_exact_docs,
         "minhash_dedup_docs": Q.minhash_dedup_docs,
         "simhash_docs": Q.simhash_docs,
-        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
-        "embedding_components": Q.embedding_components,
-        # similarity search
-        "ann_topk": Q.ann_topk,
-        "ann_topk_lsh": Q.ann_topk_lsh,
-        "ann_topk_ivf": Q.ann_topk_ivf,
-        # multimodal (stubbed decode, real plumbing)
-        "media_features": Q.media_features,
-        "media_frame_samples": Q.media_frame_samples,
-        "doc_pair_jaccard": Q.doc_pair_jaccard,
-        # reference-compat import path
-        "compat_edge_list_edges": Q.compat_edge_list_edges,
-        "compat_edge_list_vertices": Q.compat_edge_list_vertices,
-        "compat_graphalytics_vertices": Q.compat_graphalytics_vertices,
-        "compat_graphalytics_edges": Q.compat_graphalytics_edges,
-        # synthesis generators
-        "synth_clique_edges": Q.synth_clique_edges,
-        "synth_kpartite_edges": Q.synth_kpartite_edges,
-        "synth_clique_vertices_smart": Q.synth_clique_vertices_smart,
-        # KG construction stack
-        "kg_triples": Q.kg_triples,
-        "kg_entities": Q.kg_entities,
-        "kg_vertices_out": Q.kg_vertices_out,
-        "kg_edges_out": Q.kg_edges_out,
-        "kg_entity_mention_counts": Q.kg_entity_mention_counts,
-        "kg_mention_stats": Q.kg_mention_stats,
-        "kg_media_features": Q.kg_media_features,
     }
 
 
@@ -227,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pagerank": Q.pagerank_oracle_sql(iters=5),
         "lineitem_sssp": Q.SSSP_ORACLE,
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
+        "lineitem_hits": Q.hits_oracle_sql(iters=3),
         "docs_pii_redacted": """
             WITH withpii AS (
               SELECT doc_id,

@@ -280,7 +280,8 @@ def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
 
 
 def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
-         iters: int = 5, ndigits: int = 9) -> ray.data.Dataset:
+         iters: int = 5, ndigits: int = 9,
+         state: str = "driver") -> ray.data.Dataset:
     """HITS hubs-and-authorities ('hits' in the reference's Pregel
     algorithm list, arguments.py:187). Classic power iteration:
     auth(v) = sum of hub(u) over in-edges, hub(u) = sum of auth(v) over
@@ -288,8 +289,12 @@ def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     correctly rounded, so per-round rounding again pins the result
     across summation orders). Same plan-A shape as :func:`pagerank`:
     driver-held node vectors, distributed edge scans with a dense
-    per-block reduce. Rows-only for the driver (no SQL analogue worth
-    the float risk); tests pin it against a numpy reference."""
+    per-block reduce; ``state='distributed'`` switches to plan B
+    (:func:`_hits_distributed`), where the hub/auth vectors live as
+    Datasets and only two scalars (node count, norm) reach the driver —
+    the 100-TB path when the node set outgrows driver memory."""
+    if state == "distributed":
+        return _hits_distributed(edges, src, dst, iters, ndigits)
 
     def ends(t: pa.Table) -> pa.Table:
         return _node_ids(t, src, dst)
@@ -335,10 +340,112 @@ def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
         "auth": pa.array(auth)}))
 
 
+def _nodes_dataset(proj: ray.data.Dataset, a: str,
+                   b: str) -> ray.data.Dataset:
+    """Distinct endpoint ids of a projected edge Dataset, as a
+    materialized single-column (node) Dataset."""
+    return proj.map_batches(
+        lambda t: _node_ids(t, a, b), batch_format="pyarrow") \
+        .groupby("node").count() \
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow").materialize()
+
+
+def _flow_sum(proj: ray.data.Dataset, vec: ray.data.Dataset,
+              nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed sparse mat-vec: ``out[other] = sum of vec.v over proj
+    rows keyed by node`` — the shared plan-B sweep for HITS (and the
+    same flow-join shape as :func:`_pagerank_distributed`). ``proj`` is
+    Dataset(node, other); ``vec`` is Dataset(node, v). Returns
+    Dataset(node, v) covering EVERY node (absent inflow = 0.0)."""
+    from kgeng.ops.join import hash_join
+
+    flow = hash_join(proj, vec, key="node", how="inner")
+    # explicit casts: empty-bucket merges upcast ints to double in some
+    # blocks, and a double key buckets differently from int64 node ids
+    summed = flow.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["other"], pa.int64()),
+                            "val": pc.cast(t["v"], pa.float64())}),
+        batch_format="pyarrow").groupby("node").sum("val")
+
+    def cast_in(t: pa.Table) -> pa.Table:
+        if t.num_columns < 2:  # zero-column empty partition post-groupby
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        return pa.table({
+            "node": pc.cast(t[t.column_names[0]], pa.int64()),
+            "val": pc.cast(t[t.column_names[1]], pa.float64())})
+
+    joined = hash_join(nodes, summed.map_batches(
+        cast_in, batch_format="pyarrow"), key="node", how="left",
+        right_cols=["node", "val"])
+    return joined.map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t["node"], pa.int64()),
+            "v": pc.fill_null(pc.cast(t["val"], pa.float64()), 0.0)}),
+        batch_format="pyarrow")
+
+
+def _hits_distributed(edges: ray.data.Dataset, src: str, dst: str,
+                      iters: int, ndigits: int) -> ray.data.Dataset:
+    """Plan B HITS: hub/auth vectors never materialize on the driver.
+    Each half-round is one distributed flow join + groupby sum
+    (:func:`_flow_sum`); only the node count and the L2 norm (a
+    driver-side scalar reduce, rounded through the same per-round
+    policy as plan A) leave the cluster. Node-count unbounded."""
+    fwd = edges.map_batches(
+        lambda t: pa.table({"node": pc.cast(t[src], pa.int64()),
+                            "other": pc.cast(t[dst], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    rev = fwd.map_batches(
+        lambda t: pa.table({"node": t["other"], "other": t["node"]}),
+        batch_format="pyarrow").materialize()
+    nodes = _nodes_dataset(fwd, "node", "other")
+    n = nodes.count()
+
+    def normalize(vec: ray.data.Dataset) -> ray.data.Dataset:
+        s2 = vec.map_batches(
+            lambda t: pa.table({"v2": pc.multiply(t["v"], t["v"])}),
+            batch_format="pyarrow").sum("v2")
+        s = float(np.sqrt(s2)) if s2 and s2 > 0 else 1.0
+
+        def fin(t: pa.Table) -> pa.Table:
+            v = _round9(t["v"].to_numpy(zero_copy_only=False) / s,
+                        ndigits)
+            return pa.table({"node": t["node"], "v": pa.array(v)})
+
+        # repartition: iterative flows otherwise double block count
+        return vec.map_batches(fin, batch_format="pyarrow") \
+            .repartition(8).materialize()
+
+    h0 = _round9(np.array([1.0 / np.sqrt(n)]), ndigits)[0]
+    hub = nodes.map_batches(
+        lambda t: t.append_column("v", pa.array(
+            np.full(len(t), h0))), batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = normalize(_flow_sum(fwd, hub, nodes))
+        hub = normalize(_flow_sum(rev, auth, nodes))
+
+    from kgeng.ops.join import hash_join
+    out = hash_join(
+        hub.map_batches(lambda t: pa.table(
+            {"node": t["node"], "hub": t["v"]}), batch_format="pyarrow"),
+        auth.map_batches(lambda t: pa.table(
+            {"node": t["node"], "auth": t["v"]}), batch_format="pyarrow"),
+        key="node", how="inner")
+    return out.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
+                            "hub": pc.cast(t["hub"], pa.float64()),
+                            "auth": pc.cast(t["auth"], pa.float64())}),
+        batch_format="pyarrow")
+
+
 def effective_closeness(edges: ray.data.Dataset, src: str = "src",
                         dst: str = "dst", p: int = 6,
-                        max_rounds: int = 32,
-                        ndigits: int = 6) -> ray.data.Dataset:
+                        max_rounds: int = 32, ndigits: int = 6,
+                        max_driver_nodes: int = 50_000_000
+                        ) -> ray.data.Dataset:
     """Approximate closeness centrality ('effectivecloseness' in the
     reference's Pregel list, arguments.py:187) via the HyperBall method
     (Boldi & Vigna 2013): every node carries a 2^p-register HyperLogLog
@@ -353,6 +460,15 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     (N x 2^p bytes total per round, not per block); the register matrix
     broadcasts via ray.put and merges on the driver (node-count bounded
     like the other plan-A vectors). Rounds stop when no register moves.
+
+    EXPLICIT scale cutover: the driver matrix is N x 2^p bytes (3.2 GB
+    at the default p=6 and the 50M-node default bound) — beyond
+    ``max_driver_nodes`` this raises instead of silently swelling the
+    driver. The scale-out paths: lower ``p`` (each -1 halves memory at
+    ~1.04x error), or run per-component/per-partition on a node-id
+    split and union (HyperBall registers union exactly, so a node-space
+    partition is a correct decomposition when each part carries its
+    reachable ball's edges).
     """
     def ends(t: pa.Table) -> pa.Table:
         return _node_ids(t, src, dst)
@@ -364,6 +480,13 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
         .groupby("node").count().to_pandas()
     nodes = np.sort(node_df["node"].to_numpy(np.int64))
     n = len(nodes)
+    if n > max_driver_nodes:
+        raise ValueError(
+            f"effective_closeness: {n} nodes exceeds max_driver_nodes="
+            f"{max_driver_nodes} (driver register matrix would be "
+            f"{n * (1 << p) / 1e9:.1f} GB). Lower p, raise the bound on "
+            "a bigger driver, or partition the node space and union "
+            "the per-part results (registers union exactly).")
     m = 1 << p
 
     # init: each node's ball contains itself
@@ -431,7 +554,8 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
 
 def bellman_ford_rounds(edges: ray.data.Dataset, source: int,
                         rounds: int, src: str = "src", dst: str = "dst",
-                        weight: str = "w") -> ray.data.Dataset:
+                        weight: str = "w",
+                        state: str = "driver") -> ray.data.Dataset:
     """Weighted SSSP as EXACTLY ``rounds`` Bellman-Ford relaxations —
     the round-synchronous Pregel formulation ('sssp' with weights).
     Integer weights make the oracle exact: a k-round unrolled SQL
@@ -442,7 +566,15 @@ def bellman_ford_rounds(edges: ray.data.Dataset, source: int,
 
     Plan A shape: driver distance vector (node-bounded), edge blocks
     relax in parallel and emit dense per-block min-vectors (int64,
-    sentinel INF), driver takes the elementwise min of <= 64 blobs."""
+    sentinel INF), driver takes the elementwise min of <= 64 blobs.
+    ``state='distributed'`` switches to plan B
+    (:func:`_bellman_ford_distributed`): the distance frontier lives as
+    a Dataset and each round is one flow join + a union/min groupby —
+    node-count unbounded, identical results (integer min is
+    order-invariant, so the two plans agree bit-for-bit)."""
+    if state == "distributed":
+        return _bellman_ford_distributed(edges, source, rounds, src,
+                                         dst, weight)
     INF = np.int64(2**62)
 
     def ends(t: pa.Table) -> pa.Table:
@@ -485,3 +617,52 @@ def bellman_ford_rounds(edges: ray.data.Dataset, source: int,
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes[reached]),
         "dist": pa.array(dist[reached])}))
+
+
+def _bellman_ford_distributed(edges: ray.data.Dataset, source: int,
+                              rounds: int, src: str, dst: str,
+                              weight: str) -> ray.data.Dataset:
+    """Plan B weighted SSSP: distances are a Dataset(node, dist), never
+    a driver vector. Per round: flow-join the current distances onto
+    the edges at their source (one hash-partitioned join), emit
+    candidate dist+w per destination, then union with the standing
+    distances and take the per-node min (one groupby). Integer mins are
+    associative and order-invariant, so this matches plan A exactly.
+    Early exit when a round's count and sum both stand still (sum can
+    only decrease; together with the monotone non-decreasing count a
+    joint fixpoint means no distance moved)."""
+    from kgeng.ops.join import hash_join
+
+    eproj = edges.map_batches(
+        lambda t: pa.table({"node": pc.cast(t[src], pa.int64()),
+                            "other": pc.cast(t[dst], pa.int64()),
+                            "w": pc.cast(t[weight], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "dist": pa.array([0], pa.int64())}))
+    prev = (1, 0)
+    for _ in range(rounds):
+        flow = hash_join(eproj, dist, key="node", how="inner")
+        cand = flow.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["other"], pa.int64()),
+                "dist": pc.add(pc.cast(t["dist"], pa.int64()),
+                               pc.cast(t["w"], pa.int64()))}),
+            batch_format="pyarrow")
+        dist = dist.union(cand).groupby("node").min("dist") \
+            .map_batches(
+                lambda t: pa.table({
+                    "node": pc.cast(t[t.column_names[0]], pa.int64()),
+                    "dist": pc.cast(t[t.column_names[1]], pa.int64())})
+                if t.num_columns >= 2 else
+                pa.table({"node": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())}),
+                batch_format="pyarrow") \
+            .repartition(8).materialize()
+        cur = (dist.count(), int(dist.sum("dist") or 0))
+        if cur == prev:
+            break
+        prev = cur
+    return dist

@@ -946,6 +946,55 @@ def pagerank_oracle_sql(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def hits_oracle_sql(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB HITS over the directed (non-symmetrized)
+    order->part graph: one auth+hub CTE pair per round, L2-normalized
+    and rounded to 9 digits per half-round exactly like
+    kgeng.ops.graph.hits (IEEE sqrt is correctly rounded, so the only
+    cross-engine float risk is a sum landing on a rounding boundary —
+    the same, empirically safe, profile as the pagerank oracle)."""
+    parts = ["""
+        WITH edges AS (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        h0 AS (SELECT node,
+                      round(CAST(1.0 AS DOUBLE)
+                            / sqrt(CAST((SELECT n FROM nn) AS DOUBLE)),
+                            9) AS h
+               FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        ar{i} AS (
+          SELECT n.node, CAST(coalesce(s.c, 0) AS DOUBLE) AS a
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.h) AS c
+            FROM edges e JOIN h{i-1} p ON p.node = e.src
+            GROUP BY 1) s ON s.node = n.node),
+        a{i} AS (
+          SELECT node,
+                 round(a / sqrt((SELECT sum(a*a) FROM ar{i})), 9) AS a
+          FROM ar{i}),
+        hr{i} AS (
+          SELECT n.node, CAST(coalesce(s.c, 0) AS DOUBLE) AS h
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, sum(p.a) AS c
+            FROM edges e JOIN a{i} p ON p.node = e.dst
+            GROUP BY 1) s ON s.node = n.node),
+        h{i} AS (
+          SELECT node,
+                 round(h / sqrt((SELECT sum(h*h) FROM hr{i})), 9) AS h
+          FROM hr{i})""")
+    parts.append(f"""
+        SELECT n.node, h{iters}.h AS hub, a{iters}.a AS auth
+        FROM nodes n
+        JOIN h{iters} ON h{iters}.node = n.node
+        JOIN a{iters} ON a{iters}.node = n.node""")
+    return "".join(parts)
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction: email/phone spans become typed placeholders —
     one vectorized RE2 replace per pattern. The sf documents table

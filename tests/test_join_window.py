@@ -473,6 +473,9 @@ def test_sssp_hops_matches_bfs_reference():
 
 
 def test_hits_matches_numpy_reference():
+    """3-way parity: plan A (driver vectors) == plan B (distributed
+    hub/auth Datasets, join-based sweeps) == dense numpy reference,
+    under the shared per-half-round round-to-9 policy."""
     import numpy as np
 
     from kgeng.ops.graph import hits
@@ -483,6 +486,12 @@ def test_hits_matches_numpy_reference():
     out = (hits(ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
            .repartition(4), iters=4).to_pandas()
            .sort_values("node").reset_index(drop=True))
+    outb = (hits(ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+            .repartition(4), iters=4, state="distributed").to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == outb["node"].tolist()
+    assert out["hub"].tolist() == outb["hub"].tolist()
+    assert out["auth"].tolist() == outb["auth"].tolist()
 
     nodes = np.unique(np.concatenate([src, dst]))
     idx = {v: i for i, v in enumerate(nodes)}
@@ -575,6 +584,26 @@ def test_bellman_ford_rounds_matches_reference():
                         nxt[d] = c
             ref = nxt
         assert got == ref, rounds
+        # plan B (distributed distance Dataset) agrees bit-for-bit —
+        # integer mins are order-invariant
+        outb = bellman_ford_rounds(
+            ray.data.from_arrow(et).repartition(4), source=0,
+            rounds=rounds, state="distributed").to_pandas()
+        assert dict(zip(outb["node"], outb["dist"])) == ref, rounds
+
+
+def test_effective_closeness_node_cutover_raises():
+    """Beyond max_driver_nodes the plan-A register matrix must refuse
+    loudly (documented bound), not silently swell the driver."""
+    import numpy as np
+    import pytest
+
+    from kgeng.ops.graph import effective_closeness
+
+    et = pa.table({"src": np.arange(10, dtype=np.int64),
+                   "dst": np.arange(1, 11, dtype=np.int64)})
+    with pytest.raises(ValueError, match="max_driver_nodes"):
+        effective_closeness(ray.data.from_arrow(et), max_driver_nodes=5)
 
 
 def test_approx_quantiles_degenerate_group_exact():
