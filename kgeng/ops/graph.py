@@ -59,6 +59,164 @@ def _node_ids(t: pa.Table, src: str, dst: str) -> pa.Table:
     return pa.table({"node": pc.unique(both)})
 
 
+# --------------------------------------------------- indexed edge blocks
+#
+# The plan-A algorithms run SHORT synchronous rounds (a Pregel superstep
+# is one sparse mat-vec). Driving each round through a fresh Dataset
+# execution pays the streaming executor's fixed startup per round — at
+# sf0.1 that startup DOMINATES pagerank's wall (VERDICT r3 item 5). The
+# deliberate exception to Dataset-first: the edge blocks of an already
+# materialized Dataset are staged ONCE as per-block searchsorted index
+# arrays in the object store, and each round is a raw-task fan-out over
+# those refs (per-block compute still on workers, driver still only sees
+# the N-bounded reduce). This is the documented "raw tasks where the
+# Dataset API can't express it" case: an iterative algorithm whose
+# per-round work is far smaller than per-execution overhead.
+
+def _blk_col(blk, c) -> np.ndarray:
+    """Column of an Arrow-or-pandas block as numpy; a zero-column empty
+    partition (post-groupby artifact) reads as an empty array."""
+    names = (blk.column_names if isinstance(blk, pa.Table)
+             else list(blk.columns))
+    if c not in names:
+        return np.zeros(0, np.int64)
+    v = blk[c]
+    return (v.to_numpy(zero_copy_only=False)
+            if isinstance(blk, pa.Table) else v.to_numpy())
+
+
+@ray.remote
+def _index_block(blk, nodes: np.ndarray, src: str, dst: str,
+                 weight: str | None):
+    si = np.searchsorted(nodes, _blk_col(blk, src)).astype(np.int32)
+    di = np.searchsorted(nodes, _blk_col(blk, dst)).astype(np.int32)
+    w = _blk_col(blk, weight).astype(np.int64) if weight else None
+    return (si, di, w)
+
+
+@ray.remote
+def _sweep_block(idx, vec: np.ndarray, n: int, direction: str):
+    """out[x] += vec[y] over the block's edges (fwd: y=src,x=dst)."""
+    si, di, _ = idx
+    if direction == "fwd":
+        return np.bincount(di, weights=vec[si], minlength=n)
+    return np.bincount(si, weights=vec[di], minlength=n)
+
+
+@ray.remote
+def _relax_block(idx, dist: np.ndarray, inf: int):
+    si, di, w = idx
+    cand = np.full(len(dist), np.int64(inf), np.int64)
+    ok = dist[si] < inf
+    np.minimum.at(cand, di[ok], dist[si[ok]] + w[ok])
+    return cand
+
+
+@ray.remote
+def _ends_block(blk, src: str, dst: str):
+    """Distinct endpoint ids of one block (driver unions the <=2E,
+    <=blocks*N total — effectively N-bounded whenever E >> N, and when
+    it isn't, N ~ 2E anyway)."""
+    return np.unique(np.concatenate(
+        [_blk_col(blk, src), _blk_col(blk, dst)]))
+
+
+@ray.remote
+def _deg_block(idx, n: int):
+    si, _, _ = idx
+    return np.bincount(si, minlength=n).astype(np.float64)
+
+
+@ray.remote
+def _succ_block(idx, frontier_mask: np.ndarray):
+    """Distinct successor positions of the masked frontier in one block."""
+    si, di, _ = idx
+    return np.unique(di[frontier_mask[si]])
+
+
+@ray.remote
+def _ball_block(idx, regs: np.ndarray):
+    """One HyperBall round over a src-sorted block: union each source's
+    registers with its out-neighbors' (elementwise max). Returns the
+    block's (unique source positions, merged registers) — N-bounded
+    because sorted blocks hold disjoint source ranges."""
+    si, di, _ = idx
+    uniq = np.unique(si)
+    out = regs[uniq].copy()
+    pos = np.searchsorted(uniq, si)
+    np.maximum.at(out, pos, regs[di])
+    return (uniq.astype(np.int64), out)
+
+
+def _bounded_blocks(edges: ray.data.Dataset,
+                    lo: int = 8, hi: int = 256) -> ray.data.Dataset:
+    """Materialize; repartition only when the block count is outside
+    [lo, hi] (the dense per-block reduce wants bounded fan-in, but an
+    extra repartition of an already-shaped Dataset is a wasted pass)."""
+    edges = edges.materialize()
+    if not (lo <= edges.num_blocks() <= hi):
+        edges = edges.repartition(64).materialize()
+    return edges
+
+
+class _IndexedEdges:
+    """Per-block (si, di[, w]) index arrays for a MATERIALIZED edge
+    Dataset, staged once; `sweep`/`relax`/`ball` fan raw tasks over the
+    blocks and reduce on the driver. Vectors ship per round via one
+    ``ray.put`` (workers read zero-copy from plasma)."""
+
+    def __init__(self, edges: ray.data.Dataset, nodes: np.ndarray | None,
+                 src: str, dst: str, weight: str | None = None):
+        blk_refs = [r for b in edges.iter_internal_ref_bundles()
+                    for r in b.block_refs]
+        if nodes is None:
+            # raw-task node discovery: per-block distinct endpoints,
+            # one driver union — no Dataset execution, no shuffle
+            parts = ray.get([_ends_block.remote(r, src, dst)
+                             for r in blk_refs])
+            nodes = (np.unique(np.concatenate(parts)) if parts
+                     else np.zeros(0, np.int64))
+        self.nodes = nodes
+        self.n = len(nodes)
+        nodes_ref = ray.put(nodes)
+        self.idx = [_index_block.remote(r, nodes_ref, src, dst, weight)
+                    for r in blk_refs]
+
+    def degrees(self) -> np.ndarray:
+        """Out-degree per node position (multi-edges count multiply) —
+        raw-task bincounts, driver adds <= blocks partials."""
+        out = np.zeros(self.n, np.float64)
+        for part in ray.get([_deg_block.remote(i, self.n)
+                             for i in self.idx]):
+            out += part
+        return out
+
+    def sweep(self, vec: np.ndarray, direction: str = "fwd") -> np.ndarray:
+        ref = ray.put(vec)
+        futs = [_sweep_block.remote(i, ref, self.n, direction)
+                for i in self.idx]
+        out = np.zeros(self.n, np.float64)
+        for part in ray.get(futs):   # submission order == block order
+            out += part
+        return out
+
+    def relax(self, dist: np.ndarray, inf: int) -> np.ndarray:
+        ref = ray.put(dist)
+        futs = [_relax_block.remote(i, ref, inf) for i in self.idx]
+        out = dist.copy()
+        for part in ray.get(futs):
+            np.minimum(out, part, out=out)
+        return out
+
+    def ball(self, regs: np.ndarray) -> np.ndarray:
+        ref = ray.put(regs)
+        futs = [_ball_block.remote(i, ref) for i in self.idx]
+        out = regs.copy()
+        for uniq, mat in ray.get(futs):
+            out[uniq] = np.maximum(out[uniq], mat)
+        return out
+
+
 def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
              iters: int = 5, damping: float = 0.85, ndigits: int = 9,
              state: str = "driver") -> ray.data.Dataset:
@@ -71,59 +229,49 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
         return _pagerank_distributed(edges, src, dst, iters, damping,
                                      ndigits)
 
-    # ---- static structure: node ids + out-degrees (driver-bounded)
-    def ends(t: pa.Table) -> pa.Table:
-        return _node_ids(t, src, dst)
+    # materialize once; rebalance only when the incoming block count is
+    # unsuitable for the per-block dense reduce (each extra pass over
+    # the edges is a whole executor run)
+    edges = _bounded_blocks(edges)
 
-    # materialize: the edge plan re-executes once per iteration plus
-    # twice for structure otherwise; driver pulls stay COLUMNAR
-    # (to_pandas), never take_all's per-row dicts. Bound the block
-    # count so the per-block dense reduce below stays small.
-    edges = edges.repartition(64).materialize()
-    node_df = edges.map_batches(ends, batch_format="pyarrow") \
-        .groupby("node").count().to_pandas()
-    nodes = np.sort(node_df["node"].to_numpy(np.int64))
-    n = len(nodes)
-
-    deg_df = edges.groupby(src).count().to_pandas()
-    deg = np.zeros(n, dtype=np.float64)
-    deg_idx = np.searchsorted(nodes, deg_df[src].to_numpy(np.int64))
-    deg[deg_idx] = deg_df["count()"].to_numpy(np.float64)
+    # raw-task structure: node ids + out-degrees — no Dataset
+    # execution, no shuffle (see _IndexedEdges)
+    idx = _IndexedEdges(edges, None, src, dst)
+    nodes, n = idx.nodes, idx.n
+    deg = idx.degrees()
 
     base = (1.0 - damping) / n
     ranks = _round9(np.full(n, 1.0 / n), ndigits)
+
+    # dense raw-task rounds: each block returns one n-float64 partial;
+    # the driver adds <= 64 of them — no per-round Dataset execution,
+    # no shuffle. Right up to ~10^7 nodes (80 MB/partial); beyond that
+    # fall back to the sparse (di, c) groupby reduce.
+    dense = n <= 5_000_000
 
     for _ in range(iters):
         has_out = deg > 0
         contrib = np.where(has_out, ranks / np.where(has_out, deg, 1.0),
                            0.0)
         dangling = float(ranks[~has_out].sum()) / n
-        ref = ray.put((nodes, contrib))
 
-        # dense reduce: each block emits ONE n-float64 blob; the driver
-        # adds <= 64 blobs — no per-iteration shuffle at all. Right up
-        # to ~10^7 nodes (80 MB/blob); beyond that fall back to the
-        # sparse (di, c) groupby reduce.
-        dense = n <= 5_000_000
-
-        def partial(t: pa.Table) -> pa.Table:
-            nd, c = ray.get(ref)
-            si = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
-            di = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
-            s = np.bincount(di, weights=c[si], minlength=len(nd))
-            if dense:
-                return pa.table({"bm": pa.array([s.tobytes()],
-                                                pa.large_binary())})
-            nz = np.flatnonzero(s)
-            return pa.table({"di": pa.array(nz.astype(np.int64)),
-                             "c": pa.array(s[nz])})
-
-        incoming = np.zeros(n, dtype=np.float64)
         if dense:
-            for row in edges.map_batches(
-                    partial, batch_format="pyarrow").take_all():
-                incoming += np.frombuffer(row["bm"], np.float64)
+            incoming = idx.sweep(contrib, "fwd")
         else:
+            ref = ray.put((nodes, contrib))
+
+            def partial(t: pa.Table) -> pa.Table:
+                nd, c = ray.get(ref)
+                si = np.searchsorted(
+                    nd, t[src].to_numpy(zero_copy_only=False))
+                di = np.searchsorted(
+                    nd, t[dst].to_numpy(zero_copy_only=False))
+                s = np.bincount(di, weights=c[si], minlength=len(nd))
+                nz = np.flatnonzero(s)
+                return pa.table({"di": pa.array(nz.astype(np.int64)),
+                                 "c": pa.array(s[nz])})
+
+            incoming = np.zeros(n, dtype=np.float64)
             got = edges.map_batches(partial, batch_format="pyarrow") \
                 .groupby("di").sum("c").to_pandas()
             incoming[got["di"].to_numpy(np.int64)] = \
@@ -235,48 +383,37 @@ def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
     only (matches the recursive-CTE oracle's reachability semantics).
 
     Plan A shape (like :func:`pagerank`): the distance vector is
-    driver-held (node-count bounded); each round broadcasts the current
-    frontier and the edge Dataset streams through a vectorized
-    membership filter emitting per-batch-unique successors — rounds
-    until the frontier empties (exact BFS, no iteration cap needed).
-    Integer distances: no float policy required, the oracle is exact.
+    driver-held (node-count bounded); each BFS layer is a raw-task
+    fan-out over indexed edge blocks (see :class:`_IndexedEdges`) —
+    per-block vectorized frontier-membership filter emitting that
+    block's distinct successors — until the frontier empties (exact
+    BFS, no iteration cap). Integer distances: the oracle is exact.
     """
-    edges = edges.materialize()  # one layer-scan per round re-executes it
-    frontier = np.array([source], dtype=np.int64)
-    seen = frontier.copy()               # sorted
-    dists = [np.int64(0)]
-    layers = [frontier]
+    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    nodes, n = idx.nodes, idx.n
+
+    si0 = int(np.searchsorted(nodes, source))
+    if si0 >= n or nodes[si0] != source:
+        raise ValueError(f"source {source} has no edges in the graph")
+    dist = np.full(n, -1, np.int64)
+    dist[si0] = 0
+    frontier = np.zeros(n, bool)
+    frontier[si0] = True
     d = 0
-    while len(frontier):
+    while frontier.any():
         d += 1
-        ref = ray.put(np.sort(frontier))
+        ref = ray.put(frontier)
+        futs = [_succ_block.remote(i, ref) for i in idx.idx]
+        nxt = np.zeros(n, bool)
+        for part in ray.get(futs):
+            nxt[part] = True
+        frontier = nxt & (dist < 0)
+        dist[frontier] = d
 
-        def succ(t: pa.Table) -> pa.Table:
-            fr = ray.get(ref)
-            s = t[src].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(fr, s)
-            idx[idx == len(fr)] = 0
-            hit = fr[idx] == s
-            nxt = np.unique(t[dst].to_numpy(zero_copy_only=False)[hit])
-            return pa.table({"node": pa.array(nxt)})
-
-        got = edges.map_batches(succ, batch_format="pyarrow") \
-            .groupby("node").count().to_pandas()
-        nd = got["node"].to_numpy(np.int64)
-        new = nd[~np.isin(nd, seen)]
-        if len(new):
-            layers.append(new)
-            dists.append(np.int64(d))
-            seen = np.sort(np.concatenate([seen, new]))
-        frontier = new
-
-    node_col = np.concatenate(layers)
-    dist_col = np.concatenate([np.full(len(l), dv, np.int64)
-                               for l, dv in zip(layers, dists)])
-    order = np.argsort(node_col)
+    reached = dist >= 0
     return ray.data.from_arrow(pa.table({
-        "node": pa.array(node_col[order]),
-        "dist": pa.array(dist_col[order])}))
+        "node": pa.array(nodes[reached]),
+        "dist": pa.array(dist[reached])}))
 
 
 def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
@@ -296,34 +433,15 @@ def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     if state == "distributed":
         return _hits_distributed(edges, src, dst, iters, ndigits)
 
-    def ends(t: pa.Table) -> pa.Table:
-        return _node_ids(t, src, dst)
-
-    edges = edges.repartition(64).materialize()
-    node_df = edges.map_batches(ends, batch_format="pyarrow") \
-        .groupby("node").count().to_pandas()
-    nodes = np.sort(node_df["node"].to_numpy(np.int64))
-    n = len(nodes)
-
-    def sweep(vec: np.ndarray, in_col: str, out_col: str) -> np.ndarray:
-        """out[x] += vec[y] over edges (y=in_col, x=out_col)."""
-        ref = ray.put((nodes, vec))
-
-        def partial(t: pa.Table) -> pa.Table:
-            nd, v = ray.get(ref)
-            yi = np.searchsorted(nd,
-                                 t[in_col].to_numpy(zero_copy_only=False))
-            xi = np.searchsorted(nd,
-                                 t[out_col].to_numpy(zero_copy_only=False))
-            s = np.bincount(xi, weights=v[yi], minlength=len(nd))
-            return pa.table({"bm": pa.array([s.tobytes()],
-                                            pa.large_binary())})
-
-        out = np.zeros(n, dtype=np.float64)
-        for row in edges.map_batches(partial,
-                                     batch_format="pyarrow").take_all():
-            out += np.frombuffer(row["bm"], np.float64)
-        return out
+    # raw-task structure + sweeps over indexed blocks (_IndexedEdges):
+    # per half-round cost is <= blocks task launches + the n-bounded
+    # reduce, not a full streaming-executor startup
+    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    nodes, n = idx.nodes, idx.n
+    if n > 50_000_000:
+        raise ValueError(
+            f"hits plan A holds two {n}-float64 vectors on the driver; "
+            "use state='distributed' beyond ~5e7 nodes.")
 
     def norm(x: np.ndarray) -> np.ndarray:
         s = np.sqrt(float((x * x).sum()))
@@ -332,8 +450,8 @@ def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     hub = norm(np.ones(n))
     auth = np.zeros(n)
     for _ in range(iters):
-        auth = norm(sweep(hub, src, dst))
-        hub = norm(sweep(auth, dst, src))
+        auth = norm(idx.sweep(hub, "fwd"))
+        hub = norm(idx.sweep(auth, "rev"))
 
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes), "hub": pa.array(hub),
@@ -470,16 +588,11 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     partition is a correct decomposition when each part carries its
     reachable ball's edges).
     """
-    def ends(t: pa.Table) -> pa.Table:
-        return _node_ids(t, src, dst)
-
     # ONE materialized copy: src-sorted blocks (disjoint source ranges
-    # per block) serve both the per-round scans and node extraction
+    # per block) keep each round's per-block output N-bounded in total
     by_src = edges.sort(src).materialize()
-    node_df = by_src.map_batches(ends, batch_format="pyarrow") \
-        .groupby("node").count().to_pandas()
-    nodes = np.sort(node_df["node"].to_numpy(np.int64))
-    n = len(nodes)
+    idx = _IndexedEdges(by_src, None, src, dst)
+    nodes, n = idx.nodes, idx.n
     if n > max_driver_nodes:
         raise ValueError(
             f"effective_closeness: {n} nodes exceeds max_driver_nodes="
@@ -514,29 +627,11 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
 
     prev_est = estimate(regs)
     sum_dist = np.zeros(n, np.float64)
+    # raw-task HyperBall rounds over the indexed src-sorted blocks
+    # (_IndexedEdges.ball): each block still emits only its own
+    # disjoint source range's registers — N x 2^p bytes total per round
     for d in range(1, max_rounds + 1):
-        ref = ray.put((nodes, regs))
-
-        def round_max(t: pa.Table) -> pa.Table:
-            nd, rg = ray.get(ref)
-            si = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
-            di = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
-            uniq = np.unique(si)
-            out = rg[uniq].copy()
-            pos = np.searchsorted(uniq, si)
-            np.maximum.at(out, pos, rg[di])
-            # ONE packed row per block: N-bounded total per round
-            return pa.table({
-                "ni": pa.array([uniq.astype(np.int64).tobytes()],
-                               pa.large_binary()),
-                "bm": pa.array([out.tobytes()], pa.large_binary())})
-
-        new_regs = regs.copy()
-        for blk in by_src.map_batches(round_max,
-                                      batch_format="pyarrow").take_all():
-            i = np.frombuffer(blk["ni"], np.int64)
-            mat = np.frombuffer(blk["bm"], np.uint8).reshape(-1, m)
-            new_regs[i] = np.maximum(new_regs[i], mat)
+        new_regs = idx.ball(regs)
         if np.array_equal(new_regs, regs):
             break
         regs = new_regs
@@ -577,38 +672,17 @@ def bellman_ford_rounds(edges: ray.data.Dataset, source: int,
                                          dst, weight)
     INF = np.int64(2**62)
 
-    def ends(t: pa.Table) -> pa.Table:
-        return _node_ids(t, src, dst)
-
-    edges = edges.repartition(64).materialize()
-    node_df = edges.map_batches(ends, batch_format="pyarrow") \
-        .groupby("node").count().to_pandas()
-    nodes = np.sort(node_df["node"].to_numpy(np.int64))
-    n = len(nodes)
+    # raw-task structure + relax rounds over indexed blocks
+    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst,
+                        weight=weight)
+    nodes, n = idx.nodes, idx.n
     si0 = int(np.searchsorted(nodes, source))
     if si0 >= n or nodes[si0] != source:
         raise ValueError(f"source {source} has no edges in the graph")
     dist = np.full(n, INF, np.int64)
     dist[si0] = 0
-
     for _ in range(rounds):
-        ref = ray.put((nodes, dist))
-
-        def relax(t: pa.Table) -> pa.Table:
-            nd, dv = ray.get(ref)
-            si = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
-            di = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
-            wv = t[weight].to_numpy(zero_copy_only=False).astype(np.int64)
-            cand = np.full(len(nd), INF, np.int64)
-            ok = dv[si] < INF
-            np.minimum.at(cand, di[ok], dv[si[ok]] + wv[ok])
-            return pa.table({"bm": pa.array([cand.tobytes()],
-                                            pa.large_binary())})
-
-        new = dist.copy()
-        for row in edges.map_batches(relax,
-                                     batch_format="pyarrow").take_all():
-            np.minimum(new, np.frombuffer(row["bm"], np.int64), out=new)
+        new = idx.relax(dist, int(INF))
         if np.array_equal(new, dist):
             break
         dist = new

@@ -774,23 +774,41 @@ def _order_part_edges(sf_dir: str, symmetrize: bool = True):
         return _EDGE_CACHE[ck]
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
+    # dedup via PACKED single-int64 keys + 64 coarse buckets + in-group
+    # np.unique — a 64-group shuffle on a tiny tag instead of a 2-key
+    # sort shuffle over every pair (the groupby-per-key path was the
+    # dominant cost of every Pregel query's edge build). Keys pack as
+    # (order*2) << 32 | (part*2+1): exact while both ids < 2^31 — the
+    # loud guard below fires long before that (TPC-H sf ~3000).
     def pairs(t: pa.Table) -> pa.Table:
-        s = pc.multiply(t["l_orderkey"], 2)
-        d = pc.add(pc.multiply(t["l_partkey"], 2), 1)
-        g = pa.table({"src": s, "dst": d}) \
-            .group_by(["src", "dst"]).aggregate([([], "count_all")])
-        return g.select(["src", "dst"])
+        s = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        d = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(s) and (s.max() >= 1 << 30 or d.max() >= 1 << 31):
+            raise ValueError("order/part ids exceed the 31-bit packed-"
+                             "key bound; switch _order_part_edges to "
+                             "the 2-key groupby dedup")
+        key = np.unique((s.astype(np.int64) * 2) << 32
+                        | (d.astype(np.int64) * 2 + 1))
+        b = (key.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)  # top 6
+        return pa.table({"b": pa.array(b.astype(np.int32)),
+                         "key": pa.array(key)})
 
-    eo = li.map_batches(pairs, batch_format="pyarrow") \
-        .groupby(["src", "dst"]).count() \
-        .map_batches(lambda t: t.select(["src", "dst"]),
-                     batch_format="pyarrow").materialize()
-    if symmetrize:
-        out = eo.union(eo.map_batches(
-            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
-            batch_format="pyarrow")).materialize()
-    else:
-        out = eo
+    def uniq_group(df):
+        # Arrow output: downstream sort/union must see ONE block type.
+        # Symmetrize INSIDE the group (saves a whole union pass +
+        # re-materialization): src ids are even, dst odd, so a reversed
+        # pair can never collide with a forward one across groups.
+        key = np.unique(df["key"].to_numpy(np.int64))
+        s = key >> 32
+        d = key & np.int64((1 << 32) - 1)
+        if symmetrize:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    out = li.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("b").map_groups(uniq_group, batch_format="pandas") \
+        .materialize()
     _EDGE_CACHE[ck] = out
     return out
 
