@@ -76,6 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_hits": Q.lineitem_hits,
         "lineitem_closeness": Q.lineitem_closeness,
         "lineitem_pagerank": Q.lineitem_pagerank,
+        # --- new in round 4 ---
+        "cust_order_profile_outer": Q.cust_order_profile_outer,
+        "docs_length_ntile": Q.docs_length_ntile,
+        "top_event_per_user": Q.top_event_per_user,
+        "events_type_long": Q.events_type_long,
+        "docs_boilerplate_removed": Q.docs_boilerplate_removed,
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
@@ -231,6 +237,63 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_sssp": Q.SSSP_ORACLE,
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
+        "cust_order_profile_outer": """
+            -- counts cast to DOUBLE: the full-outer join surfaces both
+            -- sides' nullable ints as float64 (NaN = absent side)
+            SELECT coalesce(b.o_custkey, u.o_custkey) AS c_custkey,
+                   CAST(b.n_big AS DOUBLE) AS n_big,
+                   CAST(u.n_urgent AS DOUBLE) AS n_urgent
+            FROM (SELECT o_custkey, count(*) AS n_big FROM orders
+                  WHERE o_totalprice > 400000 GROUP BY 1) b
+            FULL OUTER JOIN
+                 (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                  WHERE o_orderpriority = '1-URGENT' GROUP BY 1) u
+            ON b.o_custkey = u.o_custkey
+        """,
+        "docs_length_ntile": """
+            WITH nn AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                   CAST((row_number() OVER (ORDER BY n_chars, doc_id)
+                         - 1) * 4 // (SELECT n FROM nn) + 1 AS BIGINT)
+                       AS tile
+            FROM documents
+        """,
+        "top_event_per_user": """
+            SELECT user_id, event_type AS top_event, n FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC,
+                                                 event_type) AS rn
+              FROM events GROUP BY 1, 2) WHERE rn = 1
+        """,
+        "events_type_long": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "docs_boilerplate_removed": """
+            WITH withbp AS (
+              SELECT doc_id,
+                     text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER'
+                          || chr(10) || 'uid ' || CAST(doc_id AS VARCHAR)
+                         AS text
+              FROM documents),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr
+                   FROM withbp),
+            lines AS (SELECT doc_id, unnest(arr) AS line,
+                             generate_subscripts(arr, 1) AS pos
+                      FROM ls),
+            freq AS (SELECT line FROM (
+                       SELECT line, count(DISTINCT doc_id) AS c
+                       FROM lines GROUP BY 1) WHERE c >= 20),
+            kept AS (SELECT doc_id, line, pos FROM lines
+                     WHERE line NOT IN (SELECT line FROM freq))
+            SELECT w.doc_id, coalesce(k.ct, '') AS clean_text
+            FROM withbp w LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS ct
+              FROM kept GROUP BY 1) k ON k.doc_id = w.doc_id
+        """,
         "docs_pii_redacted": """
             WITH withpii AS (
               SELECT doc_id,

@@ -252,3 +252,65 @@ def partial_sum(ds: ray.data.Dataset, key: str, value: str,
     final = partials.groupby(key).sum("partial")
     return final.map_batches(
         lambda t: t.rename_columns([key, out]), batch_format="pyarrow")
+
+
+def grouped_mode(ds: ray.data.Dataset, key: str, value: str,
+                 out: str = "top_value", count_out: str = "n",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Most frequent ``value`` per ``key`` (the grouped MODE / argmax),
+    deterministic tiebreak: the smallest value wins. Plan: per-batch
+    vectorized (key, value) partial counts (the shuffle moves partials,
+    not rows), ONE global (key, value) sum, then a per-key argmax via
+    coarse key buckets + a C-level pandas reduction inside each bucket
+    (millions of tiny map_groups are pathological; 64 buckets are not).
+    Returns Dataset(key, out, count_out)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key, value]).group_by([key, value]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([key, value, "c"])
+
+    summed = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, value]).sum("c")
+
+    def tag(t: pa.Table) -> pa.Table:
+        from kgeng.ops.join import _bucket_ids
+
+        if t.num_columns < 3:
+            return pa.table({key: pa.array([], pa.int64()),
+                             value: pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        t = t.rename_columns([key, value, "c"])
+        b = _bucket_ids(t, key, num_buckets)
+        return t.append_column("__b", pa.array(b.astype(np.int32)))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "c", value],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = df.drop_duplicates(subset=[key], keep="first")
+        return top.rename(columns={value: out, "c": count_out})[
+            [key, out, count_out]]
+
+    return summed.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(argmax, batch_format="pandas")
+
+
+def melt(ds: ray.data.Dataset, id_cols: list[str],
+         value_cols: list[str], var_name: str = "variable",
+         value_name: str = "value") -> ray.data.Dataset:
+    """Wide -> long unpivot (the inverse of :func:`pivot_count`): each
+    row emits one output row per value column. Pure per-batch Arrow
+    concat — stateless, no shuffle, any scale."""
+    def mb(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {i: t[i] for i in id_cols}
+            cols[var_name] = pa.array([c] * len(t), pa.string())
+            cols[value_name] = t[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(mb, batch_format="pyarrow")

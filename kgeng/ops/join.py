@@ -96,10 +96,15 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
 
     Column collisions on the right side get ``suffix``. ``how`` is any
     pandas merge mode whose semantics survive per-bucket decomposition
-    ('inner', 'left'), plus 'semi' (left rows WITH a key match; left
+    ('inner', 'left', 'outer' — FULL OUTER; every key pair co-locates
+    in exactly one bucket, so unmatched rows of BOTH sides surface
+    exactly once), plus 'semi' (left rows WITH a key match; left
     columns only, no duplication) and 'anti' (left rows WITHOUT a
-    match — the NOT EXISTS pattern). ``salt`` > 1 splits each bucket's
-    left rows into
+    match — the NOT EXISTS pattern). 'outer' rejects ``salt`` > 1
+    (right-side replication would duplicate right-only rows); under
+    'outer' unmatched rows null the OTHER side's columns, so int
+    columns of both sides surface as float64. ``salt`` > 1 splits each
+    bucket's left rows into
     sub-buckets and replicates the (small) right side into each — use
     when the left side has hot keys. ``max_bucket_rows`` computes the
     salt as ceil(left_count / max_bucket_rows) (counts the left side
@@ -110,6 +115,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         n_left = left.count()
         salt = max(salt, math.ceil(max(n_left, 1) / max_bucket_rows))
     salt = max(1, salt)
+    if how == "outer" and salt > 1:
+        raise ValueError("how='outer' requires salt=1: sub-bucket "
+                         "replication would emit right-only rows once "
+                         "per sub-bucket")
     # schema(fetch_if_missing=True) executes one block for lazy plans;
     # it can still be None when a post-groupby dataset carries
     # zero-column empty partitions — pass left_cols/right_cols then
@@ -177,6 +186,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     rtypes = _numeric_dtypes(right)
     int_right = [c for c, t in rtypes.items()
                  if t == "int64" and c != key]
+    # full outer: unmatched right rows null the LEFT side too, so left
+    # ints also surface float64 (uniform nullable-int convention)
+    int_left = ([c for c, t in ltypes.items()
+                 if t == "int64" and c != key] if how == "outer" else [])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"].reindex(columns=lcols).astype(ltypes)
@@ -190,6 +203,8 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         for c in int_right:
             cc = c + suffix if c in lcols else c
             out[cc] = out[cc].astype("float64")
+        for c in int_left:
+            out[c] = out[c].astype("float64")
         return out
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -180,3 +180,37 @@ def approx_grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
 
     return hist.groupby("__g").map_groups(quantiles_from_hist,
                                           batch_format="pandas")
+
+
+# ------------------------------------------------- global row numbering
+
+@ray.remote
+def _attach_rownum(blk, start: int, out: str):
+    if not isinstance(blk, pa.Table):          # pandas block
+        blk = pa.Table.from_pandas(blk, preserve_index=False)
+    col = np.arange(start + 1, start + 1 + len(blk), dtype=np.int64)
+    return blk.append_column(out, pa.array(col))
+
+
+def global_row_number(ds: ray.data.Dataset, by: list[str],
+                      out: str = "row_num",
+                      descending: bool | list[bool] = False
+                      ) -> ray.data.Dataset:
+    """Append the GLOBAL 1-based row position under the total order
+    ``by`` (make it a total order — include a unique tiebreak column —
+    or positions within ties are sort-implementation-defined).
+
+    Ray Data has no zipWithIndex; this composes one from a single sort
+    shuffle plus metadata: sorted block sizes come from the ref-bundle
+    metadata (no data pass), their prefix sums give each block's global
+    offset, and one raw task per block appends the arange column.
+    Nothing but block COUNTS ever reaches the driver, so this is the
+    deterministic global-sharding / curriculum-binning primitive at any
+    scale."""
+    sorted_ds = ds.sort(by, descending=descending).materialize()
+    pairs = [(r, m.num_rows) for b in sorted_ds.iter_internal_ref_bundles()
+             for r, m in b.blocks]
+    offsets = np.concatenate([[0], np.cumsum([n for _, n in pairs])])
+    refs = [_attach_rownum.remote(r, int(offsets[i]), out)
+            for i, (r, _) in enumerate(pairs)]
+    return ray.data.from_arrow_refs(refs)

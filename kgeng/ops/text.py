@@ -418,3 +418,78 @@ def add_fingerprint(ds: ray.data.Dataset, col: str = "text",
         return t.append_column(out, pa.array(fps, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ----------------------------------------------- boilerplate line removal
+
+def frequent_lines(ds: ray.data.Dataset, col: str = "text",
+                   min_docs: int = 10) -> pa.Array:
+    """Lines occurring in >= ``min_docs`` DISTINCT documents (the CCNet
+    boilerplate signal: nav bars, subscribe prompts, license footers).
+    Per-batch: split + per-document dedup + line counts (the shuffle
+    moves (line, partial) pairs, never documents); one global sum; the
+    >= min_docs filter applies BEFORE the driver pull, so only actual
+    boilerplate (small by construction) materializes."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        ls = pc.split_pattern(t[col], "\n").combine_chunks()
+        flat = ls.flatten().to_numpy(zero_copy_only=False)
+        offs = ls.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        row = np.repeat(np.arange(len(ls)), np.diff(offs))
+        df = pd.DataFrame({"r": row, "line": flat}).drop_duplicates()
+        c = df.groupby("line", sort=False).size()
+        return pa.table({"line": pa.array(c.index.to_numpy(object),
+                                          pa.string()),
+                         "c": pa.array(c.to_numpy(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("line").sum("c")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns < 2:
+            return pa.table({"line": pa.array([], pa.string())})
+        t = t.rename_columns(["line", "c"])
+        return t.filter(pc.greater_equal(t["c"], min_docs)) \
+            .select(["line"])
+
+    got = counts.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return pa.array(sorted(got["line"].tolist()), pa.string())
+
+
+def remove_frequent_lines(ds: ray.data.Dataset, col: str = "text",
+                          out: str = "clean_text",
+                          min_docs: int = 10) -> ray.data.Dataset:
+    """Strip boilerplate lines (>= ``min_docs`` distinct docs) from
+    every document, preserving the order of surviving lines. The
+    frequent-line set broadcasts once via ``ray.put``; the strip pass
+    is stateless and vectorized (split -> index_in membership ->
+    offset-rebuilt list array -> binary_join)."""
+    import ray as _ray
+
+    freq_ref = _ray.put(frequent_lines(ds, col=col, min_docs=min_docs))
+
+    def strip(t: pa.Table) -> pa.Table:
+        freq = _ray.get(freq_ref)
+        ls = pc.split_pattern(t[col], "\n").combine_chunks()
+        flat = ls.flatten()
+        offs = ls.offsets.to_numpy(zero_copy_only=False)
+        offs = (offs - offs[0]).astype(np.int64)
+        keep = pc.is_null(pc.index_in(flat, value_set=freq))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        if len(flat):
+            # reduceat: clip duplicate/trailing indices (empty rows),
+            # then zero those rows' counts (reduceat would misreport)
+            starts = np.minimum(offs[:-1], len(flat) - 1)
+            kept_per_row = np.add.reduceat(keep_np.astype(np.int64),
+                                           starts)
+        else:
+            kept_per_row = np.zeros(len(ls), np.int64)
+        kept_per_row[np.diff(offs) == 0] = 0
+        new_offs = np.concatenate([[0], np.cumsum(kept_per_row)])
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.filter(keep))
+        return t.append_column(out, pc.binary_join(la, "\n"))
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -1241,6 +1241,110 @@ def cust_big_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def docs_length_ntile(sf_dir: str):
+    """Curriculum-style quartile binning by document length: a GLOBAL
+    row number under the total order (n_chars, doc_id) — one sort
+    shuffle + metadata-offset attach (ops.rank.global_row_number), no
+    driver materialization — then the explicit tile arithmetic both
+    engines state identically."""
+    from kgeng.ops.rank import global_row_number
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = docs.count()   # parquet metadata, no scan
+    rn = global_row_number(docs, by=["n_chars", "doc_id"], out="rn")
+
+    def tile(t: pa.Table) -> pa.Table:
+        r = t["rn"].to_numpy(zero_copy_only=False)
+        return t.append_column("tile", pa.array((r - 1) * 4 // n + 1))
+
+    return rn.map_batches(tile, batch_format="pyarrow")
+
+
+def top_event_per_user(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (ties -> the
+    lexicographically smallest). Partial counts shuffle, never rows;
+    per-key argmax inside 64 coarse buckets."""
+    from kgeng.ops.agg import grouped_mode
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type", out="top_event",
+                        count_out="n")
+
+
+def events_type_long(sf_dir: str):
+    """Unpivot round-trip: the wide per-user pivot melts back to long
+    (user_id, event_type, n) with zero cells dropped — oracle is the
+    direct SQL group-count, so melt correctness is hash-gated."""
+    from kgeng.ops.agg import melt
+
+    wide = events_type_pivot(sf_dir)
+    cols = [f"n_{e}" for e in EVENT_TYPES]
+    long = melt(wide, ["user_id"], cols, var_name="event_type",
+                value_name="n")
+
+    def clean(t: pa.Table) -> pa.Table:
+        et = pc.utf8_replace_slice(t["event_type"], 0, 2, "")  # strip n_
+        t = t.set_column(t.schema.get_field_index("event_type"),
+                         "event_type", et)
+        return t.filter(pc.greater(t["n"], 0))
+
+    return long.map_batches(clean, batch_format="pyarrow")
+
+
+def docs_boilerplate_removed(sf_dir: str):
+    """CCNet-style boilerplate line removal: lines present in >= 20
+    distinct documents are stripped from every document (surviving
+    line order preserved). The sf corpus has no newlines, so both
+    sides first append the same two lines — one shared boilerplate
+    line (removed everywhere) and one doc-unique line (kept) — which
+    exercises split/membership/rebuild on every row."""
+    from kgeng.ops.text import remove_frequent_lines
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_lines(t: pa.Table) -> pa.Table:
+        i = pc.cast(t["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            t["text"], pa.scalar("SUBSCRIBE TO OUR NEWSLETTER"),
+            pc.binary_join_element_wise(pa.scalar("uid "), i, ""), "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    out = remove_frequent_lines(
+        ds.map_batches(add_lines, batch_format="pyarrow"),
+        col="text", out="clean_text", min_docs=20)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "clean_text"]),
+        batch_format="pyarrow")
+
+
+def cust_order_profile_outer(sf_dir: str):
+    """FULL OUTER join of two per-customer aggregates (big-order counts
+    vs urgent-order counts): customers present on either side surface
+    exactly once, the missing side NULL — exercises hash_join
+    how='outer' (both sides pre-aggregated, one bucket shuffle)."""
+    from kgeng.ops.agg import salted_count
+    from kgeng.ops.join import hash_join
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_totalprice", "o_orderpriority"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0))
+                   .select(["o_custkey"]), batch_format="pyarrow")
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]), batch_format="pyarrow")
+    nb = salted_count(big, "o_custkey", out="n_big",
+                      key_type=pa.int64()) \
+        .map_batches(lambda t: t.rename_columns(["c_custkey", "n_big"]),
+                     batch_format="pyarrow")
+    nu = salted_count(urgent, "o_custkey", out="n_urgent",
+                      key_type=pa.int64()) \
+        .map_batches(lambda t: t.rename_columns(["c_custkey",
+                                                 "n_urgent"]),
+                     batch_format="pyarrow")
+    return hash_join(nb, nu, key="c_custkey", how="outer")
+
+
 def distinct_users_by_type(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — per-batch pair dedup
     shrinks the shuffle, one pair groupby, tiny final count."""

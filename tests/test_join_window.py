@@ -619,3 +619,82 @@ def test_approx_quantiles_degenerate_group_exact():
         ray.data.from_pandas(df), "k", "v", [0.5, 0.9]).to_pandas()
     a_vals = out[out["k"] == "a"]["quantile_value"].tolist()
     assert a_vals == [0.25, 0.25]
+
+
+def test_hash_join_full_outer_matches_pandas():
+    """Unmatched rows on BOTH sides surface exactly once, the other
+    side nulled; int columns of both sides surface float64."""
+    left = pa.table({"k": [1, 2, 2, 3], "a": [10, 20, 21, 30]})
+    right = pa.table({"k": [2, 4], "b": [200, 400]})
+    got = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    "k", num_buckets=4, how="outer").to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k", how="outer")
+    cols = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+    assert str(got["a"].dtype) == "float64"
+    assert str(got["b"].dtype) == "float64"
+    # salted outer must refuse (right replication duplicates rows)
+    import pytest
+
+    with pytest.raises(ValueError, match="outer"):
+        hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  "k", how="outer", salt=2)
+
+
+def test_global_row_number_dense_and_total():
+    import numpy as np
+
+    from kgeng.ops.rank import global_row_number
+
+    rng = np.random.default_rng(53)
+    v = rng.integers(0, 50, 300).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"id": np.arange(300), "v": v})).repartition(7)
+    out = global_row_number(ds, by=["v", "id"], out="rn").to_pandas()
+    out = out.sort_values(["v", "id"]).reset_index(drop=True)
+    assert out["rn"].tolist() == list(range(1, 301))
+
+
+def test_grouped_mode_tiebreak_and_counts():
+    from kgeng.ops.agg import grouped_mode
+
+    t = pa.table({"k": [1, 1, 1, 2, 2, 2, 2],
+                  "v": ["b", "a", "b", "z", "y", "z", "y"]})
+    out = grouped_mode(ray.data.from_arrow(t).repartition(3),
+                       "k", "v", out="top", count_out="n").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["top"].tolist() == ["b", "y"]   # k=2 tie 2-2 -> min "y"
+    assert out["n"].tolist() == [2, 2]
+
+
+def test_melt_roundtrip():
+    from kgeng.ops.agg import melt
+
+    wide = pa.table({"id": [1, 2], "n_a": [3, 0], "n_b": [1, 5]})
+    out = melt(ray.data.from_arrow(wide), ["id"], ["n_a", "n_b"],
+               var_name="var", value_name="n").to_pandas()
+    got = sorted(map(tuple, out[["id", "var", "n"]].values.tolist()))
+    assert got == [(1, "n_a", 3), (1, "n_b", 1),
+                   (2, "n_a", 0), (2, "n_b", 5)]
+
+
+def test_remove_frequent_lines_order_and_threshold():
+    from kgeng.ops.text import remove_frequent_lines
+
+    docs = pa.table({"doc_id": list(range(6)), "text": [
+        "keep me 0\nBOILER\nalso keep",
+        "BOILER\nkeep me 1",
+        "keep me 2\nBOILER",
+        "BOILER\nBOILER\nkeep me 3",   # twice in ONE doc: counts once
+        "keep me 4",
+        "rare line\nkeep me 5",        # rare line survives (df=1)
+    ]})
+    out = remove_frequent_lines(
+        ray.data.from_arrow(docs).repartition(3), col="text",
+        out="clean", min_docs=4).to_pandas().sort_values("doc_id")
+    assert out["clean"].tolist() == [
+        "keep me 0\nalso keep", "keep me 1", "keep me 2", "keep me 3",
+        "keep me 4", "rare line\nkeep me 5"]
