@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_per_user": Q.top_event_per_user,
         "events_type_long": Q.events_type_long,
         "docs_boilerplate_removed": Q.docs_boilerplate_removed,
+        "docs_tfidf_terms": Q.docs_tfidf_terms,
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
@@ -270,6 +271,22 @@ def oracle_sql() -> dict[str, str]:
         "events_type_long": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "docs_tfidf_terms": """
+            WITH tokens AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                         AS term
+              FROM documents),
+            dfm AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tokens GROUP BY 1
+                    HAVING count(DISTINCT doc_id) >= 5),
+            nn AS (SELECT count(*) AS n FROM documents),
+            tfm AS (SELECT doc_id, term, count(*) AS tf
+                    FROM tokens GROUP BY 1, 2)
+            SELECT tfm.doc_id, tfm.term, tfm.tf,
+                   round(tfm.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE)
+                                     / dfm.df), 6) AS tfidf
+            FROM tfm JOIN dfm ON dfm.term = tfm.term
         """,
         "docs_boilerplate_removed": """
             WITH withbp AS (

@@ -493,3 +493,55 @@ def remove_frequent_lines(ds: ray.data.Dataset, col: str = "text",
         return t.append_column(out, pc.binary_join(la, "\n"))
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def tfidf_terms(ds: ray.data.Dataset, col: str = "text",
+                id_col: str = "doc_id", min_df: int = 5,
+                n_docs: int | None = None,
+                ndigits: int = 6) -> ray.data.Dataset:
+    """Per-(document, term) TF-IDF for terms with df >= ``min_df``:
+    weight = tf_dt * ln(N / df_t), rounded to ``ndigits``.
+
+    Two passes: (1) :func:`term_stats` builds the pruned vocabulary's
+    df map, broadcast once via ``ray.put`` (pruned vocab is small by
+    construction — that's what min_df is for); (2) a stateless
+    vectorized pass computes per-doc term counts (C-level pandas
+    groupby inside the batch) and joins the broadcast df by
+    ``pc.index_in``. The token stream never shuffles."""
+    import pandas as pd
+    import ray as _ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    dfm = term_stats(ds, col=col, id_col=id_col, min_df=min_df) \
+        .to_pandas()
+    terms_arr = pa.array(dfm["term"].to_numpy(object), pa.string())
+    df_arr = dfm["df"].to_numpy(np.float64)
+    ref = _ray.put((terms_arr, df_arr))
+
+    def weigh(t: pa.Table) -> pa.Table:
+        vocab, dfv = _ray.get(ref)
+        toks = pc.split_pattern_regex(t[col], pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        rows = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        vi = pc.index_in(flat, value_set=vocab) \
+            .to_numpy(zero_copy_only=False)          # NaN = out of vocab
+        keep = ~np.isnan(vi)
+        g = pd.DataFrame({"row": rows[keep],
+                          "vi": vi[keep].astype(np.int64)})
+        c = g.groupby(["row", "vi"], sort=False).size().reset_index(
+            name="tf")
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tfv = c["tf"].to_numpy(np.float64)
+        vidx = c["vi"].to_numpy(np.int64)
+        w = tfv * np.log(float(n_docs) / dfv[vidx])
+        scale = 10.0 ** ndigits
+        w = np.floor(np.abs(w) * scale + 0.5) / scale * np.sign(w)
+        return pa.table({
+            id_col: pa.array(ids[c["row"].to_numpy(np.int64)]),
+            "term": pc.take(vocab, pa.array(vidx)),
+            "tf": pa.array(tfv.astype(np.int64)),
+            "tfidf": pa.array(w),
+        })
+
+    return ds.map_batches(weigh, batch_format="pyarrow")

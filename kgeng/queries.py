@@ -1291,6 +1291,16 @@ def events_type_long(sf_dir: str):
     return long.map_batches(clean, batch_format="pyarrow")
 
 
+def docs_tfidf_terms(sf_dir: str):
+    """Per-(doc, term) TF-IDF over the min_df>=5 vocabulary: the df map
+    is one term_stats aggregation broadcast once; the weighting pass is
+    stateless and vectorized (the token stream never shuffles)."""
+    from kgeng.ops.text import tfidf_terms
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_terms(docs, col="text", id_col="doc_id", min_df=5)
+
+
 def docs_boilerplate_removed(sf_dir: str):
     """CCNet-style boilerplate line removal: lines present in >= 20
     distinct documents are stripped from every document (surviving
