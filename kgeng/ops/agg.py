@@ -256,14 +256,18 @@ def partial_sum(ds: ray.data.Dataset, key: str, value: str,
 
 def grouped_mode(ds: ray.data.Dataset, key: str, value: str,
                  out: str = "top_value", count_out: str = "n",
-                 num_buckets: int = 64) -> ray.data.Dataset:
+                 num_buckets: int = 64,
+                 key_type=pa.int64(),
+                 value_type=pa.string()) -> ray.data.Dataset:
     """Most frequent ``value`` per ``key`` (the grouped MODE / argmax),
     deterministic tiebreak: the smallest value wins. Plan: per-batch
     vectorized (key, value) partial counts (the shuffle moves partials,
     not rows), ONE global (key, value) sum, then a per-key argmax via
     coarse key buckets + a C-level pandas reduction inside each bucket
     (millions of tiny map_groups are pathological; 64 buckets are not).
-    Returns Dataset(key, out, count_out)."""
+    Returns Dataset(key, out, count_out). ``key_type``/``value_type``
+    state the column types for the zero-column empty partitions the
+    groupby can emit (schema can't be inferred from an empty block)."""
     import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
@@ -278,8 +282,8 @@ def grouped_mode(ds: ray.data.Dataset, key: str, value: str,
         from kgeng.ops.join import _bucket_ids
 
         if t.num_columns < 3:
-            return pa.table({key: pa.array([], pa.int64()),
-                             value: pa.array([], pa.string()),
+            return pa.table({key: pa.array([], key_type),
+                             value: pa.array([], value_type),
                              "c": pa.array([], pa.int64()),
                              "__b": pa.array([], pa.int32())})
         t = t.rename_columns([key, value, "c"])

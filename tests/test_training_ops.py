@@ -753,3 +753,35 @@ def test_grouped_string_agg_ordered():
         order_by=["o", "t"], out="s").to_pandas()
     got = dict(zip(out["k"], out["s"]))
     assert got == {"a": "y,z,x", "b": "q,p"}
+
+
+def test_tfidf_terms_matches_brute_force():
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kgeng.ops.text import tfidf_terms
+
+    texts = ["cat dog cat", "dog fish", "cat fish fish dog",
+             "bird", "dog dog dog"]
+    docs = pa.table({"doc_id": list(range(5)), "text": texts})
+    out = tfidf_terms(ray.data.from_arrow(docs).repartition(2),
+                      min_df=2).to_pandas()
+    got = {(r.doc_id, r.term): (r.tf, r.tfidf)
+           for r in out.itertuples()}
+
+    # brute force: df over distinct docs, weights rounded half-away
+    from collections import Counter
+    df = Counter()
+    for t in texts:
+        df.update(set(t.split()))
+    want = {}
+    for i, t in enumerate(texts):
+        for term, tf in Counter(t.split()).items():
+            if df[term] >= 2:
+                w = tf * math.log(5.0 / df[term])
+                w = np.floor(abs(w) * 1e6 + 0.5) / 1e6 * np.sign(w)
+                want[(i, term)] = (tf, w)
+    assert got == want
