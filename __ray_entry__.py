@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_long": Q.events_type_long,
         "docs_boilerplate_removed": Q.docs_boilerplate_removed,
         "docs_tfidf_terms": Q.docs_tfidf_terms,
+        "docs_repetition_ratio": Q.docs_repetition_ratio,
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
@@ -271,6 +272,29 @@ def oracle_sql() -> dict[str, str]:
         "events_type_long": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "docs_repetition_ratio": """
+            WITH wtail AS (
+              SELECT doc_id,
+                     text || repeat(' buy now buy now buy now',
+                                    CAST(doc_id % 3 AS INTEGER)) AS text
+              FROM documents),
+            toks AS (SELECT doc_id,
+                            regexp_extract_all(text, '\\S+') AS tk
+                     FROM wtail),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(tk) - 2, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         AS gs
+              FROM toks)
+            SELECT doc_id,
+                   round(CASE WHEN len(gs) > 0
+                              THEN 1.0 - CAST(len(list_distinct(gs))
+                                              AS DOUBLE) / len(gs)
+                              ELSE 0.0 END, 6) AS rep_ratio
+            FROM grams
         """,
         "docs_tfidf_terms": """
             WITH tokens AS (

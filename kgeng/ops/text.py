@@ -545,3 +545,55 @@ def tfidf_terms(ds: ray.data.Dataset, col: str = "text",
         })
 
     return ds.map_batches(weigh, batch_format="pyarrow")
+
+
+def repetition_ratio(ds: ray.data.Dataset, col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     out: str = "rep_ratio",
+                     ndigits: int = 6) -> ray.data.Dataset:
+    """Intra-document repetition: 1 - distinct_token_ngrams / total
+    (0 = no repeated n-gram, ->1 = highly repetitive) — the standard
+    boilerplate/spam quality signal. Stateless vectorized pass: Arrow
+    split, one flat token array with row provenance, consecutive-gram
+    hash join masked at row boundaries, per-row distinct counts via one
+    C-level pandas dedup. Docs with fewer than ``n`` tokens score 0."""
+    import pandas as pd
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        flat = toks.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        offs = toks.combine_chunks().offsets.to_numpy(
+            zero_copy_only=False)
+        offs = offs - offs[0]
+        rows = np.repeat(np.arange(len(toks)), np.diff(offs))
+        keep = flat != ""
+        flat, rows = flat[keep], rows[keep]
+        nrows = len(t)
+        total = np.zeros(nrows, np.int64)
+        dist = np.zeros(nrows, np.int64)
+        if len(flat) >= n:
+            # gram STRINGS (not hashes): the distinct count must match
+            # an exact-string SQL oracle, and 64-bit gram hashes are
+            # only almost-always collision-free
+            m = len(flat) - n + 1
+            parts = [pa.array(flat[k: m + k], pa.string())
+                     for k in range(n)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            same = rows[:m] == rows[n - 1:]
+            gr = rows[:m][same]
+            gs = grams.to_numpy(zero_copy_only=False)[same]
+            if len(gr):
+                total = np.bincount(gr, minlength=nrows).astype(np.int64)
+                d = pd.DataFrame({"r": gr, "g": gs}).drop_duplicates()
+                dist = np.bincount(d["r"].to_numpy(np.int64),
+                                   minlength=nrows).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(total > 0, 1.0 - dist / np.maximum(total, 1),
+                             0.0)
+        scale = 10.0 ** ndigits
+        ratio = np.floor(ratio * scale + 0.5) / scale
+        return pa.table({id_col: t[id_col], out: pa.array(ratio)})
+
+    return ds.map_batches(f, batch_format="pyarrow")

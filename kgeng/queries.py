@@ -1291,6 +1291,29 @@ def events_type_long(sf_dir: str):
     return long.map_batches(clean, batch_format="pyarrow")
 
 
+def docs_repetition_ratio(sf_dir: str):
+    """Intra-doc repetition quality signal: 1 - distinct/total token
+    trigrams per document (stateless vectorized pass, no shuffle).
+    Each side appends the same repeated tail so the signal is nonzero
+    on the repetition-free synthetic corpus."""
+    from kgeng.ops.text import repetition_ratio
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_tail(t: pa.Table) -> pa.Table:
+        # doc_id % 3 copies of a repeated phrase: rows genuinely differ
+        reps = pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 3, pa.int64())
+        tail = pc.binary_repeat(pa.scalar(" buy now buy now buy now"),
+                                reps)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.binary_join_element_wise(
+                             t["text"], tail, "")})
+
+    return repetition_ratio(
+        ds.map_batches(add_tail, batch_format="pyarrow"), n=3)
+
+
 def docs_tfidf_terms(sf_dir: str):
     """Per-(doc, term) TF-IDF over the min_df>=5 vocabulary: the df map
     is one term_stats aggregation broadcast once; the weighting pass is

@@ -785,3 +785,21 @@ def test_tfidf_terms_matches_brute_force():
                 w = np.floor(abs(w) * 1e6 + 0.5) / 1e6 * np.sign(w)
                 want[(i, term)] = (tf, w)
     assert got == want
+
+
+def test_repetition_ratio_exact():
+    import pyarrow as pa
+    import ray.data
+
+    from kgeng.ops.text import repetition_ratio
+
+    docs = pa.table({"doc_id": [0, 1, 2, 3], "text": [
+        "a b c a b c a b c",   # grams: 7 total, distinct {abc,bca,cab}=3
+        "x y z w",             # 2 grams, both distinct -> 0
+        "q q",                 # < 3 tokens -> 0
+        "",                    # empty -> 0
+    ]})
+    out = repetition_ratio(ray.data.from_arrow(docs).repartition(2),
+                           n=3).to_pandas().sort_values("doc_id")
+    assert out["rep_ratio"].tolist() == [
+        round(1 - 3 / 7, 6), 0.0, 0.0, 0.0]
