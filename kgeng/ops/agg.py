@@ -307,13 +307,19 @@ def melt(ds: ray.data.Dataset, id_cols: list[str],
          value_name: str = "value") -> ray.data.Dataset:
     """Wide -> long unpivot (the inverse of :func:`pivot_count`): each
     row emits one output row per value column. Pure per-batch Arrow
-    concat — stateless, no shuffle, any scale."""
+    concat — stateless, no shuffle, any scale. Heterogeneous value
+    columns promote to float64 (concat requires one value type);
+    homogeneous columns keep their type."""
     def mb(t: pa.Table) -> pa.Table:
+        vtypes = {str(t.schema.field(c).type) for c in value_cols}
         parts = []
         for c in value_cols:
             cols = {i: t[i] for i in id_cols}
             cols[var_name] = pa.array([c] * len(t), pa.string())
-            cols[value_name] = t[c]
+            v = t[c]
+            if len(vtypes) > 1:
+                v = pc.cast(v, pa.float64())
+            cols[value_name] = v
             parts.append(pa.table(cols))
         return pa.concat_tables(parts)
 

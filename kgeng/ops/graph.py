@@ -117,8 +117,10 @@ def _ends_block(blk, src: str, dst: str):
     """Distinct endpoint ids of one block (driver unions the <=2E,
     <=blocks*N total — effectively N-bounded whenever E >> N, and when
     it isn't, N ~ 2E anyway)."""
+    # int64 regardless of the edge columns' width: node ids / output
+    # schemas must not silently inherit e.g. int32 from the source
     return np.unique(np.concatenate(
-        [_blk_col(blk, src), _blk_col(blk, dst)]))
+        [_blk_col(blk, src), _blk_col(blk, dst)])).astype(np.int64)
 
 
 @ray.remote
@@ -166,7 +168,9 @@ class _IndexedEdges:
     ``ray.put`` (workers read zero-copy from plasma)."""
 
     def __init__(self, edges: ray.data.Dataset, nodes: np.ndarray | None,
-                 src: str, dst: str, weight: str | None = None):
+                 src: str, dst: str, weight: str | None = None,
+                 max_nodes: int | None = None,
+                 max_nodes_hint: str = ""):
         blk_refs = [r for b in edges.iter_internal_ref_bundles()
                     for r in b.block_refs]
         if nodes is None:
@@ -178,6 +182,12 @@ class _IndexedEdges:
                      else np.zeros(0, np.int64))
         self.nodes = nodes
         self.n = len(nodes)
+        # scale cutovers fire HERE — after node discovery, BEFORE the
+        # expensive per-edge index staging below
+        if max_nodes is not None and self.n > max_nodes:
+            raise ValueError(
+                f"{self.n} nodes exceeds the plan-A driver bound "
+                f"{max_nodes}. {max_nodes_hint}")
         nodes_ref = ray.put(nodes)
         self.idx = [_index_block.remote(r, nodes_ref, src, dst, weight)
                     for r in blk_refs]
@@ -296,11 +306,7 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
         lambda t: pa.table({"node": t[src], "dst_": t[dst]}),
         batch_format="pyarrow").materialize()
 
-    nodes = eproj.map_batches(
-        lambda t: _node_ids(t, "node", "dst_"),
-        batch_format="pyarrow").groupby("node").count() \
-        .map_batches(lambda t: t.select(["node"]),
-                     batch_format="pyarrow").materialize()
+    nodes = _nodes_dataset(eproj, "node", "dst_")
     n = nodes.count()
     deg = eproj.groupby("node").count().map_batches(
         lambda t: pa.table({"node": t["node"],
@@ -394,7 +400,11 @@ def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
 
     si0 = int(np.searchsorted(nodes, source))
     if si0 >= n or nodes[si0] != source:
-        raise ValueError(f"source {source} has no edges in the graph")
+        # isolated source: the seeded-CTE oracle semantics — one row
+        # (source, 0) — not an error (matches the pre-round-4 contract)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([source], pa.int64()),
+            "dist": pa.array([0], pa.int64())}))
     dist = np.full(n, -1, np.int64)
     dist[si0] = 0
     frontier = np.zeros(n, bool)
@@ -435,13 +445,13 @@ def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
 
     # raw-task structure + sweeps over indexed blocks (_IndexedEdges):
     # per half-round cost is <= blocks task launches + the n-bounded
-    # reduce, not a full streaming-executor startup
-    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    # reduce, not a full streaming-executor startup. The node cutover
+    # fires before index staging (inside _IndexedEdges).
+    idx = _IndexedEdges(
+        _bounded_blocks(edges), None, src, dst, max_nodes=50_000_000,
+        max_nodes_hint=("hits plan A holds two n-float64 vectors on "
+                        "the driver; use state='distributed'."))
     nodes, n = idx.nodes, idx.n
-    if n > 50_000_000:
-        raise ValueError(
-            f"hits plan A holds two {n}-float64 vectors on the driver; "
-            "use state='distributed' beyond ~5e7 nodes.")
 
     def norm(x: np.ndarray) -> np.ndarray:
         s = np.sqrt(float((x * x).sum()))
@@ -462,11 +472,16 @@ def _nodes_dataset(proj: ray.data.Dataset, a: str,
                    b: str) -> ray.data.Dataset:
     """Distinct endpoint ids of a projected edge Dataset, as a
     materialized single-column (node) Dataset."""
+    def pick(t: pa.Table) -> pa.Table:
+        # the groupby can emit zero-column empty partitions
+        if "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64())})
+        return pa.table({"node": pc.cast(t["node"], pa.int64())})
+
     return proj.map_batches(
         lambda t: _node_ids(t, a, b), batch_format="pyarrow") \
         .groupby("node").count() \
-        .map_batches(lambda t: t.select(["node"]),
-                     batch_format="pyarrow").materialize()
+        .map_batches(pick, batch_format="pyarrow").materialize()
 
 
 def _flow_sum(proj: ray.data.Dataset, vec: ray.data.Dataset,
@@ -540,7 +555,10 @@ def _hits_distributed(edges: ray.data.Dataset, src: str, dst: str,
     hub = nodes.map_batches(
         lambda t: t.append_column("v", pa.array(
             np.full(len(t), h0))), batch_format="pyarrow").materialize()
-    auth = None
+    # auth starts all-zero (matches plan A's iters=0 output)
+    auth = nodes.map_batches(
+        lambda t: t.append_column("v", pa.array(
+            np.zeros(len(t)))), batch_format="pyarrow").materialize()
     for _ in range(iters):
         auth = normalize(_flow_sum(fwd, hub, nodes))
         hub = normalize(_flow_sum(rev, auth, nodes))
@@ -589,17 +607,18 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     reachable ball's edges).
     """
     # ONE materialized copy: src-sorted blocks (disjoint source ranges
-    # per block) keep each round's per-block output N-bounded in total
+    # per block) keep each round's per-block output N-bounded in total.
+    # The node cutover fires before index staging (inside _IndexedEdges).
     by_src = edges.sort(src).materialize()
-    idx = _IndexedEdges(by_src, None, src, dst)
+    idx = _IndexedEdges(
+        by_src, None, src, dst, max_nodes=max_driver_nodes,
+        max_nodes_hint=(f"effective_closeness max_driver_nodes="
+                        f"{max_driver_nodes}: the driver register "
+                        f"matrix is n x 2^p bytes. Lower p, raise the "
+                        "bound on a bigger driver, or partition the "
+                        "node space and union the per-part results "
+                        "(registers union exactly)."))
     nodes, n = idx.nodes, idx.n
-    if n > max_driver_nodes:
-        raise ValueError(
-            f"effective_closeness: {n} nodes exceeds max_driver_nodes="
-            f"{max_driver_nodes} (driver register matrix would be "
-            f"{n * (1 << p) / 1e9:.1f} GB). Lower p, raise the bound on "
-            "a bigger driver, or partition the node space and union "
-            "the per-part results (registers union exactly).")
     m = 1 << p
 
     # init: each node's ball contains itself
@@ -712,6 +731,17 @@ def _bellman_ford_distributed(edges: ray.data.Dataset, source: int,
                             "other": pc.cast(t[dst], pa.int64()),
                             "w": pc.cast(t[weight], pa.int64())}),
         batch_format="pyarrow").materialize()
+
+    # same contract as plan A: an absent source is an error, not a
+    # phantom (source, 0) row — one streaming membership pass
+    hits_src = eproj.map_batches(
+        lambda t: pa.table({"h": pa.array([int(
+            pc.sum(pc.cast(pc.or_(pc.equal(t["node"], source),
+                                  pc.equal(t["other"], source)),
+                           pa.int64())).as_py() or 0)])}),
+        batch_format="pyarrow").sum("h")
+    if not hits_src:
+        raise ValueError(f"source {source} has no edges in the graph")
 
     dist = ray.data.from_arrow(pa.table({
         "node": pa.array([source], pa.int64()),

@@ -47,10 +47,13 @@ def _feat_sum_batches(t: pa.Table) -> pa.Table:
     queries so their rows-only pins stay byte-comparable).
 
     Vectorized list-sum: flatten the list column once, widen to float64
-    (the old per-row path summed Python floats, i.e. float64 — keeping
-    the widening keeps the pinned values bit-identical), row-sum with a
-    reshape when widths are uniform (the featurizer emits fixed dim)
-    else one ``np.add.reduceat`` pass."""
+    (the old per-row path summed Python floats, i.e. float64). The
+    uniform-width reshape path (the featurizer always emits fixed dim,
+    so it is the one that runs) is bit-identical to the old per-row
+    ``np.sum`` — same pairwise reduction over the same float64 values.
+    The ragged fallback uses ``np.add.reduceat`` (sequential order, NOT
+    bit-identical in the last ulp); the round-to-4 output makes that
+    difference immaterial there."""
     col = t["features"].combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     offs = col.offsets.to_numpy(zero_copy_only=False)

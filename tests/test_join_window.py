@@ -698,3 +698,66 @@ def test_remove_frequent_lines_order_and_threshold():
     assert out["clean"].tolist() == [
         "keep me 0\nalso keep", "keep me 1", "keep me 2", "keep me 3",
         "keep me 4", "rare line\nkeep me 5"]
+
+
+def test_melt_mixed_types_promotes_float64():
+    from kgeng.ops.agg import melt
+
+    wide = pa.table({"id": [1], "a": [2], "b": [0.5]})
+    out = melt(ray.data.from_arrow(wide), ["id"], ["a", "b"],
+               var_name="var", value_name="v").to_pandas()
+    assert str(out["v"].dtype) == "float64"
+    assert sorted(out["v"].tolist()) == [0.5, 2.0]
+
+
+def test_sssp_isolated_source_returns_seed_row():
+    import numpy as np
+
+    from kgeng.ops.graph import sssp_hops
+
+    et = pa.table({"src": np.array([1, 2], np.int64),
+                   "dst": np.array([2, 3], np.int64)})
+    out = sssp_hops(ray.data.from_arrow(et), source=99).to_pandas()
+    assert out.values.tolist() == [[99, 0]]
+
+
+def test_bellman_ford_planB_absent_source_raises():
+    import numpy as np
+    import pytest
+
+    from kgeng.ops.graph import bellman_ford_rounds
+
+    et = pa.table({"src": np.array([1], np.int64),
+                   "dst": np.array([2], np.int64),
+                   "w": np.array([1], np.int64)})
+    with pytest.raises(ValueError, match="no edges"):
+        bellman_ford_rounds(ray.data.from_arrow(et), source=42,
+                            rounds=2, state="distributed")
+
+
+def test_hits_distributed_zero_iters_matches_plan_a():
+    import numpy as np
+
+    from kgeng.ops.graph import hits
+
+    et = pa.table({"src": np.array([1, 2], np.int64),
+                   "dst": np.array([2, 3], np.int64)})
+    a = hits(ray.data.from_arrow(et), iters=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = hits(ray.data.from_arrow(et), iters=0,
+             state="distributed").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a["hub"].tolist() == b["hub"].tolist()
+    assert a["auth"].tolist() == b["auth"].tolist()
+
+
+def test_graph_ops_int32_edges_emit_int64_nodes():
+    import numpy as np
+
+    from kgeng.ops.graph import pagerank
+
+    et = pa.table({"src": pa.array([0, 1, 2], pa.int32()),
+                   "dst": pa.array([1, 2, 0], pa.int32())})
+    out = pagerank(ray.data.from_arrow(et), iters=2)
+    tbl = pa.Table.from_pandas(out.to_pandas())
+    assert str(tbl.schema.field("node").type) == "int64"
