@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate_removed": Q.docs_boilerplate_removed,
         "docs_tfidf_terms": Q.docs_tfidf_terms,
         "docs_repetition_ratio": Q.docs_repetition_ratio,
+        "lineitem_linerank": Q.lineitem_linerank,
+        "lineitem_scc": Q.lineitem_scc,
+        "lineitem_slpa": Q.lineitem_slpa,
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
@@ -239,6 +242,34 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_sssp": Q.SSSP_ORACLE,
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
+        "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
+        "lineitem_scc": """
+            WITH RECURSIVE base AS (
+              SELECT CASE WHEN l_quantity <= 25 THEN l_orderkey * 2
+                          ELSE l_partkey * 2 + 1 END AS src,
+                     CASE WHEN l_quantity <= 25 THEN l_partkey * 2 + 1
+                          ELSE l_orderkey * 2 END AS dst
+              FROM lineitem WHERE l_orderkey < 800),
+            edges AS (SELECT DISTINCT src, dst FROM base),
+            -- explicit DISTINCT: inside WITH RECURSIVE, a bare UNION
+            -- CTE was observed to emit duplicate rows (duckdb 1.x)
+            nodes AS (SELECT DISTINCT node FROM (
+                        SELECT src AS node FROM edges
+                        UNION ALL SELECT dst FROM edges)),
+            reach(a, b) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+            mutual AS (
+              SELECT r1.b AS node, min(r1.a) AS m
+              FROM reach r1 JOIN reach r2
+                ON r2.a = r1.b AND r2.b = r1.a
+              GROUP BY 1)
+            SELECT n.node,
+                   CAST(least(n.node, coalesce(mv.m, n.node)) AS BIGINT)
+                       AS scc_id
+            FROM nodes n LEFT JOIN mutual mv ON mv.node = n.node
+        """,
         "cust_order_profile_outer": """
             -- counts cast to DOUBLE: the full-outer join surfaces both
             -- sides' nullable ints as float64 (NaN = absent side)

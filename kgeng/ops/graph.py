@@ -770,3 +770,228 @@ def _bellman_ford_distributed(edges: ray.data.Dataset, source: int,
             break
         prev = cur
     return dist
+
+
+def line_graph(edges: ray.data.Dataset, src: str = "src",
+               dst: str = "dst", num_buckets: int = 32
+               ) -> ray.data.Dataset:
+    """Directed line-graph transform: every edge (a, b) becomes a node
+    (id = a*2^32 + b, exact while ids < 2^31 — loudly guarded), and
+    consecutive edges (a, b) -> (b, c) become line edges. One
+    hash-partitioned self-join on the shared endpoint (the same
+    primitive as hash_join), no other shuffle.
+
+    Size note (100 TB): |line edges| = sum over nodes of in*out degree —
+    hot-hub graphs explode quadratically; pre-filter or cap hub degrees
+    upstream when materializing line graphs of power-law inputs."""
+    from kgeng.ops.join import hash_join
+
+    def proj(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            s = t[src].to_numpy(zero_copy_only=False)
+            d = t[dst].to_numpy(zero_copy_only=False)
+            if len(s) and (max(s.max(), d.max()) >= 1 << 31
+                           or min(s.min(), d.min()) < 0):
+                raise ValueError("line_graph packs (src, dst) into one "
+                                 "int64; ids must be in [0, 2^31)")
+            eid = pa.array((s.astype(np.int64) << 32) | d.astype(np.int64))
+            key = t[dst] if which == "l" else t[src]
+            return pa.table({"k": pc.cast(key, pa.int64()), "eid": eid})
+        return f
+
+    left = edges.map_batches(proj("l"), batch_format="pyarrow")
+    right = edges.map_batches(proj("r"), batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(["k", "eid2"]),
+                     batch_format="pyarrow")
+    joined = hash_join(left, right, key="k", num_buckets=num_buckets,
+                       how="inner")
+    return joined.map_batches(
+        lambda t: pa.table({
+            "src": pc.cast(t["eid"], pa.int64()),
+            "dst": pc.cast(t["eid2"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def linerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
+             iters: int = 5, damping: float = 0.85,
+             ndigits: int = 9) -> ray.data.Dataset:
+    """LineRank ('linerank' in the reference's Pregel list,
+    arguments.py:187-188): PageRank over the line graph — pure
+    composition of :func:`line_graph` and :func:`pagerank`, so every
+    rounding/scale property of pagerank carries over. Returns
+    Dataset(node, rank) where node is the packed edge id."""
+    return pagerank(line_graph(edges, src, dst), iters=iters,
+                    damping=damping, ndigits=ndigits)
+
+
+@ray.remote
+def _minlab_block(idx, lab: np.ndarray, active: np.ndarray):
+    """Forward min-label candidates over one block, restricted to
+    edges whose BOTH endpoints are active (unassigned)."""
+    si, di, _ = idx
+    ok = active[si] & active[di]
+    cand = np.full(len(lab), np.int64(1 << 62), np.int64)
+    np.minimum.at(cand, di[ok], lab[si[ok]])
+    return cand
+
+
+@ray.remote
+def _backreach_block(idx, lab: np.ndarray, reach: np.ndarray,
+                     active: np.ndarray):
+    """Backward-reachability candidates: v reaches the root if some
+    edge v->u has lab(v) == lab(u), u already reaching, both active."""
+    si, di, _ = idx
+    ok = active[si] & active[di] & (lab[si] == lab[di]) & reach[di]
+    return np.unique(si[ok])
+
+
+def scc(edges: ray.data.Dataset, src: str = "src",
+        dst: str = "dst") -> ray.data.Dataset:
+    """Strongly connected components ('scc' in the reference's Pregel
+    list, arguments.py:187) via the Pregel-style forward-backward
+    COLORING algorithm (Orzan): repeat — (1) propagate min node id
+    forward to a fixpoint over the unassigned subgraph (coloring),
+    (2) from each color's root (the node owning the min id), walk
+    BACKWARD within its color; nodes that both carry the color and
+    reach its root form one SCC — assign and remove. Every phase is a
+    raw-task fan-out over the indexed edge blocks (plan-A shape:
+    driver label/frontier vectors, node-count bounded). Returns
+    Dataset(node, scc_id) where scc_id = min node id in the component
+    (so the result is partition- and order-invariant by construction).
+    """
+    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    nodes, n = idx.nodes, idx.n
+    scc_id = np.full(n, -1, np.int64)
+    active = np.ones(n, bool)
+
+    while active.any():
+        # ---- forward min-label coloring to fixpoint
+        lab = np.where(active, nodes, np.int64(1 << 62))
+        while True:
+            ref_l, ref_a = ray.put(lab), ray.put(active)
+            new = lab.copy()
+            for part in ray.get([_minlab_block.remote(i, ref_l, ref_a)
+                                 for i in idx.idx]):
+                np.minimum(new, part, out=new)
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        # ---- multi-pivot backward reachability within colors
+        reach = active & (lab == nodes)      # each color's root
+        while True:
+            ref_l, ref_r, ref_a = ray.put(lab), ray.put(reach), \
+                ray.put(active)
+            grew = False
+            new = reach.copy()
+            for part in ray.get([_backreach_block.remote(
+                    i, ref_l, ref_r, ref_a) for i in idx.idx]):
+                before = new[part]
+                new[part] = True
+                if not before.all():
+                    grew = True
+            if not grew:
+                break
+            reach = new
+        done = active & reach
+        scc_id[done] = lab[done]
+        active &= ~done
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "scc_id": pa.array(scc_id)}))
+
+
+@ray.remote
+def _slpa_block(idx, nodes: np.ndarray, mem: np.ndarray, r: int):
+    """One SLPA speak step over a block: edge u->v delivers one label
+    from speaker u's memory (slot chosen by a partition-invariant hash
+    of (round, u_id, v_id) over the r filled slots). Returns packed
+    (listener_pos << 32 | label_pos, count) distinct pairs."""
+    from kgeng.ops.agg import _splitmix64
+
+    si, di, _ = idx
+    if not len(si):
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    h = _splitmix64(nodes[si].astype(np.uint64)
+                    ^ (nodes[di].astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15))
+                    ^ np.uint64(r))
+    slot = (h % np.uint64(r)).astype(np.int64)
+    lab = mem[si, slot]
+    pack = (di.astype(np.int64) << 32) | lab.astype(np.int64)
+    uniq, cnt = np.unique(pack, return_counts=True)
+    return (uniq, cnt.astype(np.int64))
+
+
+def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
+         rounds: int = 10, threshold: float = 0.2) -> ray.data.Dataset:
+    """SLPA overlapping community detection ('slpa' in the reference's
+    Pregel list, arguments.py:187-188), deterministic variant: the
+    speaker's memory slot is chosen by a hash of (round, speaker id,
+    listener id) — partition/order invariant, so results are stable
+    across cluster shapes (pinned rather than SQL-checked: the
+    algorithm is inherently non-relational). Plan-A shape: the n x
+    (rounds+1) label-memory matrix is driver-held (node-bounded, like
+    pagerank's vectors); each round is one raw-task fan-out over the
+    indexed edge blocks; per-round driver ingest is the distinct
+    (listener, label) pair set (<= E, vocabulary-bounded in practice).
+
+    Returns Dataset(node, primary_label, n_communities, communities)
+    where communities are the labels (node ids) held in >= threshold
+    of memory, sorted, '|'-joined."""
+    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    nodes, n = idx.nodes, idx.n
+    mem = np.zeros((n, rounds + 1), np.int64)
+    mem[:, 0] = np.arange(n)
+
+    for r in range(1, rounds + 1):
+        nodes_ref = ray.put(nodes)
+        mem_ref = ray.put(mem[:, :r])
+        got = ray.get([_slpa_block.remote(i, nodes_ref, mem_ref, r)
+                       for i in idx.idx])
+        packs = np.concatenate([g[0] for g in got])
+        cnts = np.concatenate([g[1] for g in got])
+        new_col = np.arange(n)            # silent listeners keep self
+        if len(packs):
+            uniq, inv = np.unique(packs, return_inverse=True)
+            tot = np.zeros(len(uniq), np.int64)
+            np.add.at(tot, inv, cnts)
+            li = (uniq >> 32).astype(np.int64)
+            lab = (uniq & np.int64((1 << 32) - 1)).astype(np.int64)
+            # per-listener argmax, tiebreak smallest label: sort by
+            # (listener, -count, label), take first per listener
+            order = np.lexsort((lab, -tot, li))
+            li_s, lab_s = li[order], lab[order]
+            first = np.ones(len(li_s), bool)
+            first[1:] = li_s[1:] != li_s[:-1]
+            new_col[li_s[first]] = lab_s[first]
+        mem[:, r] = new_col
+
+    # post-process, vectorized: one flat (node, label) count pass over
+    # the whole memory matrix, then per-node argmax / threshold filter
+    need = int(np.ceil(threshold * (rounds + 1)))
+    rows = np.repeat(np.arange(n, dtype=np.int64), rounds + 1)
+    pack = (rows << 32) | mem.reshape(-1)
+    uniq, cnt = np.unique(pack, return_counts=True)
+    ri = (uniq >> 32).astype(np.int64)
+    lab = (uniq & np.int64((1 << 32) - 1)).astype(np.int64)
+    order = np.lexsort((lab, -cnt, ri))      # per row: count desc, label asc
+    ri_s, lab_s = ri[order], lab[order]
+    first = np.ones(len(ri_s), bool)
+    first[1:] = ri_s[1:] != ri_s[:-1]
+    prim = nodes[lab_s[first]][np.argsort(ri_s[first], kind="stable")] \
+        if len(ri_s) else np.zeros(0, np.int64)
+    keepm = cnt >= need
+    ncom = np.bincount(ri[keepm], minlength=n).astype(np.int64)
+    # communities string: join only the kept labels (few per node)
+    kr, kl = ri[keepm], nodes[lab[keepm]]
+    o2 = np.lexsort((kl, kr))
+    kr, kl = kr[o2], kl[o2]
+    bounds = np.searchsorted(kr, np.arange(n + 1))
+    coms = ["|".join(map(str, kl[bounds[i]:bounds[i + 1]]))
+            for i in range(n)]
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes),
+        "primary_label": pa.array(prim),
+        "n_communities": pa.array(ncom),
+        "communities": pa.array(coms, pa.string()),
+    }))

@@ -967,6 +967,125 @@ def pagerank_oracle_sql(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def lineitem_linerank(sf_dir: str):
+    """Native LineRank ('linerank' in the reference's Pregel list):
+    PageRank over the LINE GRAPH of the bulk-order subgraph
+    (l_quantity > 45 keeps the quadratic line-graph blowup bounded at
+    sf scale; linerank itself is the pure composition
+    pagerank(line_graph(edges)))."""
+    from kgeng.ops.graph import linerank
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45))
+        s = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        d = t["l_partkey"].to_numpy(zero_copy_only=False)
+        key = np.unique((s.astype(np.int64) * 2) << 32
+                        | (d.astype(np.int64) * 2 + 1))
+        sp, dp = key >> 32, key & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([sp, dp])),
+            "dst": pa.array(np.concatenate([dp, sp]))})
+
+    # global dedup: the oracle's line graph is over DISTINCT base edges
+    from kgeng.pipeline import distinct
+
+    edges = distinct(li.map_batches(pairs, batch_format="pyarrow"),
+                     ["src", "dst"])
+    return linerank(edges, iters=3)
+
+
+def lineitem_scc(sf_dir: str):
+    """Native strongly-connected components ('scc' in the reference's
+    Pregel list) over a DIRECTED mixed-orientation subgraph: order ->
+    part when quantity <= 25, part -> order when > 25 (cycles arise
+    where a part both receives and sends), restricted to
+    l_orderkey < 800 so the oracle's transitive closure stays small.
+    scc_id = min node id in the component (order/partition invariant).
+    """
+    from kgeng.ops.graph import scc
+    from kgeng.pipeline import distinct
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_orderkey"], 800))
+        s = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        fwd = t["l_quantity"].to_numpy(zero_copy_only=False) <= 25
+        return pa.table({
+            "src": pa.array(np.where(fwd, s, p).astype(np.int64)),
+            "dst": pa.array(np.where(fwd, p, s).astype(np.int64))})
+
+    edges = distinct(li.map_batches(pairs, batch_format="pyarrow"),
+                     ["src", "dst"])
+    return scc(edges)
+
+
+def lineitem_slpa(sf_dir: str):
+    """Native SLPA overlapping-community detection ('slpa' in the
+    reference's Pregel list) over the symmetric bulk-order subgraph —
+    deterministic seeded speaker choice, so the output is pinned
+    (rows-only: community detection has no SQL analogue)."""
+    from kgeng.ops.graph import slpa
+    from kgeng.pipeline import distinct
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45))
+        s = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({
+            "src": pa.array(np.concatenate([s, p]).astype(np.int64)),
+            "dst": pa.array(np.concatenate([p, s]).astype(np.int64))})
+
+    edges = distinct(li.map_batches(pairs, batch_format="pyarrow"),
+                     ["src", "dst"])
+    return slpa(edges, rounds=10, threshold=0.2)
+
+
+def linerank_oracle_sql(iters: int = 3) -> str:
+    """PageRank unrolled CTE over the line graph of the bulk-order
+    subgraph — same per-round rounding as pagerank_oracle_sql; line
+    node id = src*2^32 + dst (exact in BIGINT for 31-bit ids)."""
+    parts = ["""
+        WITH eo AS (
+          SELECT DISTINCT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d
+          FROM lineitem WHERE l_quantity > 45),
+        base AS (SELECT s AS src, d AS dst FROM eo
+                 UNION ALL SELECT d AS src, s AS dst FROM eo),
+        edges AS (
+          SELECT e1.src * 4294967296 + e1.dst AS src,
+                 e2.src * 4294967296 + e2.dst AS dst
+          FROM base e1 JOIN base e2 ON e1.dst = e2.src),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn),
+                                  9) AS r
+               FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        r{i} AS (
+          SELECT n.node,
+                 round((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * coalesce(s.c, 0), 9) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r / dg.deg) AS c
+            FROM edges e
+            JOIN r{i-1} p ON p.node = e.src
+            JOIN deg dg ON dg.node = e.src
+            GROUP BY 1) s ON s.node = n.node)""")
+    parts.append(f"\n        SELECT node, r AS rank FROM r{iters}")
+    return "".join(parts)
+
+
 def hits_oracle_sql(iters: int = 3) -> str:
     """Unrolled-CTE DuckDB HITS over the directed (non-symmetrized)
     order->part graph: one auth+hub CTE pair per round, L2-normalized

@@ -761,3 +761,106 @@ def test_graph_ops_int32_edges_emit_int64_nodes():
     out = pagerank(ray.data.from_arrow(et), iters=2)
     tbl = pa.Table.from_pandas(out.to_pandas())
     assert str(tbl.schema.field("node").type) == "int64"
+
+
+def test_scc_matches_tarjan_reference():
+    """FB-coloring SCC vs an iterative Tarjan on a random directed
+    graph with planted cycles; scc_id = min node id per component."""
+    import numpy as np
+
+    from kgeng.ops.graph import scc
+
+    rng = np.random.default_rng(61)
+    src = rng.integers(0, 40, 150).astype(np.int64).tolist()
+    dst = rng.integers(0, 40, 150).astype(np.int64).tolist()
+    # plant two cycles
+    src += [50, 51, 52, 60, 61]
+    dst += [51, 52, 50, 61, 60]
+    et = pa.table({"src": pa.array(src, pa.int64()),
+                   "dst": pa.array(dst, pa.int64())})
+    out = scc(ray.data.from_arrow(et).repartition(4)).to_pandas()
+    got = dict(zip(out["node"], out["scc_id"]))
+
+    # iterative Tarjan
+    import collections
+    adj = collections.defaultdict(list)
+    nodes = sorted(set(src) | set(dst))
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+    index = {}
+    low = {}
+    on = set()
+    stack = []
+    counter = [0]
+    comp = {}
+
+    def strong(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    grp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        grp.append(w)
+                        if w == v:
+                            break
+                    m = min(grp)
+                    for w in grp:
+                        comp[w] = m
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in nodes:
+        if v not in index:
+            strong(v)
+    assert got == comp
+
+
+def test_slpa_partition_invariant_and_overlapping():
+    """Deterministic SLPA: identical output under different edge
+    partitioning (speaker-slot hash depends only on ids + round), and
+    dense cliques joined by a bridge yield overlapping membership."""
+    import numpy as np
+
+    from kgeng.ops.graph import slpa
+
+    # two 5-cliques sharing node 4 (the bridge)
+    src, dst = [], []
+    for grp in (range(0, 5), range(4, 9)):
+        for a in grp:
+            for b in grp:
+                if a != b:
+                    src.append(a)
+                    dst.append(b)
+    et = pa.table({"src": pa.array(src, pa.int64()),
+                   "dst": pa.array(dst, pa.int64())})
+
+    def run(nparts):
+        return slpa(ray.data.from_arrow(et).repartition(nparts),
+                    rounds=12, threshold=0.15).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+
+    a, b = run(3), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    # every node belongs to >= 1 community; labels are real node ids
+    assert (a["n_communities"] >= 1).all()
+    assert set(a["primary_label"]).issubset(set(range(9)))

@@ -64,6 +64,7 @@ PINS = {
     "approx_distinct_users_by_type": "4b4e721d29182f10",
     "lineitem_hits": "c40d74d5ca52641d",
     "lineitem_closeness": "12a4f7c450bc7b04",
+    "lineitem_slpa": "4d748d1577aa5ab0",
 }
 
 
