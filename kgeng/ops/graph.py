@@ -781,6 +781,11 @@ def line_graph(edges: ray.data.Dataset, src: str = "src",
     hash-partitioned self-join on the shared endpoint (the same
     primitive as hash_join), no other shuffle.
 
+    The packed id travels through the join as its two 31-bit HALVES
+    (not the packed int64): hash_join's nullable-int convention rounds
+    right-side ints through float64, which corrupts values above 2^53 —
+    halves < 2^31 are float64-exact, and the pack happens after.
+
     Size note (100 TB): |line edges| = sum over nodes of in*out degree —
     hot-hub graphs explode quadratically; pre-filter or cap hub degrees
     upstream when materializing line graphs of power-law inputs."""
@@ -794,22 +799,29 @@ def line_graph(edges: ray.data.Dataset, src: str = "src",
                            or min(s.min(), d.min()) < 0):
                 raise ValueError("line_graph packs (src, dst) into one "
                                  "int64; ids must be in [0, 2^31)")
-            eid = pa.array((s.astype(np.int64) << 32) | d.astype(np.int64))
             key = t[dst] if which == "l" else t[src]
-            return pa.table({"k": pc.cast(key, pa.int64()), "eid": eid})
+            pre = "a" if which == "l" else "b"
+            return pa.table({"k": pc.cast(key, pa.int64()),
+                             f"{pre}_hi": pc.cast(t[src], pa.int64()),
+                             f"{pre}_lo": pc.cast(t[dst], pa.int64())})
         return f
 
     left = edges.map_batches(proj("l"), batch_format="pyarrow")
-    right = edges.map_batches(proj("r"), batch_format="pyarrow") \
-        .map_batches(lambda t: t.rename_columns(["k", "eid2"]),
-                     batch_format="pyarrow")
+    right = edges.map_batches(proj("r"), batch_format="pyarrow")
     joined = hash_join(left, right, key="k", num_buckets=num_buckets,
                        how="inner")
-    return joined.map_batches(
-        lambda t: pa.table({
-            "src": pc.cast(t["eid"], pa.int64()),
-            "dst": pc.cast(t["eid2"], pa.int64())}),
-        batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        def p(hi, lo):
+            h = pc.cast(t[hi], pa.int64()).to_numpy(zero_copy_only=False)
+            lo_ = pc.cast(t[lo], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.array((h.astype(np.int64) << 32) | lo_)
+
+        return pa.table({"src": p("a_hi", "a_lo"),
+                         "dst": p("b_hi", "b_lo")})
+
+    return joined.map_batches(pack, batch_format="pyarrow")
 
 
 def linerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
@@ -845,30 +857,64 @@ def _backreach_block(idx, lab: np.ndarray, reach: np.ndarray,
     return np.unique(si[ok])
 
 
-def scc(edges: ray.data.Dataset, src: str = "src",
-        dst: str = "dst") -> ray.data.Dataset:
+@ray.remote
+def _active_deg_block(idx, active: np.ndarray):
+    """(in-degree, out-degree) partials over edges with BOTH endpoints
+    active — feeds the trivial-SCC trim."""
+    si, di, _ = idx
+    ok = active[si] & active[di]
+    n = len(active)
+    return (np.bincount(di[ok], minlength=n),
+            np.bincount(si[ok], minlength=n))
+
+
+def scc(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
+        max_driver_nodes: int = 50_000_000) -> ray.data.Dataset:
     """Strongly connected components ('scc' in the reference's Pregel
     list, arguments.py:187) via the Pregel-style forward-backward
-    COLORING algorithm (Orzan): repeat — (1) propagate min node id
-    forward to a fixpoint over the unassigned subgraph (coloring),
-    (2) from each color's root (the node owning the min id), walk
-    BACKWARD within its color; nodes that both carry the color and
-    reach its root form one SCC — assign and remove. Every phase is a
-    raw-task fan-out over the indexed edge blocks (plan-A shape:
-    driver label/frontier vectors, node-count bounded). Returns
+    COLORING algorithm (Orzan): repeat — TRIM (peel active nodes with
+    zero active in- or out-degree: each is its own SCC — without this,
+    DAG-heavy graphs degrade to one SCC per color per round), then
+    (1) propagate min node id forward to a fixpoint over the unassigned
+    subgraph (coloring), (2) from each color's root (the node owning
+    the min id), walk BACKWARD within its color; nodes that both carry
+    the color and reach its root form one SCC — assign and remove.
+    Every phase is a raw-task fan-out over the indexed edge blocks
+    (plan-A shape: driver label/frontier vectors, node-count bounded —
+    ~5 n-vectors, guarded by ``max_driver_nodes``). Returns
     Dataset(node, scc_id) where scc_id = min node id in the component
     (so the result is partition- and order-invariant by construction).
     """
-    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    idx = _IndexedEdges(
+        _bounded_blocks(edges), None, src, dst,
+        max_nodes=max_driver_nodes,
+        max_nodes_hint="scc plan A holds ~5 n-vectors on the driver.")
     nodes, n = idx.nodes, idx.n
     scc_id = np.full(n, -1, np.int64)
     active = np.ones(n, bool)
 
     while active.any():
+        # ---- trim: peel trivial SCCs (no active in- or out-edges)
+        while True:
+            ref_a = ray.put(active)
+            indeg = np.zeros(n, np.int64)
+            outdeg = np.zeros(n, np.int64)
+            for ip, op in ray.get([_active_deg_block.remote(i, ref_a)
+                                   for i in idx.idx]):
+                indeg += ip
+                outdeg += op
+            trivial = active & ((indeg == 0) | (outdeg == 0))
+            if not trivial.any():
+                break
+            scc_id[trivial] = nodes[trivial]
+            active &= ~trivial
+        if not active.any():
+            break
         # ---- forward min-label coloring to fixpoint
+        ref_a = ray.put(active)
         lab = np.where(active, nodes, np.int64(1 << 62))
         while True:
-            ref_l, ref_a = ray.put(lab), ray.put(active)
+            ref_l = ray.put(lab)
             new = lab.copy()
             for part in ray.get([_minlab_block.remote(i, ref_l, ref_a)
                                  for i in idx.idx]):
@@ -877,10 +923,10 @@ def scc(edges: ray.data.Dataset, src: str = "src",
                 break
             lab = new
         # ---- multi-pivot backward reachability within colors
+        ref_l = ray.put(lab)
         reach = active & (lab == nodes)      # each color's root
         while True:
-            ref_l, ref_r, ref_a = ray.put(lab), ray.put(reach), \
-                ray.put(active)
+            ref_r = ray.put(reach)
             grew = False
             new = reach.copy()
             for part in ray.get([_backreach_block.remote(
@@ -923,7 +969,8 @@ def _slpa_block(idx, nodes: np.ndarray, mem: np.ndarray, r: int):
 
 
 def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
-         rounds: int = 10, threshold: float = 0.2) -> ray.data.Dataset:
+         rounds: int = 10, threshold: float = 0.2,
+         max_driver_nodes: int = 20_000_000) -> ray.data.Dataset:
     """SLPA overlapping community detection ('slpa' in the reference's
     Pregel list, arguments.py:187-188), deterministic variant: the
     speaker's memory slot is chosen by a hash of (round, speaker id,
@@ -937,14 +984,20 @@ def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
 
     Returns Dataset(node, primary_label, n_communities, communities)
     where communities are the labels (node ids) held in >= threshold
-    of memory, sorted, '|'-joined."""
-    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    of memory, sorted, '|'-joined. The n x (rounds+1) driver memory
+    matrix is guarded by ``max_driver_nodes`` (1.8 GB at the defaults)."""
+    idx = _IndexedEdges(
+        _bounded_blocks(edges), None, src, dst,
+        max_nodes=max_driver_nodes,
+        max_nodes_hint=(f"slpa plan A holds an n x {rounds + 1} int64 "
+                        "memory matrix on the driver; lower rounds or "
+                        "raise the bound on a bigger driver."))
     nodes, n = idx.nodes, idx.n
     mem = np.zeros((n, rounds + 1), np.int64)
     mem[:, 0] = np.arange(n)
 
+    nodes_ref = ray.put(nodes)
     for r in range(1, rounds + 1):
-        nodes_ref = ray.put(nodes)
         mem_ref = ray.put(mem[:, :r])
         got = ray.get([_slpa_block.remote(i, nodes_ref, mem_ref, r)
                        for i in idx.idx])
@@ -978,8 +1031,9 @@ def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     ri_s, lab_s = ri[order], lab[order]
     first = np.ones(len(ri_s), bool)
     first[1:] = ri_s[1:] != ri_s[:-1]
-    prim = nodes[lab_s[first]][np.argsort(ri_s[first], kind="stable")] \
-        if len(ri_s) else np.zeros(0, np.int64)
+    # ri_s is lexsort-primary so ri_s[first] is already 0..n-1 in order
+    prim = (nodes[lab_s[first]] if len(ri_s)
+            else np.zeros(0, np.int64))
     keepm = cnt >= need
     ncom = np.bincount(ri[keepm], minlength=n).astype(np.int64)
     # communities string: join only the kept labels (few per node)

@@ -864,3 +864,21 @@ def test_slpa_partition_invariant_and_overlapping():
     # every node belongs to >= 1 community; labels are real node ids
     assert (a["n_communities"] >= 1).all()
     assert set(a["primary_label"]).issubset(set(range(9)))
+    # the bridge node genuinely OVERLAPS: it holds labels from both
+    # cliques above threshold (the property the op exists to surface)
+    assert a.loc[a["node"] == 4, "n_communities"].iloc[0] >= 2
+
+
+def test_line_graph_exact_above_2_53_packing():
+    """Packed line-node ids exceed 2^53; the halves-through-the-join
+    path must keep them exact (a packed int64 pushed through the
+    join's float64 nullable-int convention corrupts them)."""
+    import numpy as np
+
+    from kgeng.ops.graph import line_graph
+
+    a, b, c = (1 << 30) + 7, (1 << 30) + 123, (1 << 30) + 999
+    et = pa.table({"src": pa.array([a, b], pa.int64()),
+                   "dst": pa.array([b, c], pa.int64())})
+    out = line_graph(ray.data.from_arrow(et)).to_pandas()
+    assert out.values.tolist() == [[(a << 32) | b, (b << 32) | c]]
