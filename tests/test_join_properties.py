@@ -121,3 +121,48 @@ def test_lag_gap_matches_bruteforce(rows):
         gap = out.loc[i, "gap_sec"]
         assert (exp is None and pd.isna(gap)) or gap == exp, (i, exp, gap)
         prev[k] = m
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(keys, min_size=1, max_size=14),
+    right=st.lists(keys, min_size=1, max_size=14),
+)
+def test_hash_join_outer_matches_pandas_fuzz(left, right):
+    from kgeng.ops.join import hash_join
+
+    lt = pa.table({"k": left, "a": list(range(len(left)))})
+    rt = pa.table({"k": right, "b": list(range(len(right)))})
+    got = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    "k", num_buckets=3, how="outer").to_pandas()
+    want = lt.to_pandas().merge(rt.to_pandas(), on="k", how="outer")
+    cols = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True)
+           .astype("float64"),
+        want[cols].sort_values(cols).reset_index(drop=True)
+            .astype("float64"))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(keys, st.sampled_from("pqr")),
+                     min_size=1, max_size=20))
+def test_grouped_mode_matches_bruteforce_fuzz(rows):
+    import collections
+
+    from kgeng.ops.agg import grouped_mode
+
+    t = pa.table({"k": [k for k, _ in rows],
+                  "v": [v for _, v in rows]})
+    out = grouped_mode(ray.data.from_arrow(t).repartition(2),
+                       "k", "v", out="top", count_out="n",
+                       num_buckets=3).to_pandas()
+    got = {int(r.k): (r.top, int(r.n)) for r in out.itertuples()}
+    want = {}
+    for k in set(x for x, _ in rows):
+        c = collections.Counter(v for x, v in rows if x == k)
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[k] = best
+    assert got == want
