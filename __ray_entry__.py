@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_linerank": Q.lineitem_linerank,
         "lineitem_scc": Q.lineitem_scc,
         "lineitem_slpa": Q.lineitem_slpa,
+        "revenue_rollup": Q.revenue_rollup,
+        "corpus_top_terms": Q.corpus_top_terms,
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
@@ -243,6 +245,22 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
+        "corpus_top_terms": """
+            WITH tokens AS (
+              SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents)
+            SELECT term, count(*) AS tf FROM tokens
+            GROUP BY 1 ORDER BY tf DESC, term LIMIT 20
+        """,
+        "revenue_rollup": """
+            SELECT coalesce(o.o_orderpriority, 'ALL') AS prio,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT)) / 100.0
+                       AS sum_revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY ROLLUP(o.o_orderpriority)
+        """,
         "lineitem_scc": """
             WITH RECURSIVE base AS (
               SELECT CASE WHEN l_quantity <= 25 THEN l_orderkey * 2

@@ -997,6 +997,63 @@ def lineitem_linerank(sf_dir: str):
     return linerank(edges, iters=3)
 
 
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority): per-priority totals + the grand
+    total, as a union of aggregation levels over ONE shared
+    (materialized) join — the grouping-sets pattern; the rolled-up
+    level carries the marker 'ALL' so the schema stays string-typed
+    (matching the SQL side's coalesce(prio, 'ALL'))."""
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    from kgeng.ops.join import hash_join
+
+    joined = hash_join(
+        li.map_batches(
+            lambda t: pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "rev_c": _cents(pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"])))}),
+            batch_format="pyarrow"),
+        orders.map_batches(
+            lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                                "prio": t["o_orderpriority"]}),
+            batch_format="pyarrow"),
+        key="l_orderkey", how="inner").materialize()
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"prio": t["prio"],
+                      "rev_c": pc.cast(t["rev_c"], pa.int64())}) \
+            .group_by(["prio"]).aggregate([("rev_c", "sum"),
+                                           ([], "count_all")])
+        return g.rename_columns(["prio", "rev_p", "n_p"])
+
+    per_prio = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("prio").aggregate(Sum("rev_p", alias_name="rev"),
+                                   Sum("n_p", alias_name="n_items")) \
+        .map_batches(
+            lambda t: pa.table({
+                "prio": t["prio"],
+                "sum_revenue": pc.divide(
+                    pc.cast(t["rev"], pa.float64()), 100.0),
+                "n_items": pc.cast(t["n_items"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    # grand total: exact integer-cents sums of the per-priority level
+    # (tiny), emitted as the rolled-up 'ALL' row
+    pp = per_prio.to_pandas()
+    total = pa.table({
+        "prio": pa.array(["ALL"], pa.string()),
+        "sum_revenue": pa.array(
+            [round(float(pp["sum_revenue"].map(
+                lambda v: round(v * 100)).sum()) / 100.0, 2)]),
+        "n_items": pa.array([int(pp["n_items"].sum())], pa.int64())})
+    return per_prio.union(ray.data.from_arrow(total))
+
+
 def lineitem_scc(sf_dir: str):
     """Native strongly-connected components ('scc' in the reference's
     Pregel list) over a DIRECTED mixed-orientation subgraph: order ->
@@ -1411,6 +1468,30 @@ def events_type_long(sf_dir: str):
         return t.filter(pc.greater(t["n"], 0))
 
     return long.map_batches(clean, batch_format="pyarrow")
+
+
+def corpus_top_terms(sf_dir: str):
+    """Global top-20 terms by total frequency: vocabulary-bounded
+    partial counts (term_stats) then one tiny sort+limit — the exact
+    heavy-hitters path when partials are vocabulary-bounded.
+    Deterministic tiebreak: term ascending."""
+    from kgeng.ops.text import term_stats
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    stats = term_stats(docs, min_df=1)
+
+    def negate(t: pa.Table) -> pa.Table:
+        # Ray's multi-key sort takes one descending flag list; negating
+        # tf lets (tf desc, term asc) run as a plain ascending sort
+        return pa.table({"term": t["term"],
+                         "tf": t["tf"],
+                         "neg_tf": pc.negate(pc.cast(t["tf"],
+                                                     pa.int64()))})
+
+    return stats.map_batches(negate, batch_format="pyarrow") \
+        .sort(["neg_tf", "term"]).limit(20) \
+        .map_batches(lambda t: t.select(["term", "tf"]),
+                     batch_format="pyarrow")
 
 
 def docs_repetition_ratio(sf_dir: str):
