@@ -89,11 +89,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_slpa": Q.lineitem_slpa,
         "revenue_rollup": Q.revenue_rollup,
         "corpus_top_terms": Q.corpus_top_terms,
+        "docs_editdist_pairs": Q.docs_editdist_pairs,
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
         "events_tumbling_window": Q.events_tumbling_window,
         "top_orders": Q.top_orders,
+        # below this line: entries 50+ (driver-verified in r03; the
+        # driver's gate checks the first 50 only)
         "distinct_event_types": Q.distinct_event_types,
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
@@ -654,6 +657,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "docs_editdist_pairs": """
+            -- DuckDB levenshtein is byte-based (lev('ü','u') = 2); the
+            -- engine matches by running on UTF-8 bytes, and the strlen
+            -- (byte-length) prefilter is implied by dist <= 8
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM documents a JOIN documents b
+              ON b.doc_id > a.doc_id
+             AND abs(strlen(a.text) - strlen(b.text)) <= 8
+            WHERE levenshtein(a.text, b.text) <= 8
         """,
         "embedding_near_dup_pairs": """
             SELECT CAST(a.vec_id AS VARCHAR) AS a,

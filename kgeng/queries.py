@@ -1837,3 +1837,15 @@ def doc_length_histogram(sf_dir: str):
             "bucket": t["bucket"],
             "n_docs": pc.cast(t["count()"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def docs_editdist_pairs(sf_dir: str):
+    """Every document pair within byte-level Levenshtein distance 8 —
+    the dedup family's exact edit-distance member. Lossless length-band
+    blocking + histogram lower-bound prune + banded Ukkonen DP
+    vectorized across pairs (ops/dedup.py:editdist_near_dup_pairs);
+    oracle = DuckDB's byte-based levenshtein()."""
+    from kgeng.ops.dedup import editdist_near_dup_pairs
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return editdist_near_dup_pairs(ds, max_dist=8)

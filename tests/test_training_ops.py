@@ -803,3 +803,70 @@ def test_repetition_ratio_exact():
                            n=3).to_pandas().sort_values("doc_id")
     assert out["rep_ratio"].tolist() == [
         round(1 - 3 / 7, 6), 0.0, 0.0, 0.0]
+
+
+# ----------------------------------------------------- edit-distance dedup
+
+def _lev_ref(a: bytes, b: bytes) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = min(dp[j] + 1, dp[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, dp[j] = dp[j], cur
+    return dp[len(b)]
+
+
+def test_banded_levenshtein_fuzz_vs_reference():
+    import random
+
+    rng = random.Random(41)
+    alph = "abc中ü "          # multibyte chars exercise UTF-8
+    for _ in range(1500):
+        d = rng.choice([1, 2, 3, 8])
+        a = "".join(rng.choice(alph) for _ in range(rng.randrange(0, 14)))
+        b = "".join(rng.choice(alph) for _ in range(rng.randrange(0, 14)))
+        ab, bb = a.encode(), b.encode()
+        if abs(len(ab) - len(bb)) > d:
+            continue
+        mat, lens = dedup._byte_matrix([a, b])
+        got = int(dedup.banded_levenshtein(
+            mat[[0]], mat[[1]], lens[[0]], lens[[1]], d)[0])
+        true = _lev_ref(ab, bb)
+        assert got == (true if true <= d else d + 1), (a, b, d)
+
+
+def test_editdist_pairs_exact_vs_bruteforce():
+    # cluster of near-identical strings engineered to straddle length-band
+    # boundaries (band = bytelen // 3), plus unrelated noise docs
+    base = "the quick brown fox jumps over the lazy dog"
+    texts = [base, base + "!", base[:-2], base.replace("quick", "quack"),
+             "completely unrelated text about graphs and rays",
+             base.replace("brown ", ""), "x" * 20, "x" * 21 + "y"]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = dedup.editdist_near_dup_pairs(ds, max_dist=3).to_pandas()
+    got_set = {(r.a, r.b, r.dist) for r in got.itertuples()}
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            dv = _lev_ref(texts[i].encode(), texts[j].encode())
+            if dv <= 3:
+                want.add((i, j, dv))
+    assert got_set == want and len(want) >= 4
+
+
+def test_editdist_pairs_null_and_empty_text():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3], "text": ["", None, "ab"]}))
+    got = dedup.editdist_near_dup_pairs(ds, max_dist=2).to_pandas()
+    got_set = {(r.a, r.b, r.dist) for r in got.itertuples()}
+    # null coalesces to "" (SQL-oracle convention): ("","")=0, ("","ab")=2
+    assert got_set == {(1, 2, 0), (1, 3, 2), (2, 3, 2)}
+
+
+def test_editdist_rejects_bad_max_dist():
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        dedup.editdist_near_dup_pairs(ds, max_dist=0)
