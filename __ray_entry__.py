@@ -90,13 +90,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": Q.revenue_rollup,
         "corpus_top_terms": Q.corpus_top_terms,
         "docs_editdist_pairs": Q.docs_editdist_pairs,
+        "lang_id_pred": Q.lang_id_pred,
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
         "events_tumbling_window": Q.events_tumbling_window,
-        "top_orders": Q.top_orders,
         # below this line: entries 50+ (driver-verified in r03; the
         # driver's gate checks the first 50 only)
+        "top_orders": Q.top_orders,
         "distinct_event_types": Q.distinct_event_types,
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
@@ -129,7 +130,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_median_quality": Q.docs_above_median_quality,
         "docs_packed_2k": Q.docs_packed_2k,
         "doc_length_histogram": Q.doc_length_histogram,
-        "lang_id_pred": Q.lang_id_pred,
         "doc_fingerprints": Q.doc_fingerprints,
         # dedup family
         "dedup_exact_docs": Q.dedup_exact_docs,
@@ -247,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_sssp": Q.SSSP_ORACLE,
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
+        "lang_id_pred": Q.lang_id_oracle_sql(),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
         "corpus_top_terms": """
             WITH tokens AS (
@@ -784,7 +785,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY subj
         """,
-        # rows-only (non-SQL-expressible): lang_id_pred, doc_fingerprints,
+        # rows-only (non-SQL-expressible): doc_fingerprints,
         # minhash_dedup_docs, simhash_docs, ann_topk_lsh, media_features,
         # kg_mention_stats
     }

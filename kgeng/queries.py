@@ -1849,3 +1849,46 @@ def docs_editdist_pairs(sf_dir: str):
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return editdist_near_dup_pairs(ds, max_dist=8)
+
+
+def lang_id_oracle_sql() -> str:
+    """DuckDB oracle for the LangId kernel, generated from the SAME
+    stopword table the kernel uses (ops/text.py:_LANG_STOPWORDS) so the
+    two can never drift. Reproduces the kernel exactly: lowercase,
+    non-alpha runs -> double spaces, pad, one non-overlapping RE2 count
+    per language (same sorted alternation), argmax with first-language
+    tie-break, unknown on zero counts, Han-script override."""
+    from kgeng.ops.text import _LANG_STOPWORDS
+
+    langs = [k for k, v in _LANG_STOPWORDS.items() if v]
+    cnt_cols = ",\n    ".join(
+        "len(regexp_extract_all(nt, ' (?:"
+        + "|".join(sorted(_LANG_STOPWORDS[lg]))
+        + ") ')) AS c_" + lg
+        for lg in langs)
+    # first max wins: lang i is the answer iff its count >= every later
+    # language's count (earlier WHEN arms already handled earlier langs)
+    arms = []
+    for i, lg in enumerate(langs):
+        conds = [f"c_{lg} >= c_{other}" for other in langs[i + 1:]]
+        arms.append("WHEN " + (" AND ".join(conds) if conds else "TRUE")
+                    + f" THEN '{lg}'")
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, text,
+                 ' ' || regexp_replace(lower(coalesce(text, '')),
+                                       '[^a-z]+', '  ', 'g') || ' ' AS nt
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, text,
+    {cnt_cols}
+          FROM norm)
+        SELECT doc_id,
+          CASE WHEN regexp_matches(coalesce(text, ''), '[一-鿿]')
+                   THEN 'zh'
+               WHEN greatest({", ".join("c_" + lg for lg in langs)}) <= 0
+                   THEN 'unknown'
+               {" ".join(arms)}
+          END AS lang_pred
+        FROM cnt
+    """
