@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_ratio": Q.docs_repetition_ratio,
         "lineitem_linerank": Q.lineitem_linerank,
         "lineitem_scc": Q.lineitem_scc,
+        "lineitem_harmonic": Q.lineitem_harmonic,
         "lineitem_slpa": Q.lineitem_slpa,
         "revenue_rollup": Q.revenue_rollup,
         "corpus_top_terms": Q.corpus_top_terms,
@@ -94,9 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / engine core ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "orders_by_custseg": Q.orders_by_custseg,
-        "events_tumbling_window": Q.events_tumbling_window,
         # below this line: entries 50+ (driver-verified in r03; the
         # driver's gate checks the first 50 only)
+        "events_tumbling_window": Q.events_tumbling_window,
         "top_orders": Q.top_orders,
         "distinct_event_types": Q.distinct_event_types,
         "events_prev_gap": Q.events_prev_gap,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
         "lang_id_pred": Q.lang_id_oracle_sql(),
+        "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
         "corpus_top_terms": """
             WITH tokens AS (

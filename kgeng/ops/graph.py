@@ -1049,3 +1049,99 @@ def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
         "n_communities": pa.array(ncom),
         "communities": pa.array(coms, pa.string()),
     }))
+
+
+# ----------------------------------------------- bounded harmonic (exact)
+
+def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
+                     dst: str = "dst", max_hops: int = 6,
+                     num_buckets: int = 16, ndigits: int = 6
+                     ) -> ray.data.Dataset:
+    """EXACT harmonic centrality within ``max_hops`` (directed):
+    harmonic(u) = sum over v != u reachable in d <= max_hops hops of
+    1/d, with d the true shortest distance.
+
+    The score is accumulated as the INTEGER sum of LCM(1..max_hops)//d
+    (every term divides the LCM exactly), so partial-sum order across
+    partitions can never move a float bit; both engines perform the
+    same final double division + half-away round, keeping the
+    recursive-CTE oracle bit-exact.
+
+    Plan: all-pairs BFS as dataset rounds — the (root, node) frontier
+    hash-joins the edge list, first-arrival depth is kept by a
+    (root, node) min-groupby, and the next frontier is exactly the rows
+    whose depth equals the round number. State is O(reachable pairs):
+    inherently quadratic in the worst case, so this is the exact
+    VERIFY-stage twin of ``effective_closeness`` (HyperBall), meant for
+    bounded subgraphs — the sketch is the 100-TB path."""
+    import math
+
+    from kgeng.ops.join import hash_join
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    proj = edges.select_columns([src, dst])
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t[src].to_numpy(zero_copy_only=False).astype(np.int64),
+            t[dst].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"root": pa.array(ids), "node": pa.array(ids),
+                         "dist": pa.array(np.zeros(len(ids), np.int64))})
+
+    # per-block unique -> global distinct -> (n, n, 0) seed rows
+    visited = proj.map_batches(seed, batch_format="pyarrow") \
+        .groupby(["root", "node"]).min("dist")
+    visited = visited.map_batches(
+        lambda t: t.rename_columns(["root", "node", "dist"]),
+        batch_format="pyarrow").materialize()
+    frontier = visited
+
+    def renamed_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(t[src], pa.int64()),
+                         "nxt": pc.cast(t[dst], pa.int64())})
+
+    hop = proj.map_batches(renamed_edges, batch_format="pyarrow") \
+        .materialize()
+
+    for t_round in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        j = hash_join(frontier.select_columns(["root", "node"]), hop,
+                      key="node", num_buckets=num_buckets,
+                      left_cols=["root", "node"],
+                      right_cols=["node", "nxt"])
+
+        def step(t: pa.Table, _d=t_round) -> pa.Table:
+            return pa.table({
+                "root": pc.cast(t["root"], pa.int64()),
+                "node": pc.cast(t["nxt"], pa.int64()),
+                "dist": pa.array(np.full(len(t), _d, np.int64))})
+
+        cand = j.map_batches(step, batch_format="pyarrow")
+        merged = visited.union(cand).groupby(["root", "node"]) \
+            .min("dist")
+        # map_batches rename (Dataset.rename_columns breaks on the
+        # pandas blocks a groupby emits) + repartition: iterative
+        # union/groupby loops otherwise double the block count per round
+        visited = merged.map_batches(
+            lambda t: t.rename_columns(["root", "node", "dist"]),
+            batch_format="pyarrow").repartition(num_buckets).materialize()
+        frontier = visited.filter(
+            expr=f"dist == {t_round}")
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        s = np.where(d > 0, lcm // np.maximum(d, 1), 0).astype(np.int64)
+        return pa.table({"node": t["root"], "s": pa.array(s)})
+
+    total = visited.map_batches(score, batch_format="pyarrow") \
+        .groupby("node").sum("s")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["node", "s"])
+        h = pc.round(pc.divide(pc.cast(t["s"], pa.float64()),
+                               float(lcm)), ndigits=ndigits,
+                     round_mode="half_towards_infinity")
+        return pa.table({"node": t["node"], "harmonic": h})
+
+    return total.map_batches(finish, batch_format="pyarrow")

@@ -182,8 +182,13 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
                     out[name] = "float64"
         return out
 
-    ltypes = _numeric_dtypes(left)
-    rtypes = _numeric_dtypes(right)
+    # intersect with the projected column lists: a lazy plan's
+    # base_schema can report PRE-projection columns, and reindex would
+    # then manufacture an all-NaN column that astype(int64) rejects
+    ltypes = {c: t for c, t in _numeric_dtypes(left).items()
+              if c in lcols}
+    rtypes = {c: t for c, t in _numeric_dtypes(right).items()
+              if c in rcols}
     int_right = [c for c, t in rtypes.items()
                  if t == "int64" and c != key]
     # full outer: unmatched right rows null the LEFT side too, so left

@@ -1054,15 +1054,12 @@ def revenue_rollup(sf_dir: str):
     return per_prio.union(ray.data.from_arrow(total))
 
 
-def lineitem_scc(sf_dir: str):
-    """Native strongly-connected components ('scc' in the reference's
-    Pregel list) over a DIRECTED mixed-orientation subgraph: order ->
-    part when quantity <= 25, part -> order when > 25 (cycles arise
-    where a part both receives and sends), restricted to
-    l_orderkey < 800 so the oracle's transitive closure stays small.
-    scc_id = min node id in the component (order/partition invariant).
-    """
-    from kgeng.ops.graph import scc
+def _mixed_subgraph_edges(sf_dir: str) -> ray.data.Dataset:
+    """DIRECTED mixed-orientation subgraph shared by the SCC and exact
+    harmonic queries: order -> part when quantity <= 25, part -> order
+    when > 25 (cycles arise where a part both receives and sends),
+    restricted to l_orderkey < 800 so the SQL oracles' closures stay
+    small."""
     from kgeng.pipeline import distinct
 
     li = _pq(sf_dir, "lineitem",
@@ -1077,9 +1074,28 @@ def lineitem_scc(sf_dir: str):
             "src": pa.array(np.where(fwd, s, p).astype(np.int64)),
             "dst": pa.array(np.where(fwd, p, s).astype(np.int64))})
 
-    edges = distinct(li.map_batches(pairs, batch_format="pyarrow"),
-                     ["src", "dst"])
-    return scc(edges)
+    return distinct(li.map_batches(pairs, batch_format="pyarrow"),
+                    ["src", "dst"])
+
+
+# SQL statement of the same subgraph (base CTEs of the scc/harmonic
+# oracles — generated from one fragment so the two can't drift)
+MIXED_SUBGRAPH_SQL = """
+              SELECT CASE WHEN l_quantity <= 25 THEN l_orderkey * 2
+                          ELSE l_partkey * 2 + 1 END AS src,
+                     CASE WHEN l_quantity <= 25 THEN l_partkey * 2 + 1
+                          ELSE l_orderkey * 2 END AS dst
+              FROM lineitem WHERE l_orderkey < 800"""
+
+
+def lineitem_scc(sf_dir: str):
+    """Native strongly-connected components ('scc' in the reference's
+    Pregel list) over the shared mixed-orientation subgraph.
+    scc_id = min node id in the component (order/partition invariant).
+    """
+    from kgeng.ops.graph import scc
+
+    return scc(_mixed_subgraph_edges(sf_dir))
 
 
 def lineitem_slpa(sf_dir: str):
@@ -1891,4 +1907,48 @@ def lang_id_oracle_sql() -> str:
                {" ".join(arms)}
           END AS lang_pred
         FROM cnt
+    """
+
+
+def lineitem_harmonic(sf_dir: str):
+    """EXACT 6-hop harmonic centrality over the shared mixed-orientation
+    subgraph — the exact verify-stage twin of the HyperBall
+    `lineitem_closeness` sketch. Integer LCM scoring keeps the
+    recursive-CTE oracle bit-exact (ops/graph.py:bounded_harmonic)."""
+    from kgeng.ops.graph import bounded_harmonic
+
+    return bounded_harmonic(_mixed_subgraph_edges(sf_dir), max_hops=6)
+
+
+def harmonic_oracle_sql(max_hops: int = 6) -> str:
+    """Depth-limited recursive-CTE oracle for bounded_harmonic: walk
+    enumerates (root, node, d) path facts up to max_hops (UNION dedups,
+    so the state is finite even on cycles), min(d) is the true shortest
+    distance, and the score is the same integer LCM//d sum the engine
+    computes."""
+    import math
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    return f"""
+        WITH RECURSIVE base AS ({MIXED_SUBGRAPH_SQL}),
+        edges AS (SELECT DISTINCT src, dst FROM base),
+        nodes AS (SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+        walk(root, node, d) AS (
+          SELECT src, dst, 1 FROM edges
+          UNION
+          SELECT w.root, e.dst, w.d + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.d < {max_hops}
+        ),
+        best AS (
+          SELECT root, node, min(d) AS d FROM walk
+          WHERE node <> root GROUP BY 1, 2),
+        tot AS (
+          SELECT root, sum({lcm} // d) AS s FROM best GROUP BY 1)
+        SELECT n.node,
+               round(CAST(coalesce(t.s, 0) AS DOUBLE) / {lcm}, 6)
+                   AS harmonic
+        FROM nodes n LEFT JOIN tot t ON t.root = n.node
     """

@@ -882,3 +882,62 @@ def test_line_graph_exact_above_2_53_packing():
                    "dst": pa.array([b, c], pa.int64())})
     out = line_graph(ray.data.from_arrow(et)).to_pandas()
     assert out.values.tolist() == [[(a << 32) | b, (b << 32) | c]]
+
+
+def test_bounded_harmonic_matches_bfs_reference():
+    import math
+    from collections import deque
+
+    import numpy as np
+
+    from kgeng.ops.graph import bounded_harmonic
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    edges.add((0, 1)); edges.add((1, 2)); edges.add((2, 0))  # a cycle
+    src = [a for a, _ in edges]
+    dst = [b for _, b in edges]
+    H = 4
+    lcm = math.lcm(*range(1, H + 1))
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want = {}
+    nodes = sorted({*src, *dst})
+    for u in nodes:
+        dist = {u: 0}
+        q = deque([u])
+        while q:
+            x = q.popleft()
+            if dist[x] >= H:
+                continue
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        s = sum(lcm // d for v, d in dist.items() if v != u)
+        want[u] = round(s / lcm, 6)
+
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = bounded_harmonic(ds, max_hops=H).to_pandas()
+    got_map = dict(zip(got["node"], got["harmonic"]))
+    assert got_map == want
+    assert len(got_map) == len(nodes)
+
+
+def test_bounded_harmonic_early_exit_on_converged_bfs():
+    # path graph shorter than max_hops: frontier empties early and the
+    # loop must break instead of running dead rounds
+    from kgeng.ops.graph import bounded_harmonic
+
+    ds = ray.data.from_arrow(pa.table({"src": [1, 2], "dst": [2, 3]}))
+    got = bounded_harmonic(ds, max_hops=6).to_pandas()
+    got_map = dict(zip(got["node"], got["harmonic"]))
+    # node1 reaches 2 at d1, 3 at d2: 1/1 + 1/2 = 1.5
+    assert got_map == {1: 1.5, 2: 1.0, 3: 0.0}
