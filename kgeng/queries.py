@@ -1952,3 +1952,66 @@ def harmonic_oracle_sql(max_hops: int = 6) -> str:
                    AS harmonic
         FROM nodes n LEFT JOIN tot t ON t.root = n.node
     """
+
+
+def revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, returnflag) — all four grouping sets.
+    Only the finest (priority, flag) level touches the fact table
+    (distributed, exact integer cents); the three coarser levels roll
+    up from that tiny materialized level, so the cube costs one pass
+    + driver arithmetic over ~15 rows (grouping-sets-from-partials)."""
+    import pandas as pd
+
+    from kgeng.ops.join import hash_join
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_returnflag", "l_extendedprice",
+              "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = hash_join(
+        li.map_batches(
+            lambda t: pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "flag": t["l_returnflag"],
+                "rev_c": _cents(pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"])))}),
+            batch_format="pyarrow"),
+        orders.map_batches(
+            lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                                "prio": t["o_orderpriority"]}),
+            batch_format="pyarrow"),
+        key="l_orderkey", how="inner")
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"prio": t["prio"], "flag": t["flag"],
+                      "rev_c": pc.cast(t["rev_c"], pa.int64())}) \
+            .group_by(["prio", "flag"]).aggregate([("rev_c", "sum"),
+                                                   ([], "count_all")])
+        return g.rename_columns(["prio", "flag", "rev_p", "n_p"])
+
+    finest = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["prio", "flag"]) \
+        .aggregate(Sum("rev_p", alias_name="rev_c"),
+                   Sum("n_p", alias_name="n_items")).to_pandas()
+    finest.columns = ["prio", "flag", "rev_c", "n_items"]
+
+    levels = [finest]
+    for keep in (["prio"], ["flag"], []):
+        g = (finest.groupby(keep, as_index=False)[["rev_c", "n_items"]]
+             .sum() if keep else
+             pd.DataFrame([finest[["rev_c", "n_items"]].sum()]))
+        for c in ("prio", "flag"):
+            if c not in keep:
+                g[c] = "ALL"
+        levels.append(g[["prio", "flag", "rev_c", "n_items"]])
+    cube = pd.concat(levels, ignore_index=True)
+    out = pa.table({
+        "prio": pa.array(cube["prio"], pa.string()),
+        "flag": pa.array(cube["flag"], pa.string()),
+        "sum_revenue": pa.array(cube["rev_c"].astype("int64") / 100.0),
+        "n_items": pa.array(cube["n_items"].astype("int64"))})
+    return ray.data.from_arrow(out)

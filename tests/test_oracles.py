@@ -48,7 +48,8 @@ def _to_pandas(res):
     "synth_clique_edges", "synth_kpartite_edges", "top_orders",
     "compat_edge_list_edges", "events_last_order",
     "events_followers_1h", "events_prev_gap", "docs_sample_by_lang",
-    "docs_above_median_quality",
+    "docs_above_median_quality", "docs_editdist_pairs", "lang_id_pred",
+    "lineitem_harmonic", "revenue_cube",
 ])
 def test_query_matches_oracle(name, con):
     import __ray_entry__ as E
