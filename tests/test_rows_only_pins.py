@@ -53,7 +53,7 @@ def _run(name: str) -> pd.DataFrame:
 # Pinned snapshot hashes at sf0.001 (seeded inputs, deterministic
 # kernels). A mismatch means the VALUES changed, not just the count.
 PINS = {
-    "doc_fingerprints": "965d3a4e679b72a4",
+    "doc_fingerprints": "d3609c4281e60c3d",
     "simhash_docs": "e215856a24e7316b",
     "lang_id_pred": "1ded3a4dfe803e38",
     "kg_mention_stats": "20f1e8e46729725b",
