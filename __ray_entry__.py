@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": Q.events_tumbling_window,
         "top_orders": Q.top_orders,
         "distinct_event_types": Q.distinct_event_types,
+        "qty_price_corr_by_flag": Q.qty_price_corr_by_flag,
+        "custs_both_big_and_urgent": Q.custs_both_big_and_urgent,
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
         "docs_hash_sample": Q.docs_hash_sample,
@@ -576,6 +578,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, 0.9,
                    round(quantile_cont(o_totalprice, 0.9), 6)
             FROM orders GROUP BY o_orderpriority
+        """,
+        "qty_price_corr_by_flag": """
+            -- corr from exact integer moments: the engine states the
+            -- SAME IEEE float tree over the SAME exact int64 sums, so
+            -- the match is bit-exact, not approximately-equal
+            WITH m AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+                     sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+                     sum(CAST(round(l_quantity) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+                     sum(CAST(round(l_extendedprice) AS BIGINT)
+                         * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+                     sum(CAST(round(l_quantity) AS BIGINT)
+                         * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                             <= 0 THEN NULL
+                        ELSE round(
+                          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE))), 6)
+                   END AS corr
+            FROM m
+        """,
+        "custs_both_big_and_urgent": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
         """,
         "custs_without_big_orders": """
             SELECT c_custkey, c_mktsegment FROM customer c

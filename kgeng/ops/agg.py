@@ -324,3 +324,58 @@ def melt(ds: ray.data.Dataset, id_cols: list[str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(mb, batch_format="pyarrow")
+
+
+def grouped_corr(ds: ray.data.Dataset, key: str, x: str, y: str,
+                 out: str = "corr", ndigits: int = 6
+                 ) -> ray.data.Dataset:
+    """Pearson correlation per group from EXACT integer moments.
+
+    ``x``/``y`` must already be int64 (callers scale floats to an
+    integer grid first — same discipline as the `_cents` money sums):
+    each batch emits per-group partial (n, Sx, Sy, Sxx, Syy, Sxy), all
+    exact in int64, the groupby sums them exactly, and the single
+    float expression at the end is stated IDENTICALLY in the SQL
+    oracle — equal integer inputs + the same IEEE-754 tree = bit-equal
+    output, so partial-sum order across partitions can never move the
+    result. NULL when either variance is zero (SQL corr convention)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = t[y].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({
+            key: t[key],
+            "n_p": pa.array(np.ones(len(xv), np.int64)),
+            "sx_p": pa.array(xv), "sy_p": pa.array(yv),
+            "sxx_p": pa.array(xv * xv), "syy_p": pa.array(yv * yv),
+            "sxy_p": pa.array(xv * yv),
+        }).group_by([key]).aggregate([
+            ("n_p", "sum"), ("sx_p", "sum"), ("sy_p", "sum"),
+            ("sxx_p", "sum"), ("syy_p", "sum"), ("sxy_p", "sum")])
+        return g.rename_columns(
+            [key, "n_p", "sx_p", "sy_p", "sxx_p", "syy_p", "sxy_p"])
+
+    moments = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(
+            Sum("n_p", alias_name="n"), Sum("sx_p", alias_name="sx"),
+            Sum("sy_p", alias_name="sy"), Sum("sxx_p", alias_name="sxx"),
+            Sum("syy_p", alias_name="syy"), Sum("sxy_p", alias_name="sxy"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        vx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        vy = f["n"] * f["syy"] - f["sy"] * f["sy"]
+        cov = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        denom2 = vx * vy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / np.sqrt(denom2)
+        vals = pa.array(np.where(denom2 <= 0, np.nan, r), pa.float64())
+        vals = pc.if_else(pc.is_nan(vals), pa.scalar(None, pa.float64()),
+                          pc.round(vals, ndigits=ndigits,
+                                   round_mode="half_towards_infinity"))
+        return pa.table({key: t[key], "n": pc.cast(t["n"], pa.int64()),
+                         out: vals})
+
+    return moments.map_batches(finish, batch_format="pyarrow")

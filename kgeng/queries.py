@@ -2015,3 +2015,45 @@ def revenue_cube(sf_dir: str):
         "sum_revenue": pa.array(cube["rev_c"].astype("int64") / 100.0),
         "n_items": pa.array(cube["n_items"].astype("int64"))})
     return ray.data.from_arrow(out)
+
+
+def qty_price_corr_by_flag(sf_dir: str):
+    """Pearson corr(quantity, whole-dollar price) per returnflag —
+    grouped correlation from exact integer moments
+    (ops/agg.py:grouped_corr): inputs round to an integer grid, the six
+    moment sums are exact int64, and the final float expression is
+    stated identically in the SQL oracle, so the result is bit-exact
+    regardless of partial-sum order."""
+    from kgeng.ops.agg import grouped_corr
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+    prep = li.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": pc.cast(pc.round(t["l_quantity"], ndigits=0,
+                                  round_mode="half_towards_infinity"),
+                         pa.int64()),
+            "y": pc.cast(pc.round(t["l_extendedprice"], ndigits=0,
+                                  round_mode="half_towards_infinity"),
+                         pa.int64())}),
+        batch_format="pyarrow")
+    return grouped_corr(prep, "l_returnflag", "x", "y")
+
+
+def custs_both_big_and_urgent(sf_dir: str):
+    """INTERSECT of two distinct key sets (customers with a >400k order
+    AND with an urgent order) — completes the §2.6 set-op family
+    (EXCEPT = parts_never_bulk_ordered) as a semi hash-join of two
+    pre-deduplicated sides."""
+    from kgeng.ops.join import hash_join
+    from kgeng.pipeline import distinct
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_custkey", "o_totalprice", "o_orderpriority"])
+    big = distinct(orders.filter(expr="o_totalprice > 400000"),
+                   ["o_custkey"])
+    urg = distinct(orders.filter(expr="o_orderpriority == '1-URGENT'"),
+                   ["o_custkey"])
+    return hash_join(big, urg, key="o_custkey", how="semi",
+                     left_cols=["o_custkey"], right_cols=["o_custkey"])

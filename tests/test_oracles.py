@@ -49,7 +49,8 @@ def _to_pandas(res):
     "compat_edge_list_edges", "events_last_order",
     "events_followers_1h", "events_prev_gap", "docs_sample_by_lang",
     "docs_above_median_quality", "docs_editdist_pairs", "lang_id_pred",
-    "lineitem_harmonic", "revenue_cube",
+    "lineitem_harmonic", "revenue_cube", "qty_price_corr_by_flag",
+    "custs_both_big_and_urgent",
 ])
 def test_query_matches_oracle(name, con):
     import __ray_entry__ as E

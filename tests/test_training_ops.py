@@ -870,3 +870,37 @@ def test_editdist_rejects_bad_max_dist():
     ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a"]}))
     with pytest.raises(ValueError):
         dedup.editdist_near_dup_pairs(ds, max_dist=0)
+
+
+def test_editdist_pairs_partition_invariant():
+    # same corpus through 1 block vs 8 blocks -> identical pair set
+    texts = ["abcdefgh" + str(i % 7) for i in range(40)] + \
+            ["unrelated string " + "y" * i for i in range(10)]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    one = dedup.editdist_near_dup_pairs(
+        ray.data.from_arrow(t), max_dist=2).to_pandas()
+    many = dedup.editdist_near_dup_pairs(
+        ray.data.from_arrow(t).repartition(8), max_dist=2).to_pandas()
+    k = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    assert k(one) == k(many) and len(one) > 0
+
+
+def test_grouped_corr_matches_numpy_and_nulls_zero_variance():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50, 300)
+    y = (x * 3 + rng.integers(0, 40, 300)).astype(np.int64)
+    key = np.where(x % 2 == 0, "even", "odd")
+    t = pa.table({"k": key.tolist(), "x": x.astype(np.int64), "y": y})
+    # plus a zero-variance group
+    t = pa.concat_tables([t, pa.table({
+        "k": ["flat"] * 4, "x": [7, 7, 7, 7], "y": [1, 2, 3, 4]})])
+    got = agg.grouped_corr(ray.data.from_arrow(t).repartition(5),
+                           "k", "x", "y").to_pandas()
+    gm = got.set_index("k")
+    assert np.isnan(gm.loc["flat", "corr"])
+    for k in ("even", "odd"):
+        m = key == k
+        want = round(float(np.corrcoef(x[m].astype(float),
+                                       y[m].astype(float))[0, 1]), 6)
+        assert abs(gm.loc[k, "corr"] - want) < 2e-6
+        assert gm.loc[k, "n"] == int(m.sum())
