@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": Q.distinct_event_types,
         "qty_price_corr_by_flag": Q.qty_price_corr_by_flag,
         "custs_both_big_and_urgent": Q.custs_both_big_and_urgent,
+        "doc_pair_jw": Q.doc_pair_jw,
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
         "docs_hash_sample": Q.docs_hash_sample,
@@ -708,6 +709,15 @@ def oracle_sql() -> dict[str, str]:
                          / (len(a.gs) + len(b.gs)
                             - len(list_intersect(a.gs, b.gs))), 6) AS jac
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        """,
+        "doc_pair_jw": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT 20)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(jaro_winkler_similarity(a.text, b.text), 6)
+                       AS jw
+            FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -650,3 +650,76 @@ def editdist_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
                              "dist": dist.astype(np.int64)})
 
     return banded.groupby("band").map_groups(emit, batch_format="pandas")
+
+
+# ---------------------------------------------------- jaro-winkler kernel
+
+def jaro_winkler_batch(left: np.ndarray, right: np.ndarray,
+                       lens_l: np.ndarray, lens_r: np.ndarray
+                       ) -> np.ndarray:
+    """Jaro-Winkler similarity for P byte-string pairs at once,
+    reproducing DuckDB's (RapidFuzz-derived) definition EXACTLY, as
+    established by a 5500-case calibration: UTF-8 bytes, match window
+    max(max(la,lb)//2 - 1, 0), greedy first-unmatched matching scanned
+    over the right string, transpositions = mismatched-match-pairs // 2
+    (integer floor, NOT the textbook t/2), 0.0 when either side is
+    empty (including both), boost threshold 0.7 with a <=4-byte common
+    prefix at scale 0.1.
+
+    Vectorized across pairs: one Python iteration per RIGHT-string
+    position; matching, rank-scatter of matched chars (for the
+    transposition count) and the prefix/boost arithmetic are numpy ops
+    over (P, L) matrices — no per-pair Python."""
+    P, La = left.shape
+    if P == 0:
+        return np.zeros(0, np.float64)
+    la = lens_l.astype(np.int64)
+    lb = lens_r.astype(np.int64)
+    Lb = right.shape[1]
+    W = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    cols = np.arange(La, dtype=np.int64)
+    matched = np.zeros((P, La), bool)
+    bidx = np.full((P, Lb), -1, np.int64)
+    m = np.zeros(P, np.int64)
+    rows = np.arange(P)
+    for j in range(int(lb.max()) if P else 0):
+        act = j < lb
+        bc = right[:, j]
+        lo = np.maximum(j - W, 0)
+        hi = np.minimum(la - 1, j + W)
+        elig = ((left == bc[:, None]) & ~matched
+                & (cols >= lo[:, None]) & (cols <= hi[:, None])
+                & act[:, None])
+        first = elig.argmax(1)
+        has = elig[rows, first]
+        matched[rows[has], first[has]] = True
+        bidx[rows[has], j] = first[has]
+        m += has
+    mm = int(m.max()) if P else 0
+    sa = np.zeros((P, mm), np.uint8)
+    sb = np.zeros((P, mm), np.uint8)
+    if mm:
+        ra = np.cumsum(matched, axis=1) - 1
+        pr, pc_ = np.nonzero(matched)
+        sa[pr, ra[pr, pc_]] = left[pr, pc_]
+        bmask = bidx >= 0
+        rb = np.cumsum(bmask, axis=1) - 1
+        qr, qc = np.nonzero(bmask)
+        sb[qr, rb[qr, qc]] = right[qr, qc]
+    t = (sa != sb).sum(1) // 2          # zero-padding beyond m is equal
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sim = (m / np.maximum(la, 1) + m / np.maximum(lb, 1)
+               + (m - t) / np.maximum(m, 1)) / 3.0
+    sim = np.where((m == 0) | (la == 0) | (lb == 0), 0.0, sim)
+    # winkler boost: common prefix (<= 4 bytes, inside both strings)
+    k = min(4, La, Lb)
+    if k:
+        c4 = np.arange(k)
+        eq = ((left[:, :k] == right[:, :k])
+              & (c4 < la[:, None]) & (c4 < lb[:, None]))
+        pref = np.cumprod(eq, axis=1).sum(1)
+    else:
+        pref = np.zeros(P, np.int64)
+    boost = sim > 0.7
+    sim = np.where(boost, sim + pref * 0.1 * (1.0 - sim), sim)
+    return sim

@@ -2057,3 +2057,38 @@ def custs_both_big_and_urgent(sf_dir: str):
                    ["o_custkey"])
     return hash_join(big, urg, key="o_custkey", how="semi",
                      left_cols=["o_custkey"], right_cols=["o_custkey"])
+
+
+def doc_pair_jw(sf_dir: str):
+    """Jaro-Winkler similarity for every doc pair among the 20 smallest
+    doc_ids — the fuzzy-string member of the dedup/similarity family.
+    The kernel (ops/dedup.py:jaro_winkler_batch) reproduces DuckDB's
+    RapidFuzz-derived definition bit-exactly (UTF-8 bytes, floor-halved
+    transpositions, 0.0 on empty), vectorized across pairs."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from kgeng.ops.dedup import _byte_matrix, jaro_winkler_batch
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    rows = sorted(zip(tbl["doc_id"].to_pylist(),
+                      tbl["text"].to_pylist()))[:20]
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        mat_a, la = _byte_matrix(t["a_txt"].to_pylist())
+        mat_b, lb = _byte_matrix(t["b_txt"].to_pylist())
+        sim = jaro_winkler_batch(mat_a, mat_b, la, lb)
+        jw = pc.round(pa.array(sim, pa.float64()), ndigits=6,
+                      round_mode="half_towards_infinity")
+        return pa.table({"a": t["a_id"], "b": t["b_id"], "jw": jw})
+
+    pair_rows = [(x[0], x[1], y[0], y[1])
+                 for x, y in itertools.combinations(rows, 2)]
+    src = pa.table({"a_id": [p[0] for p in pair_rows],
+                    "a_txt": [p[1] for p in pair_rows],
+                    "b_id": [p[2] for p in pair_rows],
+                    "b_txt": [p[3] for p in pair_rows]})
+    return ray.data.from_arrow(src).map_batches(
+        pairs_batch, batch_format="pyarrow", batch_size=64)

@@ -904,3 +904,28 @@ def test_grouped_corr_matches_numpy_and_nulls_zero_variance():
                                        y[m].astype(float))[0, 1]), 6)
         assert abs(gm.loc[k, "corr"] - want) < 2e-6
         assert gm.loc[k, "n"] == int(m.sum())
+
+
+def test_jaro_winkler_batch_matches_duckdb_definition():
+    import duckdb
+    import random
+
+    rng = random.Random(17)
+    con = duckdb.connect()
+    alph = "abc中ü xyz"
+    sa = ["".join(rng.choice(alph) for _ in range(rng.randrange(0, 16)))
+          for _ in range(250)]
+    sb = ["".join(rng.choice(alph) for _ in range(rng.randrange(0, 16)))
+          for _ in range(250)]
+    mat_a, la = dedup._byte_matrix(sa)
+    mat_b, lb = dedup._byte_matrix(sb)
+    got = dedup.jaro_winkler_batch(mat_a, mat_b, la, lb)
+    for i, (a, b) in enumerate(zip(sa, sb)):
+        want = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                           [a, b]).fetchone()[0]
+        assert abs(got[i] - want) < 1e-12, (a, b, got[i], want)
+    # pinned edge semantics (RapidFuzz variant): both-empty is 0.0
+    mat_e, le = dedup._byte_matrix(["", "", "x"])
+    ge = dedup.jaro_winkler_batch(mat_e[[0, 0]], mat_e[[1, 2]],
+                                  le[[0, 0]], le[[1, 2]])
+    assert ge[0] == 0.0 and ge[1] == 0.0
