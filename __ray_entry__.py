@@ -715,8 +715,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents
               ORDER BY doc_id LIMIT 20)
             SELECT a.doc_id AS a, b.doc_id AS b,
-                   round(jaro_winkler_similarity(a.text, b.text), 6)
-                       AS jw
+                   round(jaro_winkler_similarity(coalesce(a.text, ''),
+                                                 coalesce(b.text, '')),
+                         6) AS jw
             FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         """,
         "dedup_exact_docs": """
@@ -727,12 +728,17 @@ def oracle_sql() -> dict[str, str]:
             -- DuckDB levenshtein is byte-based (lev('ü','u') = 2); the
             -- engine matches by running on UTF-8 bytes, and the strlen
             -- (byte-length) prefilter is implied by dist <= 8
+            -- coalesce matches the engine's null -> '' convention
             SELECT a.doc_id AS a, b.doc_id AS b,
-                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+                   CAST(levenshtein(coalesce(a.text, ''),
+                                    coalesce(b.text, '')) AS BIGINT)
+                       AS dist
             FROM documents a JOIN documents b
               ON b.doc_id > a.doc_id
-             AND abs(strlen(a.text) - strlen(b.text)) <= 8
-            WHERE levenshtein(a.text, b.text) <= 8
+             AND abs(strlen(coalesce(a.text, ''))
+                     - strlen(coalesce(b.text, ''))) <= 8
+            WHERE levenshtein(coalesce(a.text, ''),
+                              coalesce(b.text, '')) <= 8
         """,
         "embedding_near_dup_pairs": """
             SELECT CAST(a.vec_id AS VARCHAR) AS a,

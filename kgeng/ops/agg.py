@@ -338,31 +338,58 @@ def grouped_corr(ds: ray.data.Dataset, key: str, x: str, y: str,
     float expression at the end is stated IDENTICALLY in the SQL
     oracle — equal integer inputs + the same IEEE-754 tree = bit-equal
     output, so partial-sum order across partitions can never move the
-    result. NULL when either variance is zero (SQL corr convention)."""
-    from ray.data.aggregate import Sum
+    result. NULL when either variance is zero (SQL corr convention).
+
+    int64 exactness is PROVED, not assumed: each batch also tracks the
+    per-group max |x*x| / |y*y| / |x*y| terms, and the finish stage
+    raises loudly when n * max_term could exceed int64 (the SQL side
+    promotes to int128, so a silent numpy wraparound would otherwise
+    diverge from the oracle with no error) — rescale inputs or shard
+    the group when that fires."""
+    from ray.data.aggregate import Max, Sum
 
     def partial(t: pa.Table) -> pa.Table:
         xv = t[x].to_numpy(zero_copy_only=False).astype(np.int64)
         yv = t[y].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(xv) and (np.abs(xv).max() >= (1 << 31)
+                        or np.abs(yv).max() >= (1 << 31)):
+            raise ValueError("grouped_corr inputs must fit 31 bits so "
+                             "per-row cross terms stay exact in int64 "
+                             "— rescale to a coarser grid")
+        terms = np.maximum(xv * xv, np.maximum(yv * yv,
+                                               np.abs(xv * yv)))
         g = pa.table({
             key: t[key],
             "n_p": pa.array(np.ones(len(xv), np.int64)),
             "sx_p": pa.array(xv), "sy_p": pa.array(yv),
             "sxx_p": pa.array(xv * xv), "syy_p": pa.array(yv * yv),
-            "sxy_p": pa.array(xv * yv),
+            "sxy_p": pa.array(xv * yv), "mt_p": pa.array(terms),
         }).group_by([key]).aggregate([
             ("n_p", "sum"), ("sx_p", "sum"), ("sy_p", "sum"),
-            ("sxx_p", "sum"), ("syy_p", "sum"), ("sxy_p", "sum")])
+            ("sxx_p", "sum"), ("syy_p", "sum"), ("sxy_p", "sum"),
+            ("mt_p", "max")])
         return g.rename_columns(
-            [key, "n_p", "sx_p", "sy_p", "sxx_p", "syy_p", "sxy_p"])
+            [key, "n_p", "sx_p", "sy_p", "sxx_p", "syy_p", "sxy_p",
+             "mt_p"])
 
     moments = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).aggregate(
             Sum("n_p", alias_name="n"), Sum("sx_p", alias_name="sx"),
             Sum("sy_p", alias_name="sy"), Sum("sxx_p", alias_name="sxx"),
-            Sum("syy_p", alias_name="syy"), Sum("sxy_p", alias_name="sxy"))
+            Sum("syy_p", alias_name="syy"), Sum("sxy_p", alias_name="sxy"),
+            Max("mt_p", alias_name="mt"))
 
     def finish(t: pa.Table) -> pa.Table:
+        n_i = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mt = t["mt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # Syy <= n * max(y*y) etc. (cross terms bounded by |max|), so
+        # this bound holding proves no int64 partial-sum wrapped
+        if len(n_i) and np.any(mt.astype(np.float64)
+                               * n_i.astype(np.float64) >= 2.0 ** 62):
+            raise ValueError(
+                "grouped_corr moment sums may exceed int64 for a group "
+                "(n * max term >= 2^62): rescale x/y to a coarser "
+                "integer grid or pre-shard the group")
         f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
         vx = f["n"] * f["sxx"] - f["sx"] * f["sx"]

@@ -518,8 +518,11 @@ def banded_levenshtein(left: np.ndarray, right: np.ndarray,
     res = np.full(P, INF, np.int16)
 
     # right bytes padded so Rpad[:, i:i+w] is exactly b[j-1] for the
-    # row-i band (j = i - d + s  =>  byte index i + s - (d+1) + (d+1))
-    rpad = np.zeros((P, right.shape[1] + w + 1), np.uint8)
+    # row-i band (j = i - d + s  =>  byte index i + s - (d+1) + (d+1));
+    # width covers i up to lens_l.max() even when the left matrix is
+    # wider than the right one (independently-built matrices)
+    rw = max(right.shape[1], int(lens_l.max()) if P else 0)
+    rpad = np.zeros((P, rw + w + 1), np.uint8)
     rpad[:, d + 1: d + 1 + right.shape[1]] = right
 
     # row 0: d[0][j] = j for j in [0, min(d, L2)]
@@ -682,7 +685,10 @@ def jaro_winkler_batch(left: np.ndarray, right: np.ndarray,
     bidx = np.full((P, Lb), -1, np.int64)
     m = np.zeros(P, np.int64)
     rows = np.arange(P)
-    for j in range(int(lb.max()) if P else 0):
+    # a zero-width left matrix (every left string empty) means no
+    # matches are possible; skipping the loop avoids argmax on an
+    # empty axis and the m==0 branch below yields the documented 0.0
+    for j in range(int(lb.max()) if P and La else 0):
         act = j < lb
         bc = right[:, j]
         lo = np.maximum(j - W, 0)

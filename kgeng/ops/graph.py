@@ -1085,6 +1085,14 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
         ids = np.unique(np.concatenate([
             t[src].to_numpy(zero_copy_only=False).astype(np.int64),
             t[dst].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        # node ids travel through hash_join, whose nullable-int
+        # convention floats the right side: ids >= 2^53 would round
+        # silently (same hazard line_graph guards loudly)
+        if len(ids) and (ids.max() >= (1 << 53) or ids.min() < 0):
+            raise ValueError(
+                "bounded_harmonic requires node ids in [0, 2^53): "
+                "larger ids corrupt in the join's float64 transit — "
+                "remap ids first")
         return pa.table({"root": pa.array(ids), "node": pa.array(ids),
                          "dist": pa.array(np.zeros(len(ids), np.int64))})
 

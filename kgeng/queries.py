@@ -1999,6 +1999,16 @@ def revenue_cube(sf_dir: str):
                    Sum("n_p", alias_name="n_items")).to_pandas()
     finest.columns = ["prio", "flag", "rev_c", "n_items"]
 
+    if len(finest) == 0:
+        # SQL CUBE on empty input still emits the () grouping set:
+        # one ALL/ALL row with count 0 and a NULL sum
+        out = pa.table({
+            "prio": pa.array(["ALL"], pa.string()),
+            "flag": pa.array(["ALL"], pa.string()),
+            "sum_revenue": pa.array([None], pa.float64()),
+            "n_items": pa.array([0], pa.int64())})
+        return ray.data.from_arrow(out)
+
     levels = [finest]
     for keep in (["prio"], ["flag"], []):
         g = (finest.groupby(keep, as_index=False)[["rev_c", "n_items"]]

@@ -929,3 +929,49 @@ def test_jaro_winkler_batch_matches_duckdb_definition():
     ge = dedup.jaro_winkler_batch(mat_e[[0, 0]], mat_e[[1, 2]],
                                   le[[0, 0]], le[[1, 2]])
     assert ge[0] == 0.0 and ge[1] == 0.0
+
+
+def test_doc_fingerprints_batch_matches_scalar_reference():
+    import random
+
+    rng = random.Random(29)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "中", "x"]
+    texts = ["", "a", "a b c", None] + [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30)))
+        for _ in range(300)]
+    got = text.doc_fingerprints_batch([t or "" for t in texts])
+    want = np.array([text._doc_fingerprint(t or "") for t in texts],
+                    np.int64)
+    assert (got == want).all()
+
+
+def test_banded_levenshtein_independent_matrices():
+    # left matrix wider than right: rpad must still cover every DP row
+    mat_l, ll = dedup._byte_matrix(["aaaaaaaaaa"])
+    mat_r, lr = dedup._byte_matrix(["aa"])
+    d = dedup.banded_levenshtein(mat_l, mat_r, ll, lr, 8)
+    assert int(d[0]) == 8
+    # and the swapped orientation
+    d2 = dedup.banded_levenshtein(mat_r, mat_l, lr, ll, 8)
+    assert int(d2[0]) == 8
+
+
+def test_jaro_winkler_all_empty_left_batch():
+    mat_l, ll = dedup._byte_matrix(["", ""])
+    mat_r, lr = dedup._byte_matrix(["x", "abc"])
+    got = dedup.jaro_winkler_batch(mat_l, mat_r, ll, lr)
+    assert got.tolist() == [0.0, 0.0]
+
+
+def test_grouped_corr_overflow_guard_fires():
+    big = (1 << 30)
+    t = pa.table({"k": ["a"] * 8, "x": [big] * 8, "y": [big] * 8})
+    # n * max_term = 8 * 2^60 = 2^63 >= 2^62 -> loud raise, not a wrap
+    # (Ray Data surfaces user ValueErrors wrapped in RayTaskError)
+    with pytest.raises(Exception, match="rescale|coarser"):
+        agg.grouped_corr(ray.data.from_arrow(t), "k", "x", "y") \
+            .to_pandas()
+    with pytest.raises(Exception, match="31 bits"):
+        t2 = pa.table({"k": ["a"], "x": [1 << 32], "y": [1]})
+        agg.grouped_corr(ray.data.from_arrow(t2), "k", "x", "y") \
+            .to_pandas()
