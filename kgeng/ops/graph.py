@@ -1053,9 +1053,47 @@ def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
 
 # ----------------------------------------------- bounded harmonic (exact)
 
+def _harmonic_driver(se: np.ndarray, de: np.ndarray, max_hops: int,
+                     lcm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Plan A: dense vectorized multi-source BFS on the driver. Rows of
+    the (V, V) boolean frontier are BFS roots; one round is a gather of
+    frontier columns at edge sources + a maximum.reduceat over
+    dst-grouped edges — numpy throughout, no per-node Python. Returns
+    (sorted node ids, integer LCM//d harmonic sums)."""
+    nodes = np.unique(np.concatenate([se, de]))
+    V = len(nodes)
+    si = np.searchsorted(nodes, se)
+    di = np.searchsorted(nodes, de)
+    # dedup edges, group by dst
+    pk = di.astype(np.int64) * V + si
+    pk = np.unique(pk)
+    di_s, si_s = pk // V, pk % V
+    grp_starts = np.flatnonzero(np.r_[True, di_s[1:] != di_s[:-1]])
+    grp_dst = di_s[grp_starts]
+    visited = np.zeros((V, V), bool)
+    ar = np.arange(V)
+    visited[ar, ar] = True
+    frontier = visited.copy()
+    s60 = np.zeros(V, np.int64)
+    for d in range(1, max_hops + 1):
+        if not frontier.any():
+            break
+        red = np.maximum.reduceat(frontier[:, si_s], grp_starts, axis=1)
+        new = np.zeros((V, V), bool)
+        new[:, grp_dst] = red
+        new &= ~visited
+        visited |= new
+        frontier = new
+        s60 += (lcm // d) * new.sum(1)
+    return nodes, s60
+
+
 def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
                      dst: str = "dst", max_hops: int = 6,
-                     num_buckets: int = 16, ndigits: int = 6
+                     num_buckets: int = 16, ndigits: int = 6,
+                     state: str = "auto",
+                     max_driver_nodes: int = 10_000,
+                     max_driver_edges: int = 1_000_000
                      ) -> ray.data.Dataset:
     """EXACT harmonic centrality within ``max_hops`` (directed):
     harmonic(u) = sum over v != u reachable in d <= max_hops hops of
@@ -1067,19 +1105,56 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
     same final double division + half-away round, keeping the
     recursive-CTE oracle bit-exact.
 
-    Plan: all-pairs BFS as dataset rounds — the (root, node) frontier
-    hash-joins the edge list, first-arrival depth is kept by a
-    (root, node) min-groupby, and the next frontier is exactly the rows
-    whose depth equals the round number. State is O(reachable pairs):
-    inherently quadratic in the worst case, so this is the exact
-    VERIFY-stage twin of ``effective_closeness`` (HyperBall), meant for
-    bounded subgraphs — the sketch is the 100-TB path."""
+    Two plans (same convention as pagerank/hits):
+
+    - plan A (``state='driver'``, or 'auto' under the size bounds):
+      dense vectorized multi-source BFS on the driver — V^2 bits of
+      frontier, one reduceat sweep per round. Right for the
+      bounded-subgraph sizes this exact op is meant for.
+    - plan B (``state='distributed'``): all-pairs BFS as dataset
+      rounds — the (root, node) frontier hash-joins the edge list,
+      first-arrival depth kept by a (root, node) min-groupby, next
+      frontier = rows whose depth equals the round number. Convergence
+      is read from the MATERIALIZED row-count metadata (no extra
+      per-round count execution). State is O(reachable pairs):
+      inherently quadratic, so this exact op is the VERIFY-stage twin
+      of ``effective_closeness`` (HyperBall) — the sketch is the
+      100-TB path."""
     import math
 
     from kgeng.ops.join import hash_join
 
     lcm = math.lcm(*range(1, max_hops + 1))
     proj = edges.select_columns([src, dst])
+
+    if state != "distributed":
+        n_edges = proj.count()
+        if n_edges <= max_driver_edges:
+            t = pa.concat_tables(
+                ray.get(b) for b in proj.to_arrow_refs())
+            se = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            de = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+            nodes = np.unique(np.concatenate([se, de])) \
+                if len(se) else np.zeros(0, np.int64)
+            if (len(nodes) <= max_driver_nodes
+                    and len(nodes) * max(n_edges, 1) <= 2_000_000_000):
+                nodes, s60 = _harmonic_driver(se, de, max_hops, lcm)
+                h = pc.round(
+                    pc.divide(pc.cast(pa.array(s60), pa.float64()),
+                              float(lcm)), ndigits=ndigits,
+                    round_mode="half_towards_infinity")
+                return ray.data.from_arrow(pa.table({
+                    "node": pa.array(nodes), "harmonic": h}))
+            if state == "driver":
+                raise ValueError(
+                    f"bounded_harmonic plan A bounds exceeded "
+                    f"({len(nodes)} nodes, {n_edges} edges): use "
+                    f"state='distributed'")
+        elif state == "driver":
+            raise ValueError(
+                f"bounded_harmonic plan A bounds exceeded "
+                f"({n_edges} edges > {max_driver_edges}): use "
+                f"state='distributed'")
 
     def seed(t: pa.Table) -> pa.Table:
         ids = np.unique(np.concatenate([
@@ -1111,9 +1186,12 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
     hop = proj.map_batches(renamed_edges, batch_format="pyarrow") \
         .materialize()
 
+    # convergence reads MATERIALIZED row-count metadata: a round that
+    # adds no (root, node) pair leaves the count unchanged, and counting
+    # a materialized dataset launches no execution (unlike counting the
+    # lazy frontier filter, which re-ran the whole plan every round)
+    prev_rows = visited.count()
     for t_round in range(1, max_hops + 1):
-        if frontier.count() == 0:
-            break
         j = hash_join(frontier.select_columns(["root", "node"]), hop,
                       key="node", num_buckets=num_buckets,
                       left_cols=["root", "node"],
@@ -1134,6 +1212,10 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
         visited = merged.map_batches(
             lambda t: t.rename_columns(["root", "node", "dist"]),
             batch_format="pyarrow").repartition(num_buckets).materialize()
+        rows = visited.count()
+        if rows == prev_rows:
+            break
+        prev_rows = rows
         frontier = visited.filter(
             expr=f"dist == {t_round}")
 

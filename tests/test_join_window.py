@@ -925,10 +925,11 @@ def test_bounded_harmonic_matches_bfs_reference():
         want[u] = round(s / lcm, 6)
 
     ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
-    got = bounded_harmonic(ds, max_hops=H).to_pandas()
-    got_map = dict(zip(got["node"], got["harmonic"]))
-    assert got_map == want
-    assert len(got_map) == len(nodes)
+    for state in ("driver", "distributed"):
+        got = bounded_harmonic(ds, max_hops=H, state=state).to_pandas()
+        got_map = dict(zip(got["node"], got["harmonic"]))
+        assert got_map == want, state
+        assert len(got_map) == len(nodes)
 
 
 def test_bounded_harmonic_early_exit_on_converged_bfs():
@@ -937,7 +938,15 @@ def test_bounded_harmonic_early_exit_on_converged_bfs():
     from kgeng.ops.graph import bounded_harmonic
 
     ds = ray.data.from_arrow(pa.table({"src": [1, 2], "dst": [2, 3]}))
-    got = bounded_harmonic(ds, max_hops=6).to_pandas()
-    got_map = dict(zip(got["node"], got["harmonic"]))
-    # node1 reaches 2 at d1, 3 at d2: 1/1 + 1/2 = 1.5
-    assert got_map == {1: 1.5, 2: 1.0, 3: 0.0}
+    # distributed plan: the converged-count break must fire before the
+    # dead rounds; driver plan: the empty-frontier break
+    for state in ("distributed", "driver"):
+        got = bounded_harmonic(ds, max_hops=6, state=state).to_pandas()
+        got_map = dict(zip(got["node"], got["harmonic"]))
+        # node1 reaches 2 at d1, 3 at d2: 1/1 + 1/2 = 1.5
+        assert got_map == {1: 1.5, 2: 1.0, 3: 0.0}, state
+    # plan-A bound rejection is loud, not silent
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bounds exceeded"):
+        bounded_harmonic(ds, max_hops=2, state="driver",
+                         max_driver_edges=1)
