@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr_by_flag": Q.qty_price_corr_by_flag,
         "custs_both_big_and_urgent": Q.custs_both_big_and_urgent,
         "doc_pair_jw": Q.doc_pair_jw,
+        "price_stats_by_priority": Q.price_stats_by_priority,
         "events_prev_gap": Q.events_prev_gap,
         "docs_sample_by_lang": Q.docs_sample_by_lang,
         "docs_hash_sample": Q.docs_hash_sample,
@@ -611,6 +612,25 @@ def oracle_sql() -> dict[str, str]:
                                     - CAST(sy AS DOUBLE)
                                       * CAST(sy AS DOUBLE))), 6)
                    END AS corr
+            FROM m
+        """,
+        "price_stats_by_priority": """
+            WITH m AS (
+              SELECT o_orderpriority, count(*) AS n,
+                     sum(CAST(round(o_totalprice) AS BIGINT)) AS sx,
+                     sum(CAST(round(o_totalprice) AS BIGINT)
+                         * CAST(round(o_totalprice) AS BIGINT)) AS sxx
+              FROM orders GROUP BY 1)
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS mean_x,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE round(sqrt(
+                          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0))), 6)
+                   END AS stddev_x
             FROM m
         """,
         "custs_both_big_and_urgent": """

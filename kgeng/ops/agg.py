@@ -406,3 +406,60 @@ def grouped_corr(ds: ray.data.Dataset, key: str, x: str, y: str,
                          out: vals})
 
     return moments.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_stats(ds: ray.data.Dataset, key: str, x: str,
+                  ndigits: int = 6) -> ray.data.Dataset:
+    """Per-group count / mean / sample stddev from EXACT integer
+    moments — same discipline as :func:`grouped_corr`: ``x`` must be
+    int64 on an integer grid, partials (n, Sx, Sxx) sum exactly, and
+    the one float expression at the end is stated identically in the
+    SQL oracle, so the match is bit-exact. stddev uses the n-1
+    denominator (SQL stddev_samp); NULL when n < 2. The same loud
+    n * max-term overflow proof as grouped_corr guards int64."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = t[x].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(xv) and np.abs(xv).max() >= (1 << 31):
+            raise ValueError("grouped_stats inputs must fit 31 bits — "
+                             "rescale to a coarser grid")
+        g = pa.table({
+            key: t[key],
+            "n_p": pa.array(np.ones(len(xv), np.int64)),
+            "sx_p": pa.array(xv), "sxx_p": pa.array(xv * xv),
+            "mt_p": pa.array(xv * xv),
+        }).group_by([key]).aggregate([
+            ("n_p", "sum"), ("sx_p", "sum"), ("sxx_p", "sum"),
+            ("mt_p", "max")])
+        return g.rename_columns([key, "n_p", "sx_p", "sxx_p", "mt_p"])
+
+    moments = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(
+            Sum("n_p", alias_name="n"), Sum("sx_p", alias_name="sx"),
+            Sum("sxx_p", alias_name="sxx"), Max("mt_p", alias_name="mt"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_i = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mt = t["mt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(n_i) and np.any(mt.astype(np.float64)
+                               * n_i.astype(np.float64) >= 2.0 ** 62):
+            raise ValueError(
+                "grouped_stats moment sums may exceed int64 for a "
+                "group: rescale x or pre-shard the group")
+        n = n_i.astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = sx / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (n * sxx - sx * sx) / (n * (n - 1.0))
+            sd = np.sqrt(var)
+        rnd = lambda a: pc.round(pa.array(a, pa.float64()),
+                                 ndigits=ndigits,
+                                 round_mode="half_towards_infinity")
+        sd_col = pc.if_else(pa.array(n_i < 2), pa.scalar(None, pa.float64()),
+                            rnd(sd))
+        return pa.table({key: t[key], "n": pc.cast(t["n"], pa.int64()),
+                         "mean_x": rnd(mean), "stddev_x": sd_col})
+
+    return moments.map_batches(finish, batch_format="pyarrow")

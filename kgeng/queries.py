@@ -2102,3 +2102,22 @@ def doc_pair_jw(sf_dir: str):
                     "b_txt": [p[3] for p in pair_rows]})
     return ray.data.from_arrow(src).map_batches(
         pairs_batch, batch_format="pyarrow", batch_size=64)
+
+
+def price_stats_by_priority(sf_dir: str):
+    """count / mean / sample stddev of whole-dollar order price per
+    priority — exact-moments grouped statistics
+    (ops/agg.py:grouped_stats), bit-exact vs the SQL oracle because
+    both engines evaluate the same IEEE tree over the same exact
+    integer sums."""
+    from kgeng.ops.agg import grouped_stats
+
+    orders = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    prep = orders.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "x": pc.cast(pc.round(t["o_totalprice"], ndigits=0,
+                                  round_mode="half_towards_infinity"),
+                         pa.int64())}),
+        batch_format="pyarrow")
+    return grouped_stats(prep, "o_orderpriority", "x")

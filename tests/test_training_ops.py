@@ -975,3 +975,20 @@ def test_grouped_corr_overflow_guard_fires():
         t2 = pa.table({"k": ["a"], "x": [1 << 32], "y": [1]})
         agg.grouped_corr(ray.data.from_arrow(t2), "k", "x", "y") \
             .to_pandas()
+
+
+def test_grouped_stats_matches_numpy():
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, 1000, 400).astype(np.int64)
+    key = np.where(x % 3 == 0, "a", "b")
+    t = pa.table({"k": key.tolist(), "x": x})
+    t = pa.concat_tables([t, pa.table({"k": ["solo"], "x": [42]})])
+    got = agg.grouped_stats(ray.data.from_arrow(t).repartition(4),
+                            "k", "x").to_pandas().set_index("k")
+    assert got.loc["solo", "n"] == 1 and got.loc["solo", "mean_x"] == 42.0
+    assert np.isnan(got.loc["solo", "stddev_x"])
+    for k in ("a", "b"):
+        m = key == k
+        assert got.loc[k, "n"] == int(m.sum())
+        assert abs(got.loc[k, "mean_x"] - x[m].mean()) < 5e-7
+        assert abs(got.loc[k, "stddev_x"] - x[m].std(ddof=1)) < 5e-6
