@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": Q.dedup_exact_docs,
         "minhash_dedup_docs": Q.minhash_dedup_docs,
         "simhash_docs": Q.simhash_docs,
+        # --- round-4 continuation (this session) ---
+        "parts_triangle_counts": Q.parts_triangle_counts,
     }
 
 
@@ -874,6 +876,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mention_counts": f"""
             SELECT subj, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY subj
+        """,
+        "parts_triangle_counts": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+                 e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+                 tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                         FROM e e1
+                         JOIN e e2 ON e2.u = e1.v
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+                 n AS (SELECT a AS node FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri)
+            SELECT node, count(*) AS n_triangles FROM n GROUP BY node
         """,
         # rows-only (non-SQL-expressible): doc_fingerprints,
         # minhash_dedup_docs, simhash_docs, ann_topk_lsh, media_features,

@@ -1235,3 +1235,220 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
         return pa.table({"node": t["node"], "harmonic": h})
 
     return total.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ triangles
+
+def _mix2(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of two int64 columns (bucketing only —
+    collisions just co-locate more rows, never corrupt results)."""
+    a = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    b = v.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    x = a ^ (b >> np.uint64(29)) ^ (b << np.uint64(17))
+    return (x * np.uint64(0xD6E8FEB86659FD93))
+
+
+def _segment_pairs(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (i < j) index pairs WITHIN each segment of a concatenated
+    array whose segment lengths are ``lens`` — fully vectorized (no
+    Python loop over segments). Returns (first, second) global index
+    arrays of length sum(C(len, 2))."""
+    lens = np.asarray(lens, dtype=np.int64)
+    if lens.size == 0 or int(lens.sum()) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    ends = np.cumsum(lens)
+    total = int(ends[-1])
+    # partners remaining after each element inside its own segment
+    rem = np.repeat(ends, lens) - np.arange(total, dtype=np.int64) - 1
+    fi = np.repeat(np.arange(total, dtype=np.int64), rem)
+    if fi.size == 0:
+        return fi, fi.copy()
+    off = (np.arange(fi.size, dtype=np.int64)
+           - np.repeat(np.cumsum(rem) - rem, rem))
+    return fi, fi + off + 1
+
+
+def triangle_counts(edges: ray.data.Dataset, src: str = "src",
+                    dst: str = "dst", num_buckets: int = 64,
+                    broadcast_nodes_cutover: int = 5_000_000
+                    ) -> ray.data.Dataset:
+    """Exact per-node triangle participation counts over an undirected
+    graph (edges may arrive directed / duplicated / with loops).
+
+    Degree-ordered node-iterator algorithm (each triangle is generated
+    exactly once, at its lowest-(degree, id) corner):
+
+    1. canonicalize (u < v, drop loops) + dedup — one coarse-bucket
+       shuffle of id pairs, per-bucket ``lexsort`` dedup;
+    2. degrees via per-block partial counts + ``groupby(node).sum``;
+    3. orient every edge from the lower (deg, id) endpoint to the
+       higher — degree lookup is a broadcast ``searchsorted`` while the
+       node table fits ``broadcast_nodes_cutover``, else two
+       ``hash_join`` passes (plan B, nothing node-sized on the driver);
+    4. wedges: per-pivot neighbor pairs (neighbors sorted by
+       (deg, id)), generated by the vectorized ``_segment_pairs``
+       kernel — out-degree after orientation is O(sqrt(m)), which
+       bounds both the group sizes and the total wedge count to
+       O(m^1.5);
+    5. closure: wedges semi-merged against the oriented edge set in one
+       hash-bucket shuffle (exact two-column pandas merge per bucket);
+    6. triangle corners unnested into per-block partial counts +
+       ``groupby(node).sum``.
+
+    All arithmetic is integer — results are exact, so the SQL oracle
+    (a three-way self-join) hash-matches. Only (int64, int64) pairs
+    ever shuffle; texts/payloads never enter the pipeline.
+    """
+    from kgeng.ops.join import hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        bkt = (_mix2(u, v) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "bkt": pa.array(bkt)})
+
+    def dedup_group(df: pd.DataFrame) -> pa.Table:
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.ones(u.size, bool)
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    e = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(dedup_group, batch_format="pandas") \
+        .materialize()  # reused: degrees, orientation, closure
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                            t["v"].to_numpy(zero_copy_only=False)])
+        un, cn = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(un.astype(np.int64)),
+                         "cnt": pa.array(cn.astype(np.int64))})
+
+    degs = e.map_batches(deg_part, batch_format="pyarrow") \
+        .groupby("node").sum("cnt") \
+        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow")
+
+    n_nodes = degs.count()
+    if n_nodes <= broadcast_nodes_cutover:
+        # plan A: one sorted (node, deg) pair of arrays in the object
+        # store, read by every orientation task
+        dt = degs.to_pandas()
+        order = np.argsort(dt["node"].to_numpy(np.int64))
+        ref = ray.put((dt["node"].to_numpy(np.int64)[order],
+                       dt["deg"].to_numpy(np.int64)[order]))
+
+        def orient(t: pa.Table) -> pa.Table:
+            nodes, deg = ray.get(ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            du = deg[np.searchsorted(nodes, u)]
+            dv = deg[np.searchsorted(nodes, v)]
+            ufirst = (du < dv) | ((du == dv) & (u < v))
+            a = np.where(ufirst, u, v)
+            b = np.where(ufirst, v, u)
+            db = np.where(ufirst, dv, du)
+            return pa.table({"a": pa.array(a), "b": pa.array(b),
+                             "db": pa.array(db)})
+
+        oriented = e.map_batches(orient, batch_format="pyarrow")
+    else:
+        # plan B: degree lookup via two hash joins — nothing node-sized
+        # ever lands on the driver
+        du = hash_join(
+            e, degs.map_batches(
+                lambda t: t.rename_columns(["u", "du"]),
+                batch_format="pyarrow"),
+            key="u", num_buckets=num_buckets)
+        duv = hash_join(
+            du, degs.map_batches(
+                lambda t: t.rename_columns(["v", "dv"]),
+                batch_format="pyarrow"),
+            key="v", num_buckets=num_buckets)
+
+        def orient_j(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            du_ = t["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dv_ = t["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ufirst = (du_ < dv_) | ((du_ == dv_) & (u < v))
+            a = np.where(ufirst, u, v)
+            b = np.where(ufirst, v, u)
+            db = np.where(ufirst, dv_, du_)
+            return pa.table({"a": pa.array(a), "b": pa.array(b),
+                             "db": pa.array(db)})
+
+        oriented = duv.map_batches(orient_j, batch_format="pyarrow")
+
+    oriented = oriented.materialize()  # reused: wedges + closure
+
+    def wedge_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        bkt = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(33)) % np.uint64(num_buckets)
+        return t.append_column("wb", pa.array(bkt.astype(np.int32)))
+
+    def wedges_group(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        db = df["db"].to_numpy(np.int64)
+        # neighbors sorted by (deg, id) WITHIN each pivot segment so an
+        # emitted wedge (v, w) is already in oriented-edge order
+        order = np.lexsort((b, db, a))
+        a, b = a[order], b[order]
+        segs = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        lens = np.diff(np.r_[segs, a.size])
+        fi, se = _segment_pairs(lens)
+        return pa.table({"v": pa.array(b[fi]), "w": pa.array(b[se]),
+                         "pivot": pa.array(a[fi]),
+                         "tag": pa.array(np.ones(fi.size, np.int8))})
+
+    wedges = oriented.map_batches(wedge_bucket, batch_format="pyarrow") \
+        .groupby("wb").map_groups(wedges_group, batch_format="pandas")
+
+    def edge_tagged(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(a), "w": pa.array(b),
+                         "pivot": pa.array(np.full(a.size, -1, np.int64)),
+                         "tag": pa.array(np.zeros(a.size, np.int8))})
+
+    def close_bucket(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        bkt = (_mix2(v, w) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("cb", pa.array(bkt))
+
+    both = wedges.union(oriented.map_batches(edge_tagged,
+                                             batch_format="pyarrow")) \
+        .map_batches(close_bucket, batch_format="pyarrow")
+
+    def close_group(df: pd.DataFrame) -> pa.Table:
+        ed = df[df["tag"] == 0]
+        wd = df[df["tag"] == 1]
+        if len(ed) == 0 or len(wd) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        m = wd[["v", "w", "pivot"]].merge(ed[["v", "w"]], on=["v", "w"],
+                                          how="inner")
+        nodes = np.concatenate([m["v"].to_numpy(np.int64),
+                                m["w"].to_numpy(np.int64),
+                                m["pivot"].to_numpy(np.int64)])
+        un, cn = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(un),
+                         "cnt": pa.array(cn.astype(np.int64))})
+
+    return both.groupby("cb").map_groups(close_group,
+                                         batch_format="pandas") \
+        .groupby("node").sum("cnt") \
+        .map_batches(lambda t: t.rename_columns(["node", "n_triangles"]),
+                     batch_format="pyarrow")

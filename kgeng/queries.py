@@ -2121,3 +2121,48 @@ def price_stats_by_priority(sf_dir: str):
                          pa.int64())}),
         batch_format="pyarrow")
     return grouped_stats(prep, "o_orderpriority", "x")
+
+
+def parts_triangle_counts(sf_dir: str):
+    """Exact per-node triangle counts over the part co-purchase graph
+    (two parts are linked when some order contains both). The engine
+    runs the degree-ordered node-iterator kernel
+    (ops/graph.triangle_counts): canonical dedup, degree orientation
+    (broadcast searchsorted under the node cutover, hash-join plan B
+    above it), vectorized wedge generation bounded by O(sqrt(m))
+    oriented out-degree, one bucket-shuffle closure merge. All-integer,
+    so the three-way self-join oracle hash-matches exactly."""
+    from kgeng.ops.graph import _mix2, _segment_pairs, triangle_counts
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_bucket(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        # per-batch (order, part) dedup before the shuffle
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(o.size, bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        bkt = ((o.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(33)) % np.uint64(64)
+        return pa.table({"o": pa.array(o), "p": pa.array(p),
+                         "ob": pa.array(bkt.astype(np.int32))})
+
+    def pairs_group(df) -> pa.Table:
+        o = df["o"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(o.size, bool)  # cross-batch dedup inside bucket
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        segs = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        lens = np.diff(np.r_[segs, o.size])
+        fi, se = _segment_pairs(lens)
+        return pa.table({"src": pa.array(p[fi]), "dst": pa.array(p[se])})
+
+    co = li.map_batches(op_bucket, batch_format="pyarrow") \
+        .groupby("ob").map_groups(pairs_group, batch_format="pandas")
+    return triangle_counts(co, "src", "dst")

@@ -1,5 +1,6 @@
 """Hash-partitioned join + session windows."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -950,3 +951,81 @@ def test_bounded_harmonic_early_exit_on_converged_bfs():
     with _pt.raises(ValueError, match="bounds exceeded"):
         bounded_harmonic(ds, max_hops=2, state="driver",
                          max_driver_edges=1)
+
+
+# ------------------------------------------------------------ triangles
+
+def _brute_triangles(pairs):
+    """Per-node triangle counts by brute force over an undirected
+    edge set given as (u, v) tuples (any direction, dups ok)."""
+    import itertools
+    adj = {}
+    es = set()
+    for u, v in pairs:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for (a, b) in es:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle once as a < b < c
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_k4_and_path():
+    import ray.data
+
+    from kgeng.ops.graph import triangle_counts
+
+    # K4: every node sits in C(3,2)=3 triangles
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    t = pa.table({"src": [e[0] for e in k4], "dst": [e[1] for e in k4]})
+    out = triangle_counts(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["node"]) == [0, 1, 2, 3]
+    assert set(out["n_triangles"]) == {3}
+    # path graph: no triangles -> empty result
+    p = pa.table({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    assert triangle_counts(ray.data.from_arrow(p)).count() == 0
+
+
+def test_triangle_counts_random_parity_both_plans():
+    import ray.data
+
+    from kgeng.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    # skewed ids + duplicate/reversed edges + self loops
+    u = rng.integers(0, 60, size=600)
+    v = rng.integers(0, 60, size=600)
+    pairs = list(zip(u.tolist(), v.tolist()))
+    ref = _brute_triangles(pairs)
+    t = pa.table({"src": pa.array(u, pa.int64()),
+                  "dst": pa.array(v, pa.int64())})
+    for cutover in (5_000_000, 0):  # plan A (broadcast) and plan B (joins)
+        out = triangle_counts(ray.data.from_arrow(t).repartition(5),
+                              broadcast_nodes_cutover=cutover).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["n_triangles"].astype(int)))
+        assert got == ref, f"cutover={cutover}"
+
+
+def test_triangle_counts_partition_invariant():
+    import ray.data
+
+    from kgeng.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 40, size=300)
+    v = rng.integers(0, 40, size=300)
+    t = pa.table({"src": pa.array(u, pa.int64()),
+                  "dst": pa.array(v, pa.int64())})
+    outs = []
+    for parts in (1, 7):
+        out = triangle_counts(
+            ray.data.from_arrow(t).repartition(parts)).to_pandas()
+        outs.append(out.sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
