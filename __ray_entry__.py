@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": Q.simhash_docs,
         # --- round-4 continuation (this session) ---
         "parts_triangle_counts": Q.parts_triangle_counts,
+        "corpus_top_terms_approx": Q.corpus_top_terms_approx,
     }
 
 
@@ -893,5 +894,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rows-only (non-SQL-expressible): doc_fingerprints,
         # minhash_dedup_docs, simhash_docs, ann_topk_lsh, media_features,
-        # kg_mention_stats
+        # kg_mention_stats, corpus_top_terms_approx (sketch estimate;
+        # exact-regime parity + error-bound pytests instead)
     }

@@ -463,3 +463,81 @@ def grouped_stats(ds: ray.data.Dataset, key: str, x: str,
                          "mean_x": rnd(mean), "stddev_x": sd_col})
 
     return moments.map_batches(finish, batch_format="pyarrow")
+
+
+def misra_gries_topk(ds: ray.data.Dataset, key: str, k: int = 20,
+                     capacity: int = 4096,
+                     weight: str | None = None) -> ray.data.Dataset:
+    """Approximate global top-k heavy hitters via mergeable Misra-Gries
+    summaries (Agarwal et al., "Mergeable Summaries", PODS 2012) — the
+    scale path for exact top-k when per-block partials are NOT
+    vocabulary-bounded.
+
+    Per block: exact value counts (or weight sums), then one MG trim —
+    subtract the (capacity+1)-th largest counter from every counter and
+    drop the non-positives, so at most ``capacity`` survivors leave the
+    block and the subtracted amount ``d`` is the block's error
+    contribution. Summing trimmed summaries + re-trimming IS the MG
+    merge, so the shuffle moves <= capacity rows per block regardless
+    of key cardinality. Guarantee carried to the output:
+
+        true_count - err_bound <= est <= true_count
+
+    with ``err_bound`` = sum of the per-block ``d``s (reported as a
+    column, not asserted — the caller sees the actual bound for THIS
+    run; when every block's cardinality fits ``capacity`` the bound is
+    0 and the result is exact). Final top-k: one tiny distributed
+    sort+limit over the merged candidates; ties break key-ascending."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} < k {k}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if weight is None:
+            vc = t[key].to_pandas().value_counts(sort=False)
+            keys = vc.index.to_numpy()
+            cnts = vc.to_numpy(np.int64)
+        else:
+            g = pd.DataFrame({
+                "k": t[key].to_pandas(),
+                "w": t[weight].to_numpy(zero_copy_only=False),
+            }).groupby("k", sort=False)["w"].sum()
+            keys = g.index.to_numpy()
+            cnts = g.to_numpy(np.int64)
+        d = np.int64(0)
+        if cnts.size > capacity:
+            d = np.partition(cnts, cnts.size - capacity - 1)[
+                cnts.size - capacity - 1]
+            keep = cnts > d
+            keys, cnts = keys[keep], cnts[keep] - d
+        return pa.table({
+            key: pa.array(np.r_[keys, [""]].astype(object), pa.string()),
+            "est": pa.array(np.r_[cnts, [d]].astype(np.int64)),
+            "tag": pa.array(
+                np.r_[np.zeros(cnts.size, np.int8), [1]].astype(np.int8)),
+        })
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["tag", key]).aggregate(Sum("est", alias_name="est")) \
+        .materialize()
+
+    err = merged.filter(expr="tag == 1")
+    err_total = int(sum(r["est"] for r in err.take_all()))
+
+    def neg(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tag"], 0))
+        return pa.table({key: t[key],
+                         "est": pc.cast(t["est"], pa.int64()),
+                         "neg": pc.negate(pc.cast(t["est"], pa.int64()))})
+
+    top = merged.map_batches(neg, batch_format="pyarrow") \
+        .sort(["neg", key]).limit(k)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], "est": t["est"],
+                         "err_bound": pa.array(
+                             np.full(len(t), err_total, np.int64))})
+
+    return top.map_batches(finish, batch_format="pyarrow")

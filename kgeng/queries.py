@@ -2166,3 +2166,26 @@ def parts_triangle_counts(sf_dir: str):
     co = li.map_batches(op_bucket, batch_format="pyarrow") \
         .groupby("ob").map_groups(pairs_group, batch_format="pandas")
     return triangle_counts(co, "src", "dst")
+
+
+def corpus_top_terms_approx(sf_dir: str):
+    """Approximate global top-20 terms via mergeable Misra-Gries
+    summaries (ops/agg.misra_gries_topk) — the scale path for
+    corpus_top_terms when block vocabularies stop fitting in memory:
+    each block ships at most ``capacity`` (term, est) rows regardless
+    of vocabulary size, and the output carries the run's measured
+    deterministic error bound (est in [true - err_bound, true]).
+    Tokenization stays fused with the sketch partial, so the token
+    stream never enters the object store."""
+    from kgeng.ops.agg import misra_gries_topk
+
+    docs = _pq(sf_dir, "documents", ["text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(t["text"], pattern=r"\s+"))
+        flat = flat.combine_chunks()
+        return pa.table({"term": flat.filter(pc.not_equal(flat, ""))})
+
+    terms = docs.map_batches(tok, batch_format="pyarrow")
+    return misra_gries_topk(terms, "term", k=20, capacity=1024)

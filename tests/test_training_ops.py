@@ -992,3 +992,65 @@ def test_grouped_stats_matches_numpy():
         assert got.loc[k, "n"] == int(m.sum())
         assert abs(got.loc[k, "mean_x"] - x[m].mean()) < 5e-7
         assert abs(got.loc[k, "stddev_x"] - x[m].std(ddof=1)) < 5e-6
+
+
+# ---------------------------------------------------------- misra-gries
+
+def test_misra_gries_exact_when_capacity_ample(docs):
+    """With capacity above every block's vocabulary the MG sketch
+    degrades to the exact path: err_bound 0, counts exactly the true
+    term frequencies."""
+    from kgeng.ops.text import term_stats
+
+    def tok(t):
+        import pyarrow.compute as pc
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(t["text"], pattern=r"\s+"))
+        flat = flat.combine_chunks()
+        return pa.table({"term": flat.filter(pc.not_equal(flat, ""))})
+
+    terms = docs.map_batches(tok, batch_format="pyarrow")
+    out = agg.misra_gries_topk(terms, "term", k=10,
+                               capacity=1 << 20).to_pandas()
+    assert (out["err_bound"] == 0).all()
+    exact = term_stats(docs, min_df=1).to_pandas() \
+        .sort_values(["tf", "term"], ascending=[False, True]).head(10)
+    got = dict(zip(out["term"], out["est"]))
+    want = dict(zip(exact["term"], exact["tf"]))
+    assert got == want
+
+
+def test_misra_gries_bound_holds_under_trimming():
+    """Small capacity on a skewed stream: every estimate obeys
+    true - err_bound <= est <= true, and the heavy hitter is ranked
+    first."""
+    rng = np.random.default_rng(3)
+    # one heavy key + a long uniform tail, shuffled across partitions
+    keys = (["hh"] * 4000
+            + [f"t{i}" for i in rng.integers(0, 500, size=6000)])
+    rng.shuffle(keys)
+    truth = {}
+    for x in keys:
+        truth[x] = truth.get(x, 0) + 1
+    ds = ray.data.from_arrow(
+        pa.table({"term": pa.array(keys, pa.string())})).repartition(8)
+    out = agg.misra_gries_topk(ds, "term", k=5, capacity=16).to_pandas()
+    assert out.iloc[0]["term"] == "hh"
+    err = int(out["err_bound"].iloc[0])
+    assert err > 0  # trimming genuinely happened at capacity 16
+    for _, r in out.iterrows():
+        t = truth[r["term"]]
+        assert t - err <= r["est"] <= t
+
+
+def test_misra_gries_partition_invariant_bound():
+    keys = [f"k{i % 37}" for i in range(5000)]
+    ds1 = ray.data.from_arrow(
+        pa.table({"term": pa.array(keys, pa.string())}))
+    for parts in (2, 9):
+        out = agg.misra_gries_topk(ds1.repartition(parts), "term",
+                                   k=3, capacity=64).to_pandas()
+        # capacity 64 > 37 distinct keys per block: exact either way
+        assert (out["err_bound"] == 0).all()
+        assert out["est"].iloc[0] == max(
+            keys.count(k) for k in set(keys))
