@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 continuation (this session) ---
         "parts_triangle_counts": Q.parts_triangle_counts,
         "corpus_top_terms_approx": Q.corpus_top_terms_approx,
+        "events_profile": Q.events_profile,
     }
 
 
@@ -891,6 +892,33 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS col_name,
+                   count(*) - count(event_id) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS BIGINT) AS min_int,
+                   CAST(max(event_id) AS BIGINT) AS max_int,
+                   CAST(NULL AS DOUBLE) AS min_num,
+                   CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL SELECT 'ts', count(*) - count(ts),
+                   count(DISTINCT ts), epoch_us(min(ts)),
+                   epoch_us(max(ts)), NULL, NULL, NULL, NULL FROM events
+            UNION ALL SELECT 'user_id', count(*) - count(user_id),
+                   count(DISTINCT user_id), min(user_id), max(user_id),
+                   NULL, NULL, NULL, NULL FROM events
+            UNION ALL SELECT 'event_type', count(*) - count(event_type),
+                   count(DISTINCT event_type), NULL, NULL, NULL, NULL,
+                   min(event_type), max(event_type) FROM events
+            UNION ALL SELECT 'value', count(*) - count(value),
+                   count(DISTINCT value), NULL, NULL, min(value),
+                   max(value), NULL, NULL FROM events
+            UNION ALL SELECT 'props', count(*) - count(props),
+                   count(DISTINCT props), NULL, NULL, NULL, NULL,
+                   min(props), max(props) FROM events
         """,
         # rows-only (non-SQL-expressible): doc_fingerprints,
         # minhash_dedup_docs, simhash_docs, ann_topk_lsh, media_features,

@@ -541,3 +541,130 @@ def misra_gries_topk(ds: ray.data.Dataset, key: str, k: int = 20,
                              np.full(len(t), err_total, np.int64))})
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def profile_table(ds: ray.data.Dataset,
+                  columns: list[str] | None = None,
+                  distinct: bool = True) -> pa.Table:
+    """Data-validation profile: one row per column with null count,
+    exact distinct count, and typed min/max — the schema-audit stage a
+    training pipeline runs before ingesting a new data drop.
+
+    Pass 1 computes per-block partials (nulls, rows, typed min/max; a
+    Python loop over COLUMNS, never rows) merged by one tiny
+    ``groupby(col_name)``. Distinct counts are one column-pruned
+    dedup shuffle per column (exact; ``hll_count_distinct`` is the
+    documented sketch path when a column's cardinality makes exact
+    counting unreasonable). Integer/timestamp extremes land in
+    min_int/max_int (timestamps as epoch microseconds — exact), floats
+    in min_num/max_num, strings in min_str/max_str; a column of any
+    other type profiles nulls only. Returns a driver-side Arrow table
+    (one row per column — never data-sized)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    schema = ds.schema()
+    cols = list(columns) if columns else list(schema.names)
+    types = {n: t for n, t in zip(schema.names, schema.types)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"col_name": [], "nulls_p": [], "rows_p": [],
+               "min_int": [], "max_int": [], "min_num": [],
+               "max_num": [], "min_str": [], "max_str": []}
+        for c in cols:
+            arr = t[c]
+            out["col_name"].append(c)
+            out["nulls_p"].append(arr.null_count)
+            out["rows_p"].append(len(arr))
+            mi = ma = mn = mx = ms = xs = None
+            if len(arr) > arr.null_count:
+                ty = types[c]
+                if pa.types.is_timestamp(ty):
+                    v = arr.cast(pa.int64())
+                    mi, ma = pc.min(v).as_py(), pc.max(v).as_py()
+                elif pa.types.is_integer(ty):
+                    mi, ma = pc.min(arr).as_py(), pc.max(arr).as_py()
+                elif pa.types.is_floating(ty):
+                    mn, mx = pc.min(arr).as_py(), pc.max(arr).as_py()
+                elif pa.types.is_string(ty) or pa.types.is_large_string(ty):
+                    ms, xs = pc.min(arr).as_py(), pc.max(arr).as_py()
+            out["min_int"].append(mi)
+            out["max_int"].append(ma)
+            out["min_num"].append(mn)
+            out["max_num"].append(mx)
+            out["min_str"].append(ms)
+            out["max_str"].append(xs)
+        return pa.table({
+            "col_name": pa.array(out["col_name"], pa.string()),
+            "nulls_p": pa.array(out["nulls_p"], pa.int64()),
+            "rows_p": pa.array(out["rows_p"], pa.int64()),
+            "min_int": pa.array(out["min_int"], pa.int64()),
+            "max_int": pa.array(out["max_int"], pa.int64()),
+            "min_num": pa.array(out["min_num"], pa.float64()),
+            "max_num": pa.array(out["max_num"], pa.float64()),
+            "min_str": pa.array(out["min_str"], pa.string()),
+            "max_str": pa.array(out["max_str"], pa.string()),
+        })
+
+    prof = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("col_name").aggregate(
+            Sum("nulls_p", alias_name="n_nulls"),
+            Sum("rows_p", alias_name="n_rows"),
+            Min("min_int", alias_name="min_int"),
+            Max("max_int", alias_name="max_int"),
+            Min("min_num", alias_name="min_num"),
+            Max("max_num", alias_name="max_num"),
+            Min("min_str", alias_name="min_str"),
+            Max("max_str", alias_name="max_str")) \
+        .to_pandas().set_index("col_name")
+
+    nd: dict[str, int | None] = {}
+    for c in cols:
+        ty = types[c]
+        if not distinct or not (
+                pa.types.is_integer(ty) or pa.types.is_timestamp(ty)
+                or pa.types.is_floating(ty) or pa.types.is_string(ty)
+                or pa.types.is_large_string(ty)):
+            nd[c] = None
+            continue
+
+        def uniq(t: pa.Table, _c=c, _ts=pa.types.is_timestamp(ty)) \
+                -> pa.Table:
+            a = t[_c].combine_chunks()
+            if _ts:
+                a = a.cast(pa.int64())
+            a = a.drop_null()
+            return pa.table({"v": pc.unique(a)})
+
+        nd[c] = ds.select_columns([c]) \
+            .map_batches(uniq, batch_format="pyarrow") \
+            .groupby("v").count().count()
+
+    def _iv(x):
+        return None if pd.isna(x) else int(x)
+
+    def _fv(x):
+        return None if pd.isna(x) else float(x)
+
+    def _sv(x):
+        return None if (x is None or (not isinstance(x, str)
+                                      and pd.isna(x))) else str(x)
+
+    return pa.table({
+        "col_name": pa.array(cols, pa.string()),
+        "n_nulls": pa.array([int(prof.loc[c, "n_nulls"]) for c in cols],
+                            pa.int64()),
+        "n_distinct": pa.array([nd[c] for c in cols], pa.int64()),
+        "min_int": pa.array([_iv(prof.loc[c, "min_int"]) for c in cols],
+                            pa.int64()),
+        "max_int": pa.array([_iv(prof.loc[c, "max_int"]) for c in cols],
+                            pa.int64()),
+        "min_num": pa.array([_fv(prof.loc[c, "min_num"]) for c in cols],
+                            pa.float64()),
+        "max_num": pa.array([_fv(prof.loc[c, "max_num"]) for c in cols],
+                            pa.float64()),
+        "min_str": pa.array([_sv(prof.loc[c, "min_str"]) for c in cols],
+                            pa.string()),
+        "max_str": pa.array([_sv(prof.loc[c, "max_str"]) for c in cols],
+                            pa.string()),
+    })

@@ -2189,3 +2189,15 @@ def corpus_top_terms_approx(sf_dir: str):
 
     terms = docs.map_batches(tok, batch_format="pyarrow")
     return misra_gries_topk(terms, "term", k=20, capacity=1024)
+
+
+def events_profile(sf_dir: str):
+    """Per-column data-validation profile of the events table (null
+    counts, exact distinct counts, typed min/max) via
+    ops/agg.profile_table — partials are one row per column per block;
+    distinct counts are column-pruned dedup shuffles. Timestamps
+    profile as epoch microseconds (exact), so the UNION-ALL oracle
+    hash-matches."""
+    from kgeng.ops.agg import profile_table
+
+    return profile_table(_pq(sf_dir, "events"))

@@ -1054,3 +1054,37 @@ def test_misra_gries_partition_invariant_bound():
         assert (out["err_bound"] == 0).all()
         assert out["est"].iloc[0] == max(
             keys.count(k) for k in set(keys))
+
+
+# --------------------------------------------------------- profiling
+
+def test_profile_table_nulls_types_and_unsupported():
+    import datetime
+
+    t = pa.table({
+        "i": pa.array([3, None, 1, 3], pa.int64()),
+        "f": pa.array([1.5, 2.5, None, None], pa.float64()),
+        "s": pa.array(["b", "a", None, "b"], pa.string()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1),
+                        datetime.datetime(2024, 1, 2), None, None],
+                       pa.timestamp("us")),
+        "lst": pa.array([[1], [2], None, [3]],
+                        pa.list_(pa.int64())),
+    })
+    out = agg.profile_table(
+        ray.data.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("col_name")
+    assert out.loc["i", "n_nulls"] == 1
+    assert out.loc["i", "n_distinct"] == 2
+    assert out.loc["i", "min_int"] == 1 and out.loc["i", "max_int"] == 3
+    assert out.loc["f", "min_num"] == 1.5 and out.loc["f", "max_num"] == 2.5
+    assert out.loc["f", "n_nulls"] == 2
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "b"
+    assert out.loc["s", "n_distinct"] == 2
+    epoch = int(datetime.datetime(2024, 1, 1)
+                .replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    assert out.loc["ts", "min_int"] == epoch
+    assert out.loc["ts", "n_distinct"] == 2
+    # unsupported nested type: nulls profiled, the rest stays null
+    assert out.loc["lst", "n_nulls"] == 1
+    assert np.isnan(out.loc["lst", "min_num"])
