@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangle_counts": Q.parts_triangle_counts,
         "corpus_top_terms_approx": Q.corpus_top_terms_approx,
         "events_profile": Q.events_profile,
+        "docs_split_assign": Q.docs_split_assign,
     }
 
 
@@ -892,6 +893,15 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "docs_split_assign": """
+            SELECT doc_id, lang,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                             < 3221225472 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296
+                             < 3221225472 + 536870912 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "events_profile": """
             SELECT 'event_id' AS col_name,

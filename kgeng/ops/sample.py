@@ -199,3 +199,34 @@ def pack_sequences(ds: ray.data.Dataset, count_col: str, id_col: str,
 
     return ds.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(pack, batch_format="pandas")
+
+
+def split_assign(ds: ray.data.Dataset, id_col: str,
+                 splits: dict[str, float],
+                 out: str = "split") -> ray.data.Dataset:
+    """Deterministic train/val/test split assignment: each row lands in
+    the first split whose cumulative ``knuth_hash(id)`` threshold
+    exceeds its hash — a pure per-batch map (no shuffle, no RNG state),
+    stable across runs, partitionings, and cluster sizes, so the same
+    document NEVER migrates between train and eval when the corpus is
+    re-sharded or the cluster resized. ``splits`` maps name -> rate;
+    rates must sum to 1 (the last split absorbs integer-floor
+    residue). Power-of-two-friendly rates (0.75 / 0.125) keep the
+    thresholds exactly representable so a SQL CASE oracle matches
+    bit-for-bit."""
+    names = list(splits)
+    rates = np.array([splits[n] for n in names], np.float64)
+    if abs(rates.sum() - 1.0) > 1e-9:
+        raise ValueError(f"split rates sum to {rates.sum()}, not 1")
+    steps = np.array([np.int64(int(r * float(MOD))) for r in rates[:-1]],
+                     np.int64)
+    thr = np.cumsum(steps)  # upper bounds for all but the last split
+    name_arr = pa.array(names, pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = _knuth_hash(ids)
+        idx = np.searchsorted(thr, h, side="right")
+        return t.append_column(out, name_arr.take(pa.array(idx)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

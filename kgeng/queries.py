@@ -2201,3 +2201,16 @@ def events_profile(sf_dir: str):
     from kgeng.ops.agg import profile_table
 
     return profile_table(_pq(sf_dir, "events"))
+
+
+def docs_split_assign(sf_dir: str):
+    """Deterministic 0.75/0.125/0.125 train/val/test assignment per
+    document (ops/sample.split_assign): content-keyed Knuth hash
+    thresholds, no shuffle — re-sharding or resizing the cluster never
+    moves a doc across splits. Rates are chosen exactly representable
+    so the SQL CASE oracle hash-matches."""
+    from kgeng.ops.sample import split_assign
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    return split_assign(ds, "doc_id",
+                        {"train": 0.75, "val": 0.125, "test": 0.125})

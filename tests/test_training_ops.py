@@ -1088,3 +1088,23 @@ def test_profile_table_nulls_types_and_unsupported():
     # unsupported nested type: nulls profiled, the rest stays null
     assert out.loc["lst", "n_nulls"] == 1
     assert np.isnan(out.loc["lst", "min_num"])
+
+
+def test_split_assign_partition_invariant_and_complete():
+    from kgeng.ops.sample import split_assign
+
+    ids = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    outs = []
+    for parts in (1, 8):
+        out = split_assign(ray.data.from_arrow(ids).repartition(parts),
+                           "doc_id",
+                           {"train": 0.75, "val": 0.125, "test": 0.125}) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    frac = outs[0]["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.75) < 0.05
+    assert set(outs[0]["split"]) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        split_assign(ray.data.from_arrow(ids), "doc_id",
+                     {"a": 0.5, "b": 0.4})
