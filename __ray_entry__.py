@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_terms_approx": Q.corpus_top_terms_approx,
         "events_profile": Q.events_profile,
         "docs_split_assign": Q.docs_split_assign,
+        "embedding_centroid_by_label": Q.embedding_centroid_by_label,
     }
 
 
@@ -893,6 +894,17 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "embedding_centroid_by_label": """
+            SELECT label, dim,
+                   CAST(sum(q) AS DOUBLE) / 1000000.0 / count(*)
+                       AS centroid
+            FROM (SELECT label,
+                         unnest(range(array_length(embedding))) AS dim,
+                         CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                    * 1000000) AS BIGINT) AS q
+                  FROM embeddings)
+            GROUP BY label, dim
         """,
         "docs_split_assign": """
             SELECT doc_id, lang,

@@ -286,3 +286,58 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
 
     return local_ds.groupby("query_id").map_groups(
         global_topk, batch_format="pandas")
+
+
+def grouped_centroid(ds: ray.data.Dataset, key: str = "label",
+                     vec: str = "embedding",
+                     scale: float = 1_000_000.0) -> ray.data.Dataset:
+    """Per-group embedding centroid in long format (key, dim,
+    centroid) — the class-prototype / cluster-center aggregation.
+
+    Exactness across summation orders: components quantize to scaled
+    int64 (Arrow half-away rounding, matching SQL ``round``) BEFORE
+    summing, so partial sums are order-invariant; the final divide
+    states the identical IEEE tree the oracle uses
+    (``CAST(sum AS DOUBLE) / scale / n``). Per block: one matrix
+    stack + label-sorted ``np.add.reduceat`` — the shuffle carries
+    n_groups x dim partial rows, never the vectors."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _stack(t[vec])
+        if m.size == 0:
+            return pa.table({key: pa.array([], t[key].type),
+                             "dim": pa.array([], pa.int32()),
+                             "sq": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        flat = pc.cast(pc.round(
+            pc.multiply(pa.array(m.astype(np.float64).ravel()), scale),
+            ndigits=0, round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).reshape(m.shape)
+        labels = t[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        sums = np.add.reduceat(flat[order], starts, axis=0)
+        counts = np.diff(np.r_[starts, sl.size])
+        d = m.shape[1]
+        return pa.table({
+            key: pa.array(np.repeat(sl[starts], d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int32),
+                                    starts.size)),
+            "sq": pa.array(sums.ravel().astype(np.int64)),
+            "n_p": pa.array(np.repeat(counts.astype(np.int64), d)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "dim"]).aggregate(Sum("sq", alias_name="sq"),
+                                         Sum("n_p", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = t["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({key: t[key],
+                         "dim": pc.cast(t["dim"], pa.int64()),
+                         "centroid": pa.array(sq / scale / n)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2214,3 +2214,15 @@ def docs_split_assign(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
     return split_assign(ds, "doc_id",
                         {"train": 0.75, "val": 0.125, "test": 0.125})
+
+
+def embedding_centroid_by_label(sf_dir: str):
+    """Per-label centroid of the embeddings table in long (label, dim,
+    centroid) form — ops/similarity.grouped_centroid. Components
+    quantize to int64 at 1e6 before summing (order-invariant), and both
+    engines evaluate the identical divide tree, so the zipped-unnest
+    SQL oracle hash-matches bit-for-bit."""
+    from kgeng.ops.similarity import grouped_centroid
+
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+    return grouped_centroid(ds)

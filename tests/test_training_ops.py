@@ -1108,3 +1108,26 @@ def test_split_assign_partition_invariant_and_complete():
     with pytest.raises(ValueError):
         split_assign(ray.data.from_arrow(ids), "doc_id",
                      {"a": 0.5, "b": 0.4})
+
+
+def test_grouped_centroid_matches_numpy_and_partition_invariant():
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(200, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, size=200).astype(np.int32)
+    t = pa.table({"label": pa.array(labels),
+                  "embedding": pa.array(list(m),
+                                        pa.list_(pa.float32()))})
+    # quantized-int reference (the op's own contract)
+    q = np.floor(np.abs(m.astype(np.float64)) * 1e6 + 0.5) \
+        * np.sign(m)  # half away from zero
+    refs = {}
+    for lab in np.unique(labels):
+        sel = q[labels == lab]
+        refs[int(lab)] = sel.sum(axis=0) / 1e6 / sel.shape[0]
+    for parts in (1, 6):
+        out = similarity.grouped_centroid(
+            ray.data.from_arrow(t).repartition(parts)).to_pandas()
+        for lab, ref in refs.items():
+            got = out[out["label"] == lab].sort_values("dim")[
+                "centroid"].to_numpy()
+            assert np.array_equal(got, ref), (parts, lab)
