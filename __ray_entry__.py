@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": Q.events_profile,
         "docs_split_assign": Q.docs_split_assign,
         "embedding_centroid_by_label": Q.embedding_centroid_by_label,
+        "price_quantiles_disc_by_priority":
+            Q.price_quantiles_disc_by_priority,
     }
 
 
@@ -894,6 +896,15 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "price_quantiles_disc_by_priority": """
+            SELECT o_orderpriority, q,
+                   CASE q WHEN 0.25 THEN quantile_disc(o_totalprice, 0.25)
+                          WHEN 0.5 THEN quantile_disc(o_totalprice, 0.5)
+                          ELSE quantile_disc(o_totalprice, 0.9)
+                   END AS quantile_value
+            FROM orders, (SELECT unnest([0.25, 0.5, 0.9]) AS q)
+            GROUP BY o_orderpriority, q
         """,
         "embedding_centroid_by_label": """
             SELECT label, dim,

@@ -63,15 +63,26 @@ def top_k_per_group(ds: ray.data.Dataset, key: str, value: str, k: int,
 
 def grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
                       quantiles: list[float],
-                      round_to: int = 6) -> ray.data.Dataset:
-    """Exact per-group quantiles (linear interpolation = SQL
-    ``quantile_cont``): one row per (key, q). Group count must be low —
-    each group's values are gathered into one task."""
+                      round_to: int = 6,
+                      method: str = "cont") -> ray.data.Dataset:
+    """Exact per-group quantiles: one row per (key, q). Group count
+    must be low — each group's values are gathered into one task.
+    ``method="cont"`` is linear interpolation (SQL ``quantile_cont``,
+    rounded to ``round_to`` on both sides); ``method="disc"`` is the
+    smallest data value whose CDF reaches q (SQL ``quantile_disc`` —
+    an actual data point, returned UNrounded so equality is exact)."""
+    if method not in ("cont", "disc"):
+        raise ValueError(f"method must be cont|disc, got {method!r}")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g[value].to_numpy(dtype=np.float64)
-        qs = [round(float(np.quantile(vals, q, method="linear")), round_to)
-              for q in quantiles]
+        vals = np.sort(g[value].to_numpy(dtype=np.float64))
+        if method == "cont":
+            qs = [round(float(np.quantile(vals, q, method="linear")),
+                        round_to) for q in quantiles]
+        else:
+            n = vals.size
+            qs = [float(vals[max(int(np.ceil(q * n)) - 1, 0)])
+                  for q in quantiles]
         return pd.DataFrame({key: [g[key].iloc[0]] * len(quantiles),
                              "q": quantiles, "quantile_value": qs})
 

@@ -2226,3 +2226,15 @@ def embedding_centroid_by_label(sf_dir: str):
 
     ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
     return grouped_centroid(ds)
+
+
+def price_quantiles_disc_by_priority(sf_dir: str):
+    """Per-priority discrete quantiles (SQL quantile_disc: the smallest
+    data value whose CDF reaches q) of order total price — exactness is
+    free because the answer is an actual data point, no interpolation
+    or rounding on either side."""
+    from kgeng.ops.rank import grouped_quantiles
+
+    orders = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return grouped_quantiles(orders, "o_orderpriority", "o_totalprice",
+                             [0.25, 0.5, 0.9], method="disc")
