@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_by_label": Q.embedding_centroid_by_label,
         "price_quantiles_disc_by_priority":
             Q.price_quantiles_disc_by_priority,
+        "docs_lm_scores": Q.docs_lm_scores,
     }
 
 
@@ -896,6 +897,24 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "docs_lm_scores": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                         AS term
+              FROM documents),
+            vocab AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+            consts AS (SELECT CAST(sum(tf) + count(*) + 1 AS DOUBLE)
+                           AS denom FROM vocab),
+            lp AS (SELECT term,
+                          CAST(round(ln((tf + 1.0) / denom)
+                                     * 1000000000) AS BIGINT) AS lpq
+                   FROM vocab, consts)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(CAST(sum(lpq) AS DOUBLE) / 1000000000.0
+                         / count(*), 6) AS avg_logprob
+            FROM toks JOIN lp USING (term)
+            GROUP BY doc_id
         """,
         "price_quantiles_disc_by_priority": """
             SELECT o_orderpriority, q,

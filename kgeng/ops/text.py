@@ -676,3 +676,98 @@ def repetition_ratio(ds: ray.data.Dataset, col: str = "text",
         return pa.table({id_col: t[id_col], out: pa.array(ratio)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+_LM_VOCAB_CACHE: dict = {}
+
+
+def _lm_vocab_index(ref):
+    """Worker-local cache: deserialize the broadcast vocab once per
+    worker and build the C-level pandas hash index once, not per
+    batch."""
+    import pandas as pd
+
+    key = ref.hex()
+    if key not in _LM_VOCAB_CACHE:
+        terms, q = ray.get(ref)
+        _LM_VOCAB_CACHE[key] = (pd.Index(terms), q)
+    return _LM_VOCAB_CACHE[key]
+
+
+def lm_doc_scores(ds: ray.data.Dataset, col: str = "text",
+                  id_col: str = "doc_id", ndigits: int = 6,
+                  max_vocab: int = 5_000_000,
+                  train_ds: ray.data.Dataset | None = None
+                  ) -> ray.data.Dataset:
+    """Unigram language-model quality score per document — the
+    CCNet-style LM filter with the LM trained on the corpus itself:
+    add-one-smoothed token log-probabilities, scored as each doc's
+    average log-prob (higher = more typical of the corpus; filter
+    thresholds go on this column).
+
+    Two passes over the corpus, both distributed: (1) ``term_stats``
+    builds the unigram table (shuffle is vocabulary-bounded); the
+    vocab + counts land on the driver (loud ``max_vocab`` guard — a
+    trimmed vocab with an OOV bucket is the documented path beyond
+    it) where per-term log-probs quantize to int64 at 1e9 via
+    ``math.log`` (libm — same call DuckDB's ``ln`` makes, so the SQL
+    oracle reproduces every quantized value); (2) a stateless
+    broadcast-map pass tokenizes each doc, sums quantized log-probs
+    per doc with one ``searchsorted`` + ``reduceat``, and states the
+    identical IEEE divide tree the oracle uses."""
+    import math
+
+    from kgeng.ops.text import term_stats  # self-import for clarity
+
+    # train on ``train_ds`` when given (the CCNet shape: LM from a
+    # reference corpus, scores over the target corpus — OOV tokens get
+    # the smoothed unseen probability), else on ``ds`` itself
+    stats = term_stats(train_ds if train_ds is not None else ds,
+                       col=col, id_col=id_col, min_df=1)
+    vpd = stats.to_pandas()
+    if len(vpd) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(vpd)} exceeds max_vocab {max_vocab}; "
+            "trim with min_df or add an OOV bucket before scoring")
+    terms = vpd["term"].to_numpy()
+    tf = vpd["tf"].to_numpy(np.int64)
+    n_total = int(tf.sum())
+    v_size = len(vpd)
+    denom = float(n_total + v_size + 1)
+    lp = np.array([math.log((int(c) + 1.0) / denom) for c in tf],
+                  np.float64) * 1e9
+    lpq = (np.sign(lp) * np.floor(np.abs(lp) + 0.5)).astype(np.int64)
+    lp_oov = math.log(1.0 / denom) * 1e9
+    q_oov = np.int64(np.sign(lp_oov) * np.floor(np.abs(lp_oov) + 0.5))
+    ref = ray.put((terms, np.r_[lpq, [q_oov]]))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_idx, q = _lm_vocab_index(ref)  # worker-cached hash index
+        toks = pc.split_pattern_regex(t[col], pattern=r"\s+")
+        flat = toks.combine_chunks().flatten()
+        rows = pc.list_parent_indices(toks.combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        s = flat.to_numpy(zero_copy_only=False)
+        keep = s != ""
+        s, rows = s[keep], rows[keep]
+        idx = vocab_idx.get_indexer(s)
+        # every token is in-vocab when scoring the training corpus; a
+        # foreign token gets the smoothed OOV probability (last slot)
+        idx[idx < 0] = len(q) - 1
+        sums = np.zeros(len(t), np.int64)
+        cnts = np.zeros(len(t), np.int64)
+        np.add.at(sums, rows, q[idx])
+        np.add.at(cnts, rows, 1)
+        nonzero = cnts > 0
+        avg = np.zeros(len(t), np.float64)
+        avg[nonzero] = (sums[nonzero].astype(np.float64) / 1e9) \
+            / cnts[nonzero].astype(np.float64)
+        out = pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(cnts),
+            "avg_logprob": pc.round(pa.array(avg), ndigits=ndigits,
+                                    round_mode="half_towards_infinity"),
+        })
+        return out.filter(pa.array(nonzero))
+
+    return ds.map_batches(score, batch_format="pyarrow")

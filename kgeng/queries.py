@@ -2238,3 +2238,15 @@ def price_quantiles_disc_by_priority(sf_dir: str):
     orders = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     return grouped_quantiles(orders, "o_orderpriority", "o_totalprice",
                              [0.25, 0.5, 0.9], method="disc")
+
+
+def docs_lm_scores(sf_dir: str):
+    """CCNet-style unigram LM quality scores: the LM trains on the
+    corpus itself (term_stats pass), each doc scores as its average
+    add-one-smoothed token log-prob (ops/text.lm_doc_scores). Log-probs
+    quantize to int64 at 1e9, so partial sums are order-invariant and
+    the pure-SQL oracle (same ln, same quantization, same divide tree)
+    hash-matches."""
+    from kgeng.ops.text import lm_doc_scores
+
+    return lm_doc_scores(_pq(sf_dir, "documents", ["doc_id", "text"]))

@@ -1131,3 +1131,30 @@ def test_grouped_centroid_matches_numpy_and_partition_invariant():
             got = out[out["label"] == lab].sort_values("dim")[
                 "centroid"].to_numpy()
             assert np.array_equal(got, ref), (parts, lab)
+
+
+def test_lm_doc_scores_ranking_oov_and_partition_invariance():
+    rows = {"doc_id": list(range(4)),
+            "text": ["the the the the", "the the rare", "zx qq vv",
+                     ""]}
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = text.lm_doc_scores(ds).to_pandas().set_index("doc_id")
+    # common-token doc scores above mixed, mixed above all-rare
+    assert out.loc[0, "avg_logprob"] > out.loc[1, "avg_logprob"] \
+        > out.loc[2, "avg_logprob"]
+    assert 3 not in out.index  # empty doc dropped
+    assert out.loc[0, "n_tokens"] == 4
+    # partition invariance: scores identical under re-sharding
+    out2 = text.lm_doc_scores(ds.repartition(3)).to_pandas() \
+        .set_index("doc_id")
+    assert out2.sort_index().equals(out.sort_index())
+    # CCNet shape: LM trained on a reference corpus scores a target
+    # corpus — unseen tokens take the smoothed OOV probability and
+    # score BELOW every in-vocab token
+    target = ray.data.from_arrow(pa.table(
+        {"doc_id": [8, 9], "text": ["the the", "unseen_token_xyz"]}))
+    sc = text.lm_doc_scores(target, train_ds=ds).to_pandas() \
+        .set_index("doc_id")
+    assert len(sc) == 2
+    assert sc.loc[9, "avg_logprob"] < sc.loc[8, "avg_logprob"]
+    assert sc.loc[9, "avg_logprob"] < out["avg_logprob"].min()
