@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_disc_by_priority":
             Q.price_quantiles_disc_by_priority,
         "docs_lm_scores": Q.docs_lm_scores,
+        "parts_k_core": Q.parts_k_core,
     }
 
 
@@ -975,5 +976,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): doc_fingerprints,
         # minhash_dedup_docs, simhash_docs, ann_topk_lsh, media_features,
         # kg_mention_stats, corpus_top_terms_approx (sketch estimate;
-        # exact-regime parity + error-bound pytests instead)
+        # exact-regime parity + error-bound pytests instead),
+        # parts_k_core (iterative peeling, data-dependent round count;
+        # pytest peeling-reference parity + snapshot pin instead)
     }

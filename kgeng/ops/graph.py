@@ -1269,6 +1269,53 @@ def _segment_pairs(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return fi, fi + off + 1
 
 
+def _canonical_undirected(edges: ray.data.Dataset, src: str, dst: str,
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """Canonical undirected edge set as (u < v) int64 pairs: loops
+    dropped, duplicates/reversals collapsed — one coarse-bucket shuffle
+    of id pairs with a per-bucket ``lexsort`` dedup."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        bkt = (_mix2(u, v) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "bkt": pa.array(bkt)})
+
+    def dedup_group(df: pd.DataFrame) -> pa.Table:
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.ones(u.size, bool)
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    return edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(dedup_group, batch_format="pandas")
+
+
+def _undirected_degrees(e: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, deg) from a canonical (u, v) edge set — per-block partial
+    endpoint counts + one groupby sum."""
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                            t["v"].to_numpy(zero_copy_only=False)])
+        un, cn = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(un.astype(np.int64)),
+                         "cnt": pa.array(cn.astype(np.int64))})
+
+    return e.map_batches(deg_part, batch_format="pyarrow") \
+        .groupby("node").sum("cnt") \
+        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow")
+
+
 def triangle_counts(edges: ray.data.Dataset, src: str = "src",
                     dst: str = "dst", num_buckets: int = 64,
                     broadcast_nodes_cutover: int = 5_000_000
@@ -1302,41 +1349,9 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "src",
     """
     from kgeng.ops.join import hash_join
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        keep = u != v
-        u, v = u[keep], v[keep]
-        bkt = (_mix2(u, v) % np.uint64(num_buckets)).astype(np.int32)
-        return pa.table({"u": pa.array(u), "v": pa.array(v),
-                         "bkt": pa.array(bkt)})
-
-    def dedup_group(df: pd.DataFrame) -> pa.Table:
-        u = df["u"].to_numpy(np.int64)
-        v = df["v"].to_numpy(np.int64)
-        order = np.lexsort((v, u))
-        u, v = u[order], v[order]
-        keep = np.ones(u.size, bool)
-        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
-        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
-
-    e = edges.map_batches(canon, batch_format="pyarrow") \
-        .groupby("bkt").map_groups(dedup_group, batch_format="pandas") \
+    e = _canonical_undirected(edges, src, dst, num_buckets) \
         .materialize()  # reused: degrees, orientation, closure
-
-    def deg_part(t: pa.Table) -> pa.Table:
-        n = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
-                            t["v"].to_numpy(zero_copy_only=False)])
-        un, cn = np.unique(n, return_counts=True)
-        return pa.table({"node": pa.array(un.astype(np.int64)),
-                         "cnt": pa.array(cn.astype(np.int64))})
-
-    degs = e.map_batches(deg_part, batch_format="pyarrow") \
-        .groupby("node").sum("cnt") \
-        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
-                     batch_format="pyarrow")
+    degs = _undirected_degrees(e)
 
     n_nodes = degs.count()
     if n_nodes <= broadcast_nodes_cutover:
@@ -1452,3 +1467,82 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "src",
         .groupby("node").sum("cnt") \
         .map_batches(lambda t: t.rename_columns(["node", "n_triangles"]),
                      batch_format="pyarrow")
+
+
+def k_core(edges: ray.data.Dataset, k: int, src: str = "src",
+           dst: str = "dst", num_buckets: int = 64,
+           broadcast_cutover: int = 10_000_000,
+           max_rounds: int = 200) -> ray.data.Dataset:
+    """The k-core of an undirected graph (maximal subgraph where every
+    node has degree >= k), by distributed iterative peeling: each round
+    computes degrees (per-block partials + one groupby), finds nodes
+    below ``k``, and filters their edges out — a broadcast sorted-array
+    ``searchsorted`` filter while the doomed set fits
+    ``broadcast_cutover``, else two anti ``hash_join`` passes (plan B,
+    nothing node-sized on the driver). Converges when a round removes
+    nothing; ``max_rounds`` raises loudly instead of looping silently
+    (pathological chains peel one node per round — raise k or
+    pre-trim). Returns (node, deg): the surviving nodes with their
+    in-core degrees. Exact, all-integer.
+
+    Reference analogue: none (the reference delegates all graph
+    analytics to server-side Pregel, start_Pregel.py:194-198); k-core
+    completes the native family (pagerank/sssp/hits/closeness/
+    harmonic/scc/slpa/triangles/components)."""
+    from kgeng.ops.join import hash_join
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = _canonical_undirected(edges, src, dst, num_buckets).materialize()
+
+    for _ in range(max_rounds):
+        if e.count() == 0:
+            break
+        degs = _undirected_degrees(e).materialize()
+        bad = degs.filter(expr=f"deg < {k}")
+        n_bad = bad.count()
+        if n_bad == 0:
+            return degs
+        if n_bad <= broadcast_cutover:
+            doomed = np.sort(np.concatenate([
+                t["node"].to_numpy(zero_copy_only=False)
+                for t in bad.select_columns(["node"]).iter_batches(
+                    batch_size=None, batch_format="pyarrow")]) if n_bad
+                else np.zeros(0, np.int64))
+            ref = ray.put(doomed)
+
+            def drop(t: pa.Table) -> pa.Table:
+                d = ray.get(ref)
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                iu = np.searchsorted(d, u)
+                iv = np.searchsorted(d, v)
+                hit_u = (iu < d.size) & (d[np.minimum(iu, d.size - 1)]
+                                         == u)
+                hit_v = (iv < d.size) & (d[np.minimum(iv, d.size - 1)]
+                                         == v)
+                return t.filter(pa.array(~(hit_u | hit_v)))
+
+            e = e.map_batches(drop, batch_format="pyarrow").materialize()
+        else:
+            keep = degs.filter(expr=f"deg >= {k}") \
+                .select_columns(["node"])
+            e1 = hash_join(
+                e, keep.map_batches(
+                    lambda t: t.rename_columns(["u"]),
+                    batch_format="pyarrow"),
+                key="u", how="semi", num_buckets=num_buckets)
+            e = hash_join(
+                e1, keep.map_batches(
+                    lambda t: t.rename_columns(["v"]),
+                    batch_format="pyarrow"),
+                key="v", how="semi",
+                num_buckets=num_buckets).materialize()
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within {max_rounds} rounds "
+            f"(k={k}); raise max_rounds or pre-trim the graph")
+    # graph fully peeled away: empty k-core with the output schema
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "deg": pa.array([], pa.int64())}))

@@ -2123,17 +2123,18 @@ def price_stats_by_priority(sf_dir: str):
     return grouped_stats(prep, "o_orderpriority", "x")
 
 
-def parts_triangle_counts(sf_dir: str):
-    """Exact per-node triangle counts over the part co-purchase graph
-    (two parts are linked when some order contains both). The engine
-    runs the degree-ordered node-iterator kernel
-    (ops/graph.triangle_counts): canonical dedup, degree orientation
-    (broadcast searchsorted under the node cutover, hash-join plan B
-    above it), vectorized wedge generation bounded by O(sqrt(m))
-    oriented out-degree, one bucket-shuffle closure merge. All-integer,
-    so the three-way self-join oracle hash-matches exactly."""
-    from kgeng.ops.graph import _mix2, _segment_pairs, triangle_counts
+def _co_purchase_edges(sf_dir: str):
+    """Part co-purchase pairs (two parts linked when some order
+    contains both): distinct (order, part) per batch, one coarse-bucket
+    shuffle, per-order vectorized pair generation (_segment_pairs).
+    Pair fan-out is bounded by order size (C(n_items, 2)). Cached and
+    materialized per sf_dir — shared by the triangle and k-core
+    queries."""
+    from kgeng.ops.graph import _segment_pairs
 
+    ck = ("co_purchase", sf_dir)
+    if ck in _EDGE_CACHE:
+        return _EDGE_CACHE[ck]
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def op_bucket(t: pa.Table) -> pa.Table:
@@ -2164,8 +2165,37 @@ def parts_triangle_counts(sf_dir: str):
         return pa.table({"src": pa.array(p[fi]), "dst": pa.array(p[se])})
 
     co = li.map_batches(op_bucket, batch_format="pyarrow") \
-        .groupby("ob").map_groups(pairs_group, batch_format="pandas")
-    return triangle_counts(co, "src", "dst")
+        .groupby("ob").map_groups(pairs_group, batch_format="pandas") \
+        .materialize()
+    _EDGE_CACHE[ck] = co
+    return co
+
+
+def parts_triangle_counts(sf_dir: str):
+    """Exact per-node triangle counts over the part co-purchase graph.
+    The engine runs the degree-ordered node-iterator kernel
+    (ops/graph.triangle_counts): canonical dedup, degree orientation
+    (broadcast searchsorted under the node cutover, hash-join plan B
+    above it), vectorized wedge generation bounded by O(sqrt(m))
+    oriented out-degree, one bucket-shuffle closure merge. All-integer,
+    so the three-way self-join oracle hash-matches exactly."""
+    from kgeng.ops.graph import triangle_counts
+
+    return triangle_counts(_co_purchase_edges(sf_dir), "src", "dst")
+
+
+def parts_k_core(sf_dir: str):
+    """60-core of the part co-purchase graph (ops/graph.k_core; the
+    graph is dense — min degree ~42-49 at sf scale — so k=60 genuinely
+    peels):
+    distributed iterative peeling — per-round degree groupby + doomed-
+    set edge filter (broadcast under the cutover, anti-join plan B
+    above it). Iterative with a data-dependent round count, so no SQL
+    oracle; pinned by the pytest peeling reference and both-plans
+    parity."""
+    from kgeng.ops.graph import k_core
+
+    return k_core(_co_purchase_edges(sf_dir), k=60)
 
 
 def corpus_top_terms_approx(sf_dir: str):

@@ -1029,3 +1029,56 @@ def test_triangle_counts_partition_invariant():
             ray.data.from_arrow(t).repartition(parts)).to_pandas()
         outs.append(out.sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# --------------------------------------------------------------- k-core
+
+def _peel_ref(pairs, k):
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(s) for n, s in adj.items() if s}
+
+
+def test_k_core_clique_with_pendant_chain():
+    from kgeng.ops.graph import k_core
+
+    k5 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    t = pa.table({"src": [e[0] for e in k5 + chain],
+                  "dst": [e[1] for e in k5 + chain]})
+    out = k_core(ray.data.from_arrow(t), k=4).to_pandas()
+    assert sorted(out["node"]) == [0, 1, 2, 3, 4]
+    assert set(out["deg"]) == {4}
+    # k above the max core: empty with stable schema
+    empty = k_core(ray.data.from_arrow(t), k=5)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"node", "deg"}
+
+
+def test_k_core_random_parity_both_plans():
+    from kgeng.ops.graph import k_core
+
+    rng = np.random.default_rng(13)
+    u = rng.integers(0, 50, size=400)
+    v = rng.integers(0, 50, size=400)
+    ref = _peel_ref(list(zip(u.tolist(), v.tolist())), 3)
+    t = pa.table({"src": pa.array(u, pa.int64()),
+                  "dst": pa.array(v, pa.int64())})
+    for cutover in (10_000_000, 0):  # broadcast plan / anti-join plan
+        out = k_core(ray.data.from_arrow(t).repartition(4), k=3,
+                     broadcast_cutover=cutover).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["deg"].astype(int)))
+        assert got == ref, f"cutover={cutover}"

@@ -65,6 +65,8 @@ PINS = {
     "lineitem_hits": "c40d74d5ca52641d",
     "lineitem_closeness": "12a4f7c450bc7b04",
     "lineitem_slpa": "4d748d1577aa5ab0",
+    "parts_k_core": "54b70945fcb9c6c0",
+    "corpus_top_terms_approx": "51888b431c2e6148",
 }
 
 
