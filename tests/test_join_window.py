@@ -1006,11 +1006,26 @@ def test_triangle_counts_random_parity_both_plans():
     ref = _brute_triangles(pairs)
     t = pa.table({"src": pa.array(u, pa.int64()),
                   "dst": pa.array(v, pa.int64())})
-    for cutover in (5_000_000, 0):  # plan A (broadcast) and plan B (joins)
-        out = triangle_counts(ray.data.from_arrow(t).repartition(5),
-                              broadcast_nodes_cutover=cutover).to_pandas()
-        got = dict(zip(out["node"].astype(int), out["n_triangles"].astype(int)))
-        assert got == ref, f"cutover={cutover}"
+    # all four plan combinations: orientation (broadcast / joins) x
+    # closure (packed broadcast / bucket-merge shuffle)
+    for n_cut in (5_000_000, 0):
+        for e_cut in (20_000_000, 0):
+            out = triangle_counts(
+                ray.data.from_arrow(t).repartition(5),
+                broadcast_nodes_cutover=n_cut,
+                broadcast_edges_cutover=e_cut).to_pandas()
+            got = dict(zip(out["node"].astype(int),
+                           out["n_triangles"].astype(int)))
+            assert got == ref, f"cutovers={n_cut},{e_cut}"
+    # negative ids are unpackable -> closure must fall back to plan B
+    tn = pa.table({"src": pa.array((u - 30).tolist(), pa.int64()),
+                   "dst": pa.array((v - 30).tolist(), pa.int64())})
+    refn = _brute_triangles(list(zip((u - 30).tolist(),
+                                     (v - 30).tolist())))
+    outn = triangle_counts(ray.data.from_arrow(tn)).to_pandas()
+    gotn = dict(zip(outn["node"].astype(int),
+                    outn["n_triangles"].astype(int)))
+    assert gotn == refn
 
 
 def test_triangle_counts_partition_invariant():
