@@ -100,6 +100,8 @@ def timed_queries() -> dict[str, float]:
         ("top_orders", Q.top_orders),
         ("events_last_order", Q.events_last_order),
         ("lineitem_pagerank", Q.lineitem_pagerank),
+        ("parts_triangle_counts", Q.parts_triangle_counts),
+        ("docs_lm_scores", Q.docs_lm_scores),
     ]:
         t0 = time.monotonic()
         res = fn(SF_DIR)
