@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Q.price_quantiles_disc_by_priority,
         "docs_lm_scores": Q.docs_lm_scores,
         "parts_k_core": Q.parts_k_core,
+        "events_value_locf": Q.events_value_locf,
     }
 
 
@@ -898,6 +899,18 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "events_value_locf": """
+            SELECT event_id, ts, user_id,
+                   CASE WHEN event_type = 'purchase' THEN NULL
+                        ELSE value END AS value,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN NULL ELSE value END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS value_filled
+            FROM events
         """,
         "docs_lm_scores": """
             WITH toks AS (

@@ -170,3 +170,34 @@ def partitioned_lag_gap(events: ray.data.Dataset, key: str = "user_id",
 
     return events.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def partitioned_locf(events: ray.data.Dataset, key: str, ts: str,
+                     value: str, order_tiebreak: str | None = None,
+                     out: str | None = None,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Forward-fill (last observation carried forward) per key: each
+    null ``value`` takes the most recent non-null value of the SAME key
+    in (ts, tiebreak) order; leading nulls stay null (SQL:
+    ``last_value(value IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    ts, tiebreak)``) — the gap-imputation step for sensor/event feeds.
+
+    Same plan shape as :func:`sessionize`: one shuffle into coarse hash
+    buckets, one vectorized pandas pass per bucket (sort + grouped
+    ffill) — no per-key Python. A key's rows co-locate in one bucket,
+    so the carry is exact across the whole key history."""
+    out = out or value
+
+    def bucket(t):
+        return _bucket_col(t, key, num_buckets)
+
+    sort_cols = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"]).sort_values(sort_cols,
+                                                     kind="mergesort")
+        g[out] = g.groupby(key, sort=False)[value].ffill()
+        return g
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

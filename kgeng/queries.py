@@ -2280,3 +2280,27 @@ def docs_lm_scores(sf_dir: str):
     from kgeng.ops.text import lm_doc_scores
 
     return lm_doc_scores(_pq(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def events_value_locf(sf_dir: str):
+    """Per-user forward-fill imputation (ops/window.partitioned_locf):
+    values of 'purchase' events are masked to NULL deterministically,
+    then each null carries the user's most recent surviving value
+    forward in (ts, event_id) order — matching last_value(... IGNORE
+    NULLS) OVER in the oracle. Leading nulls stay null."""
+    from kgeng.ops.window import partitioned_locf
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id",
+                                "event_type", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["event_type"], "purchase")
+        return pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"],
+            "value": pc.if_else(keep, t["value"],
+                                pa.scalar(None, pa.float64()))})
+
+    return partitioned_locf(ev.map_batches(mask, batch_format="pyarrow"),
+                            key="user_id", ts="ts", value="value",
+                            order_tiebreak="event_id", out="value_filled")

@@ -1097,3 +1097,22 @@ def test_k_core_random_parity_both_plans():
                      broadcast_cutover=cutover).to_pandas()
         got = dict(zip(out["node"].astype(int), out["deg"].astype(int)))
         assert got == ref, f"cutover={cutover}"
+
+
+def test_partitioned_locf_carries_within_key_only():
+    from kgeng.ops.window import partitioned_locf
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 1], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2, 4], pa.int64()),
+        "v": pa.array([None, 5.0, None, None, 7.0, None], pa.float64()),
+    })
+    out = partitioned_locf(ray.data.from_arrow(t).repartition(3),
+                           key="k", ts="ts", value="v").to_pandas() \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    # key 1: leading null stays, 5 carries through ts=3 and ts=4
+    assert np.isnan(out.loc[0, "v"])
+    assert out.loc[1, "v"] == 5.0 and out.loc[2, "v"] == 5.0 \
+        and out.loc[3, "v"] == 5.0
+    # key 2: leading null stays null (no cross-key leakage from key 1)
+    assert np.isnan(out.loc[4, "v"]) and out.loc[5, "v"] == 7.0
