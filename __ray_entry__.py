@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_scores": Q.docs_lm_scores,
         "parts_k_core": Q.parts_k_core,
         "events_value_locf": Q.events_value_locf,
+        "user_event_entropy": Q.user_event_entropy,
     }
 
 
@@ -899,6 +900,21 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "user_event_entropy": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                 q AS (SELECT user_id,
+                              CAST(round(c * ln(c) * 1000000000)
+                                   AS BIGINT) AS q, c
+                       FROM c),
+                 s AS (SELECT user_id, sum(q) AS sq, sum(c) AS n
+                       FROM q GROUP BY 1)
+            SELECT user_id,
+                   round(ln(CAST(n AS DOUBLE))
+                         - (CAST(sq AS DOUBLE) / 1000000000.0)
+                           / CAST(n AS DOUBLE), 6) AS entropy
+            FROM s
         """,
         "events_value_locf": """
             SELECT event_id, ts, user_id,

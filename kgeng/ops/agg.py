@@ -668,3 +668,63 @@ def profile_table(ds: ray.data.Dataset,
         "max_str": pa.array([_sv(prof.loc[c, "max_str"]) for c in cols],
                             pa.string()),
     })
+
+
+def grouped_entropy(ds: ray.data.Dataset, key: str, value: str,
+                    ndigits: int = 6,
+                    scale: float = 1e9) -> ray.data.Dataset:
+    """Shannon entropy (nats) of the ``value`` distribution per ``key``
+    — the behavioral-diversity / label-balance signal. H = ln(N) -
+    (sum_c c*ln(c)) / N over the group's value counts.
+
+    Exact-by-construction across partitionings: counts aggregate as
+    integers; each c*ln(c) term quantizes to int64 at ``scale`` (ln via
+    libm ``math.log`` over the DISTINCT integer counts — the same call
+    DuckDB's ``ln`` makes, evaluated per unique c, never per row), so
+    the group sum is order-invariant and the final float tree is
+    stated identically in the SQL oracle. Int64 bound: a group's
+    sum of c*ln(c)*scale must fit int64 — at the default 1e9 that is
+    ~2e8 values per group; pass a smaller ``scale`` beyond it."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({
+            "k": t[key].to_pandas(),
+            "v": t[value].to_pandas(),
+        }).groupby(["k", "v"], sort=False).size()
+        kk = g.index.get_level_values(0).to_numpy()
+        vv = g.index.get_level_values(1).to_numpy()
+        return pa.table({key: pa.array(kk), value: pa.array(vv),
+                         "c": pa.array(g.to_numpy(np.int64))})
+
+    cnts = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby([key, value]).aggregate(Sum("c", alias_name="c"))
+
+    def qrow(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uc, inv = np.unique(c, return_inverse=True)
+        lp = np.array([float(x) * math.log(float(x)) * scale
+                       for x in uc], np.float64)
+        q = (np.sign(lp) * np.floor(np.abs(lp) + 0.5)).astype(np.int64)
+        return pa.table({key: t[key], "q": pa.array(q[inv]),
+                         "c": pa.array(c)})
+
+    per = cnts.map_batches(qrow, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("q", alias_name="sq"),
+                                Sum("c", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = t["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        un, inv = np.unique(n, return_inverse=True)
+        ln_n = np.array([math.log(float(x)) for x in un], np.float64)
+        h = ln_n[inv] - (sq / scale) / n.astype(np.float64)
+        return pa.table({key: t[key],
+                         "entropy": pc.round(
+                             pa.array(h, pa.float64()), ndigits=ndigits,
+                             round_mode="half_towards_infinity")})
+
+    return per.map_batches(finish, batch_format="pyarrow")

@@ -2304,3 +2304,14 @@ def events_value_locf(sf_dir: str):
     return partitioned_locf(ev.map_batches(mask, batch_format="pyarrow"),
                             key="user_id", ts="ts", value="value",
                             order_tiebreak="event_id", out="value_filled")
+
+
+def user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (ops/agg.grouped_entropy): integer counts, quantized c*ln(c) terms
+    (order-invariant), identical float tree in SQL — hash-matches the
+    oracle."""
+    from kgeng.ops.agg import grouped_entropy
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_entropy(ev, "user_id", "event_type")

@@ -1158,3 +1158,29 @@ def test_lm_doc_scores_ranking_oov_and_partition_invariance():
     assert len(sc) == 2
     assert sc.loc[9, "avg_logprob"] < sc.loc[8, "avg_logprob"]
     assert sc.loc[9, "avg_logprob"] < out["avg_logprob"].min()
+
+
+def test_grouped_entropy_matches_scipy_style_reference():
+    import math
+
+    rng = np.random.default_rng(17)
+    k = rng.integers(0, 6, size=3000)
+    v = rng.integers(0, 10, size=3000)
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    for parts in (1, 7):
+        out = agg.grouped_entropy(
+            ray.data.from_arrow(t).repartition(parts),
+            "k", "v").to_pandas().set_index("k")
+        for g in np.unique(k):
+            c = np.bincount(v[k == g])
+            c = c[c > 0]
+            p = c / c.sum()
+            want = float(-(p * np.log(p)).sum())
+            assert abs(out.loc[g, "entropy"] - want) < 1e-5, (parts, g)
+    # single-value group: entropy exactly 0
+    t0 = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                   "v": pa.array(["a", "a", "a"])})
+    o0 = agg.grouped_entropy(ray.data.from_arrow(t0), "k", "v") \
+        .to_pandas()
+    assert o0["entropy"].iloc[0] == 0.0
