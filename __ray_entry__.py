@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_k_core": Q.parts_k_core,
         "events_value_locf": Q.events_value_locf,
         "user_event_entropy": Q.user_event_entropy,
+        "corpus_pmi_collocations": Q.corpus_pmi_collocations,
     }
 
 
@@ -900,6 +901,31 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "corpus_pmi_collocations": """
+            WITH tokens AS (
+              SELECT regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM tokens),
+            uni AS (SELECT unnest(toks) AS term FROM tokens),
+            ucnt AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM uni) AS n,
+                           (SELECT count(*) FROM pairs) AS b),
+            bcnt AS (SELECT bigram, count(*) AS c_ab FROM pairs
+                     GROUP BY 1 HAVING count(*) >= 20)
+            SELECT bigram, c_ab,
+                   round(ln(((CAST(c_ab AS DOUBLE) * n) * n)
+                            / ((CAST(b AS DOUBLE) * ca.c) * cb.c)), 6)
+                       AS pmi
+            FROM bcnt
+            CROSS JOIN tot
+            JOIN ucnt ca ON ca.term = split_part(bigram, ' ', 1)
+            JOIN ucnt cb ON cb.term = split_part(bigram, ' ', 2)
+            ORDER BY pmi DESC, bigram LIMIT 50
         """,
         "user_event_entropy": """
             WITH c AS (SELECT user_id, event_type, count(*) AS c

@@ -771,3 +771,77 @@ def lm_doc_scores(ds: ray.data.Dataset, col: str = "text",
         return out.filter(pa.array(nonzero))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations(ds: ray.data.Dataset, col: str = "text",
+                     min_count: int = 20, k: int = 50,
+                     ndigits: int = 6,
+                     max_vocab: int = 5_000_000) -> ray.data.Dataset:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the phrase-mining / tokenizer-merge-scoring signal:
+    pmi(a,b) = ln(p(ab) / (p(a) p(b))) with p(ab) = c_ab / B (B = total
+    bigrams) and p(x) = c_x / N (N = total tokens).
+
+    All counts come from the existing vocabulary-bounded partial
+    aggregations (bigram_counts / term_stats); the unigram table
+    broadcasts once (loud ``max_vocab`` guard); the PMI pass is a
+    stateless per-batch lookup; top-k is one tiny sort+limit. ln runs
+    via libm ``math.log`` over the min_count-filtered bigram set
+    (bounded), with the identical float tree stated in the SQL oracle,
+    so results hash-match bit-for-bit."""
+    import math
+
+    bigrams = bigram_counts(ds, col=col, min_count=min_count, out="c_ab")
+    stats = term_stats(ds, col=col, min_df=1)
+    vpd = stats.to_pandas()
+    if len(vpd) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(vpd)} exceeds max_vocab {max_vocab}")
+    n_total = int(vpd["tf"].to_numpy(np.int64).sum())
+
+    def btot(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[col], pattern=r"\s+")
+        flat = toks.combine_chunks()
+        lens = pc.list_value_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = np.zeros(len(t), np.int64)
+        # split artifacts: a doc's token list counts only non-"" tokens
+        fl = flat.flatten().to_numpy(zero_copy_only=False)
+        rows = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
+        keep = fl != ""
+        np.add.at(nonempty, rows[keep], 1)
+        return pa.table({"b_p": pa.array(
+            [int(np.maximum(nonempty - 1, 0).sum())], pa.int64())})
+
+    b_total = int(sum(
+        r["b_p"] for r in ds.map_batches(
+            btot, batch_format="pyarrow").take_all()))
+
+    import pandas as pd
+
+    uni = pd.Series(vpd["tf"].to_numpy(np.int64),
+                    index=vpd["term"].to_numpy())
+    ref = ray.put(uni)
+
+    def score(t: pa.Table) -> pa.Table:
+        u = ray.get(ref)
+        bg = t["bigram"].to_pandas()
+        left = bg.str.split(" ", n=1).str[0]
+        right = bg.str.split(" ", n=1).str[1]
+        ca = u.reindex(left.to_numpy()).to_numpy(np.float64)
+        cb = u.reindex(right.to_numpy()).to_numpy(np.float64)
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ratio = ((c_ab * float(n_total)) * float(n_total)) \
+            / ((float(b_total) * ca) * cb)
+        lp = np.array([math.log(x) for x in ratio.tolist()], np.float64)
+        pmi = pc.round(pa.array(lp), ndigits=ndigits,
+                       round_mode="half_towards_infinity")
+        neg = pc.negate(pmi)
+        return pa.table({"bigram": t["bigram"],
+                         "c_ab": pc.cast(t["c_ab"], pa.int64()),
+                         "pmi": pmi, "neg": neg})
+
+    return bigrams.map_batches(score, batch_format="pyarrow") \
+        .sort(["neg", "bigram"]).limit(k) \
+        .map_batches(lambda t: t.select(["bigram", "c_ab", "pmi"]),
+                     batch_format="pyarrow")

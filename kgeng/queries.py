@@ -2315,3 +2315,14 @@ def user_event_entropy(sf_dir: str):
 
     ev = _pq(sf_dir, "events", ["user_id", "event_type"])
     return grouped_entropy(ev, "user_id", "event_type")
+
+
+def corpus_pmi_collocations(sf_dir: str):
+    """Top-50 collocations by PMI over adjacent token pairs
+    (ops/text.pmi_collocations): bigram/unigram counts from the
+    vocabulary-bounded partials, one broadcast, one tiny sort+limit.
+    The ln/divide tree is stated identically in SQL — hash-match."""
+    from kgeng.ops.text import pmi_collocations
+
+    return pmi_collocations(_pq(sf_dir, "documents", ["doc_id", "text"]),
+                            min_count=20, k=50)

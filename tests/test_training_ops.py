@@ -2,6 +2,7 @@
 salted aggregation, multimodal stubs."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -1184,3 +1185,24 @@ def test_grouped_entropy_matches_scipy_style_reference():
     o0 = agg.grouped_entropy(ray.data.from_arrow(t0), "k", "v") \
         .to_pandas()
     assert o0["entropy"].iloc[0] == 0.0
+
+
+def test_pmi_collocations_crafted_pair_ranks_first():
+    """A bigram that ALWAYS co-occurs ('zx qv') must out-PMI frequent
+    independent pairs."""
+    rows = []
+    for i in range(30):
+        rows.append("zx qv filler" + str(i % 3))
+    for i in range(60):
+        rows.append("the cat " + f"w{i % 7} the dog")
+    t = pa.table({"doc_id": list(range(len(rows))), "text": rows})
+    out = text.pmi_collocations(ray.data.from_arrow(t), min_count=10,
+                                k=5).to_pandas()
+    assert out.iloc[0]["bigram"] == "zx qv"
+    assert out.iloc[0]["c_ab"] == 30
+    # partition invariance
+    out2 = text.pmi_collocations(
+        ray.data.from_arrow(t).repartition(4), min_count=10,
+        k=5).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
