@@ -1192,7 +1192,7 @@ def test_pmi_collocations_crafted_pair_ranks_first():
     independent pairs."""
     rows = []
     for i in range(30):
-        rows.append("zx qv filler" + str(i % 3))
+        rows.append("zx qv filler" + str(i % 5))  # 6 < min_count each
     for i in range(60):
         rows.append("the cat " + f"w{i % 7} the dog")
     t = pa.table({"doc_id": list(range(len(rows))), "text": rows})
