@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_locf": Q.events_value_locf,
         "user_event_entropy": Q.user_event_entropy,
         "corpus_pmi_collocations": Q.corpus_pmi_collocations,
+        "events_ohlc_hourly": Q.events_ohlc_hourly,
     }
 
 
@@ -901,6 +902,21 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "events_ohlc_hourly": """
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 3600000000 AS window,
+                   first_value(value) OVER w AS open,
+                   max(value) OVER w AS high,
+                   min(value) OVER w AS low,
+                   last_value(value) OVER w AS close,
+                   count(*) OVER w AS n_events
+            FROM events
+            WINDOW w AS (PARTITION BY user_id,
+                                      epoch_us(ts) // 3600000000
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
         """,
         "corpus_pmi_collocations": """
             WITH tokens AS (

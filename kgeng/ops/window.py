@@ -201,3 +201,46 @@ def partitioned_locf(events: ray.data.Dataset, key: str, ts: str,
 
     return events.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def ohlc_bars(events: ray.data.Dataset, key: str, ts: str, value: str,
+              width_seconds: int, tiebreak: str,
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """Time-bar resampling per key: open / high / low / close of
+    ``value`` within each tumbling window of ``width_seconds`` — the
+    downsampling step for feature extraction over event/sensor feeds.
+    Open/close are the first/last values in (ts, tiebreak) order
+    (deterministic under duplicate timestamps); high/low are exact
+    min/max.
+
+    Plan: one coarse-bucket shuffle on hash(key), then ONE vectorized
+    pandas pass per bucket (sort + grouped first/last/min/max over the
+    (key, window) segments). A key's rows co-locate, so bars are exact;
+    no per-key Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    us = width_seconds * 1_000_000
+
+    def bucket(t):
+        t_us = pc.cast(t[ts], pa.timestamp("us"))
+        e = pc.cast(t_us, pa.int64()).to_numpy(zero_copy_only=False)
+        win = pa.array(e // us)
+        out = pa.table({key: t[key], "window": win,
+                        "__e": pa.array(e), tiebreak: t[tiebreak],
+                        value: t[value]})
+        return _bucket_col(out, key, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"]).sort_values(
+            [key, "window", "__e", tiebreak], kind="mergesort")
+        grp = g.groupby([key, "window"], sort=False)[value]
+        agg = grp.agg(["first", "max", "min", "last", "size"])
+        agg = agg.reset_index()
+        agg.columns = [key, "window", "open", "high", "low", "close",
+                       "n_events"]
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

@@ -2326,3 +2326,16 @@ def corpus_pmi_collocations(sf_dir: str):
 
     return pmi_collocations(_pq(sf_dir, "documents", ["doc_id", "text"]),
                             min_count=20, k=50)
+
+
+def events_ohlc_hourly(sf_dir: str):
+    """Hourly open/high/low/close bars of event value per user
+    (ops/window.ohlc_bars): first/last in (ts, event_id) order,
+    exact min/max — the resampling step for time-series feature
+    extraction. Values are raw data points (no summation), so the
+    window-function oracle hash-matches exactly."""
+    from kgeng.ops.window import ohlc_bars
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return ohlc_bars(ev, key="user_id", ts="ts", value="value",
+                     width_seconds=3600, tiebreak="event_id")

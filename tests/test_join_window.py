@@ -1116,3 +1116,33 @@ def test_partitioned_locf_carries_within_key_only():
         and out.loc[3, "v"] == 5.0
     # key 2: leading null stays null (no cross-key leakage from key 1)
     assert np.isnan(out.loc[4, "v"]) and out.loc[5, "v"] == 7.0
+
+
+def test_ohlc_bars_matches_pandas_resample_reference():
+    from kgeng.ops.window import ohlc_bars
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    users = rng.integers(0, 12, n)
+    base = pd.Timestamp("2024-05-01")
+    ts = base + pd.to_timedelta(rng.integers(0, 48 * 3600, n), unit="s")
+    vals = np.round(rng.random(n) * 100, 2)
+    ev = pa.table({"event_id": np.arange(n), "user_id": users,
+                   "ts": ts, "value": vals})
+    got = ohlc_bars(ray.data.from_arrow(ev).repartition(5),
+                    key="user_id", ts="ts", value="value",
+                    width_seconds=3600, tiebreak="event_id").to_pandas()
+    df = ev.to_pandas()
+    df["window"] = (df["ts"].astype("int64") // 10**3
+                    // 3_600_000_000).astype("int64")
+    df = df.sort_values(["user_id", "window", "ts", "event_id"])
+    want = df.groupby(["user_id", "window"])["value"] \
+        .agg(["first", "max", "min", "last", "size"]).reset_index()
+    want.columns = ["user_id", "window", "open", "high", "low",
+                    "close", "n_events"]
+    cols = list(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["user_id", "window"])
+        .reset_index(drop=True),
+        want.sort_values(["user_id", "window"]).reset_index(drop=True),
+        check_dtype=False)
