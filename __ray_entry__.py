@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": Q.user_event_entropy,
         "corpus_pmi_collocations": Q.corpus_pmi_collocations,
         "events_ohlc_hourly": Q.events_ohlc_hourly,
+        "orders_price_winsorized": Q.orders_price_winsorized,
     }
 
 
@@ -902,6 +903,16 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "orders_price_winsorized": """
+            WITH q AS (SELECT round(quantile_cont(o_totalprice, 0.01), 6)
+                           AS lo,
+                              round(quantile_cont(o_totalprice, 0.99), 6)
+                           AS hi
+                       FROM orders)
+            SELECT o_orderkey,
+                   least(greatest(o_totalprice, lo), hi) AS price_w
+            FROM orders, q
         """,
         "events_ohlc_hourly": """
             SELECT DISTINCT user_id,

@@ -2339,3 +2339,34 @@ def events_ohlc_hourly(sf_dir: str):
     ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     return ohlc_bars(ev, key="user_id", ts="ts", value="value",
                      width_seconds=3600, tiebreak="event_id")
+
+
+def orders_price_winsorized(sf_dir: str):
+    """Winsorization (percentile clipping) of order prices: values clamp
+    to the exact global [P01, P99] — the outlier-robustness transform
+    before scaling/featurization. Same small-aggregate-then-broadcast
+    plan as docs_above_median_quality: two tiny quantile rows, then a
+    stateless vectorized clamp; thresholds round to 6 on BOTH sides so
+    the clamp compares identical numbers."""
+    from kgeng.ops.rank import grouped_quantiles
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice"]).materialize()
+
+    def const_group(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(len(t), np.int8)))
+
+    qt = grouped_quantiles(orders.map_batches(
+        const_group, batch_format="pyarrow"), "g", "o_totalprice",
+        [0.01, 0.99], round_to=6).take_all()
+    lo = float(min(r["quantile_value"] for r in qt))
+    hi = float(max(r["quantile_value"] for r in qt))
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = pc.min_element_wise(
+            pc.max_element_wise(t["o_totalprice"], pa.scalar(lo)),
+            pa.scalar(hi))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "price_w": v})
+
+    return orders.map_batches(clamp, batch_format="pyarrow")
