@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pmi_collocations": Q.corpus_pmi_collocations,
         "events_ohlc_hourly": Q.events_ohlc_hourly,
         "orders_price_winsorized": Q.orders_price_winsorized,
+        "embeddings_q8": Q.embeddings_q8,
     }
 
 
@@ -903,6 +904,22 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "embeddings_q8": """
+            WITH x AS (
+              SELECT vec_id,
+                     unnest(range(array_length(embedding))) AS dim,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000) AS BIGINT) AS q
+              FROM embeddings),
+            n AS (SELECT vec_id,
+                         sqrt(CAST(sum(q * q) AS DOUBLE)) / 1000000.0
+                             AS nrm
+                  FROM x GROUP BY vec_id)
+            SELECT x.vec_id, x.dim,
+                   CAST(round(127 * ((CAST(q AS DOUBLE) / 1000000.0)
+                                     / nrm)) AS BIGINT) AS q8
+            FROM x JOIN n USING (vec_id) WHERE nrm > 0
         """,
         "orders_price_winsorized": """
             WITH q AS (SELECT round(quantile_cont(o_totalprice, 0.01), 6)

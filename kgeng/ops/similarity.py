@@ -341,3 +341,48 @@ def grouped_centroid(ds: ray.data.Dataset, key: str = "label",
                          "centroid": pa.array(sq / scale / n)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def normalize_quantize_q8(ds: ray.data.Dataset, id_col: str = "vec_id",
+                          vec: str = "embedding",
+                          scale: float = 1_000_000.0) -> ray.data.Dataset:
+    """L2-normalize each embedding and quantize to int8 levels
+    (q8 = round(127 * x / ||x||)) — the vector-compression prep for an
+    ANN index, emitted in long (id, dim, q8) form.
+
+    Exactness: components quantize to int64 at ``scale`` first, the
+    squared norm is an INTEGER sum (order-invariant; int64-safe while
+    dim * (scale * max|x|)^2 < 2^63 — 64-dim unit-ish vectors at 1e6
+    leave 8 orders of headroom), sqrt is IEEE-exact, and the final
+    divide/multiply tree is stated identically in the SQL oracle, so
+    results hash-match. Zero vectors drop (no direction to keep).
+    Stateless per-batch kernel — no shuffle at all."""
+
+    def f(t: pa.Table) -> pa.Table:
+        m = _stack(t[vec])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if m.size == 0:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "dim": pa.array([], pa.int64()),
+                             "q8": pa.array([], pa.int64())})
+        q = pc.cast(pc.round(
+            pc.multiply(pa.array(m.astype(np.float64).ravel()), scale),
+            ndigits=0, round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).reshape(m.shape)
+        ss = (q * q).sum(axis=1)
+        keep = ss > 0
+        q, ids, ss = q[keep], ids[keep], ss[keep]
+        nrm = np.sqrt(ss.astype(np.float64)) / scale
+        z = (q.astype(np.float64) / scale) / nrm[:, None]
+        q8 = pc.cast(pc.round(pa.array((127.0 * z).ravel()), ndigits=0,
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        d = m.shape[1]
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(ids))),
+            "q8": q8,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

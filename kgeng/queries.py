@@ -2370,3 +2370,14 @@ def orders_price_winsorized(sf_dir: str):
                          "price_w": v})
 
     return orders.map_batches(clamp, batch_format="pyarrow")
+
+
+def embeddings_q8(sf_dir: str):
+    """L2-normalized int8 quantization of the embeddings table in long
+    (vec_id, dim, q8) form (ops/similarity.normalize_quantize_q8):
+    integer squared norms, IEEE sqrt, identical divide tree in SQL —
+    hash-exact, no shuffle."""
+    from kgeng.ops.similarity import normalize_quantize_q8
+
+    return normalize_quantize_q8(
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"]))

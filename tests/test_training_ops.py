@@ -1206,3 +1206,20 @@ def test_pmi_collocations_crafted_pair_ranks_first():
         k=5).to_pandas()
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out2.reset_index(drop=True))
+
+
+def test_normalize_quantize_q8_unit_norm_and_zero_drop():
+    m = [[3.0, 4.0], [0.0, 0.0], [-1.0, 0.0]]
+    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array(m, pa.list_(pa.float32()))})
+    out = similarity.normalize_quantize_q8(
+        ray.data.from_arrow(t)).to_pandas()
+    # zero vector dropped entirely
+    assert set(out["vec_id"]) == {1, 3}
+    v1 = out[out["vec_id"] == 1].sort_values("dim")["q8"].tolist()
+    assert v1 == [round(127 * 0.6), round(127 * 0.8)]  # [76, 102]
+    v3 = out[out["vec_id"] == 3].sort_values("dim")["q8"].tolist()
+    assert v3 == [-127, 0]
+    # reconstructed norm close to 1
+    rec = np.array(v1) / 127.0
+    assert abs(np.linalg.norm(rec) - 1.0) < 0.01
