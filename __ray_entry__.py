@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_hourly": Q.events_ohlc_hourly,
         "orders_price_winsorized": Q.orders_price_winsorized,
         "embeddings_q8": Q.embeddings_q8,
+        "events_running_total": Q.events_running_total,
+        "orders_price_rank_dense": Q.orders_price_rank_dense,
     }
 
 
@@ -904,6 +906,23 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "events_running_total": """
+            SELECT event_id, ts, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS v_cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                        AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "orders_price_rank_dense": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   dense_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC) AS rnk
+            FROM orders
         """,
         "embeddings_q8": """
             WITH x AS (

@@ -225,3 +225,31 @@ def global_row_number(ds: ray.data.Dataset, by: list[str],
     refs = [_attach_rownum.remote(r, int(offsets[i]), out)
             for i, (r, _) in enumerate(pairs)]
     return ray.data.from_arrow_refs(refs)
+
+
+def grouped_dense_rank(ds: ray.data.Dataset, key: str, value: str,
+                       out: str = "rnk", descending: bool = True,
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """DENSE_RANK() OVER (PARTITION BY key ORDER BY value) — ties share
+    a rank and no gaps follow. Coarse-bucket shuffle + one C-level
+    pandas ``rank(method='dense')`` pass per bucket; a key's rows
+    co-locate, so ranks are exact."""
+    import pandas as pd
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from kgeng.ops.join import _bucket_ids
+
+        b = _bucket_ids(t, key, num_buckets)
+        return t.append_column("__bucket",
+                               pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        g[out] = g.groupby(key, sort=False)[value] \
+            .rank(method="dense", ascending=not descending) \
+            .astype(np.int64)
+        return g
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket,
+                                        batch_format="pandas")

@@ -244,3 +244,27 @@ def ohlc_bars(events: ray.data.Dataset, key: str, ts: str, value: str,
 
     return events.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def partitioned_cumsum(events: ray.data.Dataset, key: str, ts: str,
+                       value: str, tiebreak: str,
+                       out: str = "running_total",
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Running total per key in (ts, tiebreak) order (SQL: ``sum(value)
+    OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS UNBOUNDED
+    PRECEDING)``). The caller should pass an INTEGER value column
+    (quantized cents) so partial order never changes the sum — the
+    established float policy. Same coarse-bucket plan as sessionize:
+    one shuffle, one vectorized grouped cumsum per bucket."""
+
+    def bucket(t):
+        return _bucket_col(t, key, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"]).sort_values(
+            [key, ts, tiebreak], kind="mergesort")
+        g[out] = g.groupby(key, sort=False)[value].cumsum()
+        return g
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

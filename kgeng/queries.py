@@ -2381,3 +2381,34 @@ def embeddings_q8(sf_dir: str):
 
     return normalize_quantize_q8(
         _pq(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def events_running_total(sf_dir: str):
+    """Running total of event value (cents-quantized int64) per user in
+    (ts, event_id) order — ops/window.partitioned_cumsum; integer
+    cumulative sums are order-exact so the window oracle hash-matches."""
+    from kgeng.ops.window import partitioned_cumsum
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "v_cents": _cents(t["value"])})
+
+    return partitioned_cumsum(ev.map_batches(prep,
+                                             batch_format="pyarrow"),
+                              key="user_id", ts="ts", value="v_cents",
+                              tiebreak="event_id", out="running_cents")
+
+
+def orders_price_rank_dense(sf_dir: str):
+    """DENSE_RANK of order price within each priority
+    (ops/rank.grouped_dense_rank): coarse buckets + one C-level pandas
+    dense rank per bucket — hash-matches the window oracle."""
+    from kgeng.ops.rank import grouped_dense_rank
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_dense_rank(orders, "o_orderpriority", "o_totalprice",
+                              out="rnk", descending=True)

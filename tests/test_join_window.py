@@ -1146,3 +1146,31 @@ def test_ohlc_bars_matches_pandas_resample_reference():
         .reset_index(drop=True),
         want.sort_values(["user_id", "window"]).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_partitioned_cumsum_and_dense_rank_match_pandas():
+    from kgeng.ops.rank import grouped_dense_rank
+    from kgeng.ops.window import partitioned_cumsum
+
+    rng = np.random.default_rng(29)
+    n = 800
+    t = pa.table({"k": pa.array(rng.integers(0, 9, n), pa.int64()),
+                  "ts": pa.array(rng.integers(0, 500, n), pa.int64()),
+                  "id": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(rng.integers(-5, 50, n), pa.int64())})
+    out = partitioned_cumsum(ray.data.from_arrow(t).repartition(4),
+                             key="k", ts="ts", value="v",
+                             tiebreak="id", out="rt").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    df = t.to_pandas().sort_values(["k", "ts", "id"])
+    df["rt"] = df.groupby("k")["v"].cumsum()
+    want = df.sort_values("id").reset_index(drop=True)
+    assert out["rt"].tolist() == want["rt"].tolist()
+
+    rk = grouped_dense_rank(ray.data.from_arrow(t).repartition(4),
+                            "k", "v", out="r").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    wr = t.to_pandas()
+    wr["r"] = wr.groupby("k")["v"].rank(
+        method="dense", ascending=False).astype(int)
+    assert rk["r"].tolist() == wr.sort_values("id")["r"].tolist()
