@@ -146,3 +146,78 @@ def write_graph(out_dir: str, vertices, edges, cfg: SmartGraphConfig,
     with open(success_path, "w") as f:
         f.write("")
     return manifest
+
+
+def write_partitioned_parquet(ds, root: str, by: str,
+                              max_rows_per_file: int = 1_000_000) -> dict:
+    """Hive-partitioned parquet output (``root/<by>=<value>/part-*.parquet``)
+    — the resumable output layout the brief calls for: one directory per
+    key value, so a re-run (or a downstream filter) can address any
+    partition without touching the rest, and ``ray.data.read_parquet``
+    prunes on the partition column for free.
+
+    Each task splits its blocks by the partition value with one
+    vectorized sort + ``searchsorted`` slice per block and writes its
+    own files (content-hashed names — re-running a task overwrites the
+    identical bytes instead of duplicating). A ``_SUCCESS`` manifest at
+    the root records row counts per partition; ``is_done(root)`` gates
+    a resume exactly like the checkpoint stages."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"part": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        import numpy as np
+
+        order = pc.sort_indices(t, sort_keys=[(by, "ascending")])
+        t = t.take(order)
+        col = t[by].combine_chunks()
+        # vectorized run boundaries over the sorted dictionary codes
+        codes = pc.dictionary_encode(col).indices.to_numpy(
+            zero_copy_only=False)
+        starts = np.r_[np.flatnonzero(np.r_[True, codes[1:]
+                                            != codes[:-1]]),
+                       [len(codes)]].tolist()
+        vals = col.to_pandas()
+        parts, rows = [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            sub = t.slice(a, b - a)
+            v = str(vals.iloc[a])
+            d = os.path.join(root, f"{by}={v}")
+            os.makedirs(d, exist_ok=True)
+            sink = pa.BufferOutputStream()
+            pq.write_table(sub.drop_columns([by]), sink)
+            buf = sink.getvalue()
+            name = hashlib.sha256(buf.to_pybytes()).hexdigest()[:16]
+            path = os.path.join(d, f"part-{name}.parquet")
+            if not os.path.exists(path):
+                with open(path, "wb") as f:
+                    f.write(buf.to_pybytes())
+            parts.append(v)
+            rows.append(len(sub))
+        return pa.table({"part": pa.array(parts, pa.string()),
+                         "rows": pa.array(rows, pa.int64())})
+
+    receipts = ds.map_batches(write_block, batch_format="pyarrow") \
+        .groupby("part").sum("rows").take_all()
+    counts = {r["part"]: int(r["sum(rows)"]) for r in receipts}
+    manifest = {"by": by, "partitions": counts,
+                "n_rows": int(sum(counts.values()))}
+    with open(os.path.join(root, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    with open(os.path.join(root, "_SUCCESS"), "w") as f:
+        f.write("")
+    return manifest
+
+
+def partitioned_is_done(root: str) -> bool:
+    """Resume gate for :func:`write_partitioned_parquet`."""
+    return os.path.exists(os.path.join(root, "_SUCCESS")) \
+        and os.path.exists(os.path.join(root, "_MANIFEST.json"))
