@@ -158,17 +158,30 @@ def write_partitioned_parquet(ds, root: str, by: str,
 
     Each task splits its blocks by the partition value with one
     vectorized sort + ``searchsorted`` slice per block and writes its
-    own files (content-hashed names — re-running a task overwrites the
-    identical bytes instead of duplicating). A ``_SUCCESS`` manifest at
-    the root records row counts per partition; ``is_done(root)`` gates
-    a resume exactly like the checkpoint stages."""
+    own files (content-hashed names, written via temp-file +
+    ``os.replace`` so a crash never leaves a truncated part visible).
+    Any partition dirs and sentinels from a previous (possibly
+    differently-sharded or crashed) run are cleared first — stale files
+    from another block layout would otherwise survive alongside the new
+    ones and double-count on read. A ``_SUCCESS`` manifest at the root
+    records row counts per partition; ``partitioned_is_done(root)``
+    gates a resume exactly like the checkpoint stages (callers skip the
+    whole write when it returns True)."""
     import hashlib
+    import shutil
 
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(root, exist_ok=True)
+    for sentinel in ("_SUCCESS", "_MANIFEST.json"):
+        p = os.path.join(root, sentinel)
+        if os.path.exists(p):
+            os.remove(p)
+    for entry in os.listdir(root):
+        if entry.startswith(f"{by}="):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     def write_block(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -198,8 +211,13 @@ def write_partitioned_parquet(ds, root: str, by: str,
             name = hashlib.sha256(buf.to_pybytes()).hexdigest()[:16]
             path = os.path.join(d, f"part-{name}.parquet")
             if not os.path.exists(path):
-                with open(path, "wb") as f:
+                # temp + atomic rename: a crash mid-write never leaves
+                # a truncated part visible under its final name (which
+                # the exists-skip would otherwise trust on retry)
+                tmp = f"{path}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
                     f.write(buf.to_pybytes())
+                os.replace(tmp, path)
             parts.append(v)
             rows.append(len(sub))
         return pa.table({"part": pa.array(parts, pa.string()),

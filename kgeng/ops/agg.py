@@ -694,7 +694,7 @@ def grouped_entropy(ds: ray.data.Dataset, key: str, value: str,
         g = pd.DataFrame({
             "k": t[key].to_pandas(),
             "v": t[value].to_pandas(),
-        }).groupby(["k", "v"], sort=False).size()
+        }).groupby(["k", "v"], sort=False, dropna=False).size()
         kk = g.index.get_level_values(0).to_numpy()
         vv = g.index.get_level_values(1).to_numpy()
         return pa.table({key: pa.array(kk), value: pa.array(vv),

@@ -80,9 +80,20 @@ def grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
             qs = [round(float(np.quantile(vals, q, method="linear")),
                         round_to) for q in quantiles]
         else:
+            from fractions import Fraction
+
             n = vals.size
-            qs = [float(vals[max(int(np.ceil(q * n)) - 1, 0)])
-                  for q in quantiles]
+            # exact decimal ceil: binary-float q*n rounds UP for many
+            # q (0.07 * 100 = 7.000000000000001 -> ceil 8), which would
+            # be off by one vs SQL quantile_disc's exact index. The
+            # shortest-repr Fraction recovers the decimal the caller
+            # (and the SQL literal) wrote.
+            qs = []
+            for q in quantiles:
+                fq = Fraction(str(q)) * n
+                idx = fq.numerator // fq.denominator \
+                    + (1 if fq.numerator % fq.denominator else 0)
+                qs.append(float(vals[max(idx - 1, 0)]))
         return pd.DataFrame({key: [g[key].iloc[0]] * len(quantiles),
                              "q": quantiles, "quantile_value": qs})
 
@@ -233,23 +244,20 @@ def grouped_dense_rank(ds: ray.data.Dataset, key: str, value: str,
     """DENSE_RANK() OVER (PARTITION BY key ORDER BY value) — ties share
     a rank and no gaps follow. Coarse-bucket shuffle + one C-level
     pandas ``rank(method='dense')`` pass per bucket; a key's rows
-    co-locate, so ranks are exact."""
+    co-locate, so ranks are exact. Null values rank LAST (one shared
+    dense rank after every non-null value — DuckDB's default
+    NULLS LAST); null keys form their own partition."""
     import pandas as pd
-
-    def bucket(t: pa.Table) -> pa.Table:
-        from kgeng.ops.join import _bucket_ids
-
-        b = _bucket_ids(t, key, num_buckets)
-        return t.append_column("__bucket",
-                               pa.array(b.astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"])
-        g[out] = g.groupby(key, sort=False)[value] \
-            .rank(method="dense", ascending=not descending) \
-            .astype(np.int64)
+        grp = g.groupby(key, sort=False, dropna=False)[value]
+        r = grp.rank(method="dense", ascending=not descending)
+        if r.isna().any():
+            nmax = r.groupby(g[key], dropna=False).transform("max")
+            r = r.fillna(nmax.fillna(0.0) + 1.0)
+        g[out] = r.astype(np.int64)
         return g
 
-    return ds.map_batches(bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(per_bucket,
-                                        batch_format="pandas")
+    return _bucket(ds, key, num_buckets).groupby("__bucket") \
+        .map_groups(per_bucket, batch_format="pandas")

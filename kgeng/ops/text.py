@@ -690,6 +690,7 @@ def _lm_vocab_index(ref):
     key = ref.hex()
     if key not in _LM_VOCAB_CACHE:
         terms, q = ray.get(ref)
+        _LM_VOCAB_CACHE.clear()  # one LM per worker: never accumulate
         _LM_VOCAB_CACHE[key] = (pd.Index(terms), q)
     return _LM_VOCAB_CACHE[key]
 
@@ -825,8 +826,9 @@ def pmi_collocations(ds: ray.data.Dataset, col: str = "text",
     def score(t: pa.Table) -> pa.Table:
         u = ray.get(ref)
         bg = t["bigram"].to_pandas()
-        left = bg.str.split(" ", n=1).str[0]
-        right = bg.str.split(" ", n=1).str[1]
+        halves = bg.str.split(" ", n=1)
+        left = halves.str[0]
+        right = halves.str[1]
         ca = u.reindex(left.to_numpy()).to_numpy(np.float64)
         cb = u.reindex(right.to_numpy()).to_numpy(np.float64)
         c_ab = t["c_ab"].to_numpy(zero_copy_only=False) \

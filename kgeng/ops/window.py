@@ -234,13 +234,27 @@ def ohlc_bars(events: ray.data.Dataset, key: str, ts: str, value: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"]).sort_values(
             [key, "window", "__e", tiebreak], kind="mergesort")
+        # open/close are POSITIONAL (SQL first_value/last_value keeps
+        # nulls; pandas agg 'first'/'last' would skip them) — take them
+        # at the vectorized run boundaries of the sorted frame
+        if g[key].isna().any() or g["window"].isna().any():
+            # loud: a NaN key breaks the run-boundary != comparison
+            # (NaN != NaN) while groupby would merge the rows
+            raise ValueError("ohlc_bars requires non-null key and ts")
+        kv = g[key].to_numpy()
+        wv = g["window"].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, (kv[1:] != kv[:-1]) | (wv[1:] != wv[:-1])])
+        ends = np.r_[starts[1:], [len(g)]] - 1
+        vals = g[value].to_numpy()
         grp = g.groupby([key, "window"], sort=False)[value]
-        agg = grp.agg(["first", "max", "min", "last", "size"])
-        agg = agg.reset_index()
-        agg.columns = [key, "window", "open", "high", "low", "close",
-                       "n_events"]
+        agg = grp.agg(["max", "min", "size"]).reset_index()
+        agg.columns = [key, "window", "high", "low", "n_events"]
+        agg.insert(2, "open", vals[starts])
+        agg["close"] = vals[ends]
         agg["n_events"] = agg["n_events"].astype(np.int64)
-        return agg
+        return agg[[key, "window", "open", "high", "low", "close",
+                    "n_events"]]
 
     return events.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

@@ -2294,7 +2294,11 @@ def events_value_locf(sf_dir: str):
                                 "event_type", "value"])
 
     def mask(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t["event_type"], "purchase")
+        # fill_null(True): CASE WHEN et = 'purchase' evaluates a NULL
+        # event_type as not-true and KEEPS the value — a bare
+        # not_equal would propagate the null and mask it
+        keep = pc.fill_null(pc.not_equal(t["event_type"], "purchase"),
+                            True)
         return pa.table({
             "event_id": t["event_id"], "ts": t["ts"],
             "user_id": t["user_id"],

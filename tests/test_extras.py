@@ -335,3 +335,26 @@ def test_write_partitioned_parquet_roundtrip_and_resume_gate(tmp_path):
     write_partitioned_parquet(
         ray.data.from_arrow(t).repartition(4), root, by="lang")
     assert sorted(os.listdir(f"{root}/lang=en")) == files_before
+
+
+def test_write_partitioned_parquet_clears_stale_files(tmp_path):
+    """A crashed run's differently-sharded files must not survive a
+    re-write (they would double-count on read)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from kgeng.io.sink import write_partitioned_parquet
+
+    t = pa.table({"id": list(range(30)),
+                  "lang": [["en", "de"][i % 2] for i in range(30)]})
+    root = str(tmp_path / "o")
+    # simulate a stale file from a previous run with another layout
+    os.makedirs(f"{root}/lang=en", exist_ok=True)
+    with open(f"{root}/lang=en/part-deadbeef.parquet", "wb") as f:
+        f.write(b"truncated-garbage")
+    m = write_partitioned_parquet(ray.data.from_arrow(t), root, "lang")
+    assert not os.path.exists(f"{root}/lang=en/part-deadbeef.parquet")
+    back = ray.data.read_parquet(root).to_pandas()
+    assert len(back) == 30 == m["n_rows"]

@@ -1174,3 +1174,60 @@ def test_partitioned_cumsum_and_dense_rank_match_pandas():
     wr["r"] = wr.groupby("k")["v"].rank(
         method="dense", ascending=False).astype(int)
     assert rk["r"].tolist() == wr.sort_values("id")["r"].tolist()
+
+
+def test_quantile_disc_exact_index_matches_duckdb():
+    """q*n in binary floating point rounds UP for many decimal q
+    (0.07*100 = 7.000000000000001); the disc index must use exact
+    decimal arithmetic like SQL quantile_disc."""
+    import duckdb
+
+    from kgeng.ops.rank import grouped_quantiles
+
+    vals = list(range(1, 101))
+    t = pa.table({"g": ["a"] * 100, "v": pa.array(vals, pa.float64())})
+    qs = [0.07, 0.017, 0.25, 0.5, 0.035]
+    out = grouped_quantiles(ray.data.from_arrow(t), "g", "v", qs,
+                            method="disc").to_pandas()
+    con = duckdb.connect()
+    for q in qs:
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest("
+            f"{vals}) AS x)").fetchone()[0]
+        got = out[out["q"] == q]["quantile_value"].iloc[0]
+        assert got == want, (q, got, want)
+
+
+def test_ohlc_open_close_positional_with_nulls():
+    """open/close are first_value/last_value WITHOUT IGNORE NULLS: a
+    null at the bar boundary must surface as null, not be skipped."""
+    from kgeng.ops.window import ohlc_bars
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "ts": pd.to_datetime(["2024-01-01 00:01", "2024-01-01 00:02",
+                              "2024-01-01 00:03"]),
+        "value": pa.array([None, 5.0, None], pa.float64()),
+    })
+    out = ohlc_bars(ray.data.from_arrow(t), key="user_id", ts="ts",
+                    value="value", width_seconds=3600,
+                    tiebreak="event_id").to_pandas()
+    assert len(out) == 1
+    assert np.isnan(out["open"].iloc[0]) and np.isnan(out["close"].iloc[0])
+    assert out["high"].iloc[0] == 5.0 and out["low"].iloc[0] == 5.0
+    assert out["n_events"].iloc[0] == 3
+
+
+def test_dense_rank_null_values_rank_last():
+    from kgeng.ops.rank import grouped_dense_rank
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                  "v": pa.array([10.0, None, 20.0, None], pa.float64())})
+    out = grouped_dense_rank(ray.data.from_arrow(t), "k", "v",
+                             out="r").to_pandas()
+    g1 = out[out["k"] == 1].set_index("v", drop=False)
+    assert g1.loc[20.0, "r"] == 1 and g1.loc[10.0, "r"] == 2
+    assert out[(out["k"] == 1) & (out["v"].isna())]["r"].iloc[0] == 3
+    # all-null group ranks 1
+    assert out[out["k"] == 2]["r"].iloc[0] == 1
