@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_q8": Q.embeddings_q8,
         "events_running_total": Q.events_running_total,
         "orders_price_rank_dense": Q.orders_price_rank_dense,
+        "orders_price_pct_rank": Q.orders_price_pct_rank,
+        "docs_fuzzy_decontamination": Q.docs_fuzzy_decontamination,
     }
 
 
@@ -918,6 +920,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS running_cents
             FROM events
         """,
+        "orders_price_pct_rank": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   percent_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice)
+                       AS pct_rank
+            FROM orders
+        """,
         "orders_price_rank_dense": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    dense_rank() OVER (PARTITION BY o_orderpriority
@@ -1096,5 +1105,6 @@ def oracle_sql() -> dict[str, str]:
         # kg_mention_stats, corpus_top_terms_approx (sketch estimate;
         # exact-regime parity + error-bound pytests instead),
         # parts_k_core (iterative peeling, data-dependent round count;
-        # pytest peeling-reference parity + snapshot pin instead)
+        # pytest peeling-reference parity + snapshot pin instead),
+        # docs_fuzzy_decontamination (LSH banding; recall test + pin)
     }

@@ -729,3 +729,130 @@ def jaro_winkler_batch(left: np.ndarray, right: np.ndarray,
     boost = sim > 0.7
     sim = np.where(boost, sim + pref * 0.1 * (1.0 - sim), sim)
     return sim
+
+
+def _band_hashes(texts: list, num_perm: int, num_bands: int,
+                 ngram: int, a_t, b_t) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """Shared band-hash kernel: (band_hash[n, bands] int64 masked to 63
+    bits, shingle flat array, bounds) for a batch of texts — the same
+    permutation family / fold the LSH candidate stage uses."""
+    x, bounds = word_shingle_hashes(texts, ngram)
+    sig = minhash_signatures(x, bounds, a_t, b_t)
+    n = len(texts)
+    rows = num_perm // num_bands
+    sig3 = sig.reshape(n, num_bands, rows)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros((n, num_bands), dtype=np.uint64)
+    for r in range(rows):
+        acc = (acc * mult) ^ sig3[:, :, r]
+    return as_int64(mask63(acc)).reshape(n, num_bands), x, bounds
+
+
+def minhash_decontaminate(ds: ray.data.Dataset,
+                          bench_ds: ray.data.Dataset,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          threshold: float = 0.5,
+                          num_perm: int = 128, num_bands: int = 32,
+                          ngram: int = 3,
+                          max_bench_docs: int = 500_000
+                          ) -> ray.data.Dataset:
+    """FUZZY benchmark decontamination: flag corpus docs whose shingle
+    Jaccard against ANY benchmark doc reaches ``threshold`` — catching
+    paraphrased/truncated eval leakage the exact 8-gram check
+    (text.contamination_flags) misses.
+
+    The benchmark side is SMALL by nature (eval sets): its band hashes
+    and sorted per-doc shingle arrays build once on the driver (loud
+    ``max_bench_docs`` guard) and broadcast via ``ray.put``. The corpus
+    pass is stateless ``map_batches``: same vectorized shingle+minhash
+    kernel as the LSH dedup, one ``searchsorted`` against the packed
+    bench band table for candidates, then an exact sorted-array Jaccard
+    verify ONLY for band-colliding (doc, bench) pairs. No shuffle at
+    all — the corpus streams once.
+
+    Returns (id_col, contaminated, best_jaccard, n_bench_hits)."""
+    if num_perm % num_bands:
+        raise ValueError("num_perm must divide into num_bands")
+    a_t, b_t = _perm_tables(num_perm, seed=13)
+
+    bench = bench_ds.select_columns([text_col]).take_all()
+    if len(bench) > max_bench_docs:
+        raise ValueError(
+            f"benchmark set {len(bench)} exceeds max_bench_docs "
+            f"{max_bench_docs}; shard the bench side or raise the guard")
+    btexts = [r[text_col] for r in bench]
+    if btexts:
+        bh, bx, bbounds = _band_hashes(btexts, num_perm, num_bands,
+                                       ngram, a_t, b_t)
+        # packed (band_idx, truncated band hash) key: 6 high bits of
+        # index + 57 bits of hash. Truncation can only ADD candidates
+        # (false collisions), which the exact verify then rejects.
+        nb = len(btexts)
+        packed = (np.arange(num_bands, dtype=np.int64)[None, :]
+                  << np.int64(57)) | (bh >> np.int64(6))
+        flat = packed.reshape(-1)
+        owner = np.repeat(np.arange(nb, dtype=np.int64), num_bands)
+        order = np.argsort(flat, kind="stable")
+        flat, owner = flat[order], owner[order]
+        # per-bench-doc SORTED UNIQUE shingle arrays for the verify
+        sh_parts = [np.unique(bx[bbounds[i]:bbounds[i + 1]])
+                    for i in range(nb)]
+        sh_off = np.zeros(nb + 1, np.int64)
+        np.cumsum([len(s) for s in sh_parts], out=sh_off[1:])
+        sh_flat = (np.concatenate(sh_parts) if nb
+                   else np.zeros(0, np.uint64))
+        ref = ray.put((flat, owner, sh_flat, sh_off))
+    else:
+        ref = ray.put((np.zeros(0, np.int64), np.zeros(0, np.int64),
+                       np.zeros(0, np.uint64), np.zeros(1, np.int64)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        flat_b, owner_b, sh_flat_b, sh_off_b = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        if n == 0 or flat_b.size == 0:
+            return pa.table({
+                id_col: t[id_col],
+                "contaminated": pa.array(np.zeros(n, bool)),
+                "best_jaccard": pa.array(np.zeros(n, np.float64)),
+                "n_bench_hits": pa.array(np.zeros(n, np.int64))})
+        ch, cx, cbounds = _band_hashes(texts, num_perm, num_bands,
+                                       ngram, a_t, b_t)
+        cpacked = (np.arange(num_bands, dtype=np.int64)[None, :]
+                   << np.int64(57)) | (ch >> np.int64(6))
+        lo = np.searchsorted(flat_b, cpacked.reshape(-1), side="left")
+        hi = np.searchsorted(flat_b, cpacked.reshape(-1), side="right")
+        best = np.zeros(n, np.float64)
+        hits = np.zeros(n, np.int64)
+        span = np.flatnonzero(hi > lo)
+        # candidate (doc, bench) pairs, deduped across bands: the same
+        # bench doc colliding in several bands must verify (and count)
+        # once
+        pairs: set = set()
+        for j in span.tolist():  # band collisions only — rare by design
+            doc = j // num_bands
+            for bidx in owner_b[lo[j]:hi[j]].tolist():
+                pairs.add((doc, bidx))
+        mine_cache: dict = {}
+        for doc, bidx in pairs:
+            mine = mine_cache.get(doc)
+            if mine is None:
+                mine = np.unique(cx[cbounds[doc]:cbounds[doc + 1]])
+                mine_cache[doc] = mine
+            other = sh_flat_b[sh_off_b[bidx]:sh_off_b[bidx + 1]]
+            inter = np.intersect1d(mine, other,
+                                   assume_unique=True).size
+            union = mine.size + other.size - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                hits[doc] += 1
+            best[doc] = max(best[doc], jac)
+        return pa.table({
+            id_col: t[id_col],
+            "contaminated": pa.array(hits > 0),
+            "best_jaccard": pa.array(np.round(best, 6)),
+            "n_bench_hits": pa.array(hits)})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

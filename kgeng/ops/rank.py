@@ -261,3 +261,27 @@ def grouped_dense_rank(ds: ray.data.Dataset, key: str, value: str,
 
     return _bucket(ds, key, num_buckets).groupby("__bucket") \
         .map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_percent_rank(ds: ray.data.Dataset, key: str, value: str,
+                         out: str = "pct_rank",
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """PERCENT_RANK() OVER (PARTITION BY key ORDER BY value) =
+    (rank - 1) / (n - 1), 0 for single-row groups — the quantile-
+    normalization transform. One coarse-bucket shuffle + a C-level
+    pandas min-rank pass per bucket; the divide is exact-int over
+    exact-int, identical in SQL, so results hash-match without
+    rounding."""
+    import pandas as pd
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        grp = g.groupby(key, sort=False, dropna=False)[value]
+        r = grp.rank(method="min").to_numpy(np.float64)
+        n = g.groupby(key, sort=False, dropna=False)[value] \
+            .transform("size").to_numpy(np.float64)
+        g[out] = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
+        return g
+
+    return _bucket(ds, key, num_buckets).groupby("__bucket") \
+        .map_groups(per_bucket, batch_format="pandas")

@@ -2416,3 +2416,43 @@ def orders_price_rank_dense(sf_dir: str):
                  ["o_orderkey", "o_orderpriority", "o_totalprice"])
     return grouped_dense_rank(orders, "o_orderpriority", "o_totalprice",
                               out="rnk", descending=True)
+
+
+def orders_price_pct_rank(sf_dir: str):
+    """PERCENT_RANK of order price within each priority
+    (ops/rank.grouped_percent_rank) — exact-integer rank and count
+    enter one identical IEEE divide on both sides, so the window
+    oracle hash-matches with no rounding."""
+    from kgeng.ops.rank import grouped_percent_rank
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_percent_rank(orders, "o_orderpriority",
+                                "o_totalprice")
+
+
+def docs_fuzzy_decontamination(sf_dir: str):
+    """FUZZY benchmark decontamination (ops/dedup.minhash_decontaminate):
+    a synthetic 'benchmark' of every 50th doc, PERTURBED (tokens
+    appended) so the exact 8-gram check alone would under-flag — band
+    collisions against the broadcast bench table, exact shingle-Jaccard
+    verify, no shuffle. Rows-only (LSH banding is not SQL-expressible);
+    pinned + crafted recall test."""
+    from kgeng.ops.dedup import minhash_decontaminate
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        # every 50th doc, with a deterministic tail appended
+        sel = pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 50), 50)),
+            pa.scalar(0, pa.int64()))
+        t = t.filter(sel)
+        tail = pa.scalar(" appended benchmark marker tokens")
+        return pa.table({
+            "text": pc.binary_join_element_wise(
+                t["text"], tail, "")})
+
+    bench = docs.map_batches(bench_rows, batch_format="pyarrow")
+    return minhash_decontaminate(docs, bench, threshold=0.5)

@@ -67,6 +67,7 @@ PINS = {
     "lineitem_slpa": "4d748d1577aa5ab0",
     "parts_k_core": "54b70945fcb9c6c0",
     "corpus_top_terms_approx": "51888b431c2e6148",
+    "docs_fuzzy_decontamination": "c5e1155ba224afd1",
 }
 
 

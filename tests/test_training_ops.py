@@ -1223,3 +1223,32 @@ def test_normalize_quantize_q8_unit_norm_and_zero_drop():
     # reconstructed norm close to 1
     rec = np.array(v1) / 127.0
     assert abs(np.linalg.norm(rec) - 1.0) < 0.01
+
+
+def test_minhash_decontaminate_fuzzy_recall_and_precision():
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(300)]
+    corpus, ids = [], []
+    for i in range(40):
+        corpus.append(" ".join(rng.choice(vocab, size=30)))
+        ids.append(i)
+    # bench = perturbed copies of the first 8 docs (near-dup leakage)
+    bench = []
+    for i in range(8):
+        toks = corpus[i].split()
+        toks[5] = "changed"
+        bench.append(" ".join(toks) + " extra tail")
+    cds = ray.data.from_arrow(pa.table(
+        {"doc_id": ids, "text": corpus})).repartition(4)
+    bds = ray.data.from_arrow(pa.table({"text": bench}))
+    out = dedup.minhash_decontaminate(cds, bds, threshold=0.5) \
+        .to_pandas().set_index("doc_id")
+    flagged = set(out[out["contaminated"]].index)
+    assert set(range(8)) <= flagged          # full recall on leaks
+    assert len(flagged - set(range(8))) == 0  # nothing else flagged
+    assert (out.loc[list(range(8)), "best_jaccard"] >= 0.5).all()
+    # empty bench set: nothing flagged, schema stable
+    empty = dedup.minhash_decontaminate(
+        cds, ray.data.from_arrow(pa.table({"text": pa.array(
+            [], pa.string())})), threshold=0.5).to_pandas()
+    assert len(empty) == 40 and not empty["contaminated"].any()
