@@ -618,27 +618,66 @@ def profile_table(ds: ray.data.Dataset,
             Max("max_str", alias_name="max_str")) \
         .to_pandas().set_index("col_name")
 
-    nd: dict[str, int | None] = {}
-    for c in cols:
-        ty = types[c]
-        if not distinct or not (
-                pa.types.is_integer(ty) or pa.types.is_timestamp(ty)
-                or pa.types.is_floating(ty) or pa.types.is_string(ty)
-                or pa.types.is_large_string(ty)):
-            nd[c] = None
-            continue
+    # exact distinct counts in TWO fused passes (not one per column):
+    # integers/timestamps as int64, floats as their int64 BIT PATTERN
+    # (injective, so distinctness is exact), strings in their own
+    # stream. Per block each column contributes its unique values
+    # tagged by column id; one groupby((cid, v)) dedupes globally and a
+    # tiny per-cid partial count finishes.
+    def _iskind(ty):
+        return (pa.types.is_integer(ty) or pa.types.is_timestamp(ty)
+                or pa.types.is_floating(ty))
 
-        def uniq(t: pa.Table, _c=c, _ts=pa.types.is_timestamp(ty)) \
-                -> pa.Table:
-            a = t[_c].combine_chunks()
-            if _ts:
-                a = a.cast(pa.int64())
-            a = a.drop_null()
-            return pa.table({"v": pc.unique(a)})
+    num_cols = [c for c in cols if distinct and _iskind(types[c])]
+    str_cols = [c for c in cols if distinct
+                and (pa.types.is_string(types[c])
+                     or pa.types.is_large_string(types[c]))]
 
-        nd[c] = ds.select_columns([c]) \
+    def _distinct_counts(sub_cols, as_string: bool) -> dict[str, int]:
+        if not sub_cols:
+            return {}
+        cid_of = {c: i for i, c in enumerate(sub_cols)}
+
+        def uniq(t: pa.Table) -> pa.Table:
+            vs, cids = [], []
+            for c in sub_cols:
+                a = t[c].combine_chunks().drop_null()
+                if not as_string:
+                    ty = types[c]
+                    if pa.types.is_floating(ty):
+                        v = np.unique(
+                            a.to_numpy(zero_copy_only=False)
+                            .astype(np.float64)).view(np.int64)
+                        u = pa.array(v)
+                    else:
+                        u = pc.unique(a.cast(pa.int64()))
+                else:
+                    u = pc.unique(a)
+                vs.append(u)
+                cids.append(np.full(len(u), cid_of[c], np.int32))
+            return pa.table({
+                "cid": pa.array(np.concatenate(cids)
+                                if cids else np.zeros(0, np.int32)),
+                "v": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(
+                        x, pa.ChunkedArray) else x for x in vs])})
+
+        pairs = ds.select_columns(sub_cols) \
             .map_batches(uniq, batch_format="pyarrow") \
-            .groupby("v").count().count()
+            .groupby(["cid", "v"]).count()
+
+        def per_cid(t: pa.Table) -> pa.Table:
+            cn = t.group_by(["cid"]).aggregate([([], "count_all")])
+            return cn.rename_columns(["cid", "n_p"])
+
+        rows = pairs.map_batches(per_cid, batch_format="pyarrow") \
+            .groupby("cid").sum("n_p").take_all()
+        got = {r["cid"]: int(r["sum(n_p)"]) for r in rows}
+        return {c: got.get(cid_of[c], 0) for c in sub_cols}
+
+    nd: dict[str, int | None] = {c: None for c in cols}
+    nd.update(_distinct_counts(num_cols, as_string=False))
+    nd.update(_distinct_counts(str_cols, as_string=True))
 
     def _iv(x):
         return None if pd.isna(x) else int(x)
