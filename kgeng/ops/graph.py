@@ -1385,6 +1385,11 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "src",
     All arithmetic is integer — results are exact, so the SQL oracle
     (a three-way self-join) hash-matches. Only (int64, int64) pairs
     ever shuffle; texts/payloads never enter the pipeline.
+
+    Reference analogue: none (the reference delegates graph analytics
+    to server-side Pregel, start_Pregel.py:194-198); triangles join
+    the native family alongside pagerank/sssp/hits/closeness/harmonic/
+    scc/slpa/k-core.
     """
     from kgeng.ops.join import hash_join
 

@@ -1252,3 +1252,21 @@ def test_minhash_decontaminate_fuzzy_recall_and_precision():
         cds, ray.data.from_arrow(pa.table({"text": pa.array(
             [], pa.string())})), threshold=0.5).to_pandas()
     assert len(empty) == 40 and not empty["contaminated"].any()
+
+
+def test_misra_gries_weighted_partials_match_expanded():
+    """The weight path (pre-counted partials) must equal feeding the
+    expanded stream."""
+    t_w = pa.table({"term": ["a", "b", "a", "c"],
+                    "n": pa.array([5, 3, 2, 1], pa.int64())})
+    exp = pa.table({"term": ["a"] * 7 + ["b"] * 3 + ["c"]})
+    got_w = agg.misra_gries_topk(ray.data.from_arrow(t_w), "term",
+                                 k=3, capacity=16,
+                                 weight="n").to_pandas()
+    got_e = agg.misra_gries_topk(ray.data.from_arrow(exp), "term",
+                                 k=3, capacity=16).to_pandas()
+    assert got_w.values.tolist() == got_e.values.tolist()
+    assert got_w.iloc[0]["term"] == "a" and got_w.iloc[0]["est"] == 7
+    with pytest.raises(ValueError):
+        agg.misra_gries_topk(ray.data.from_arrow(t_w), "term",
+                             k=10, capacity=5)
