@@ -72,9 +72,16 @@ def _feat_sum_batches(t: pa.Table) -> pa.Table:
         "feat_sum", pc.round(pa.array(sums, pa.float64()), ndigits=4))
 
 
-def _pq(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+def _pq(sf_dir: str, name: str, columns=None,
+        filter=None) -> ray.data.Dataset:
+    """Column-pruned (and optionally row-filter-pushed) parquet read —
+    a selective predicate passed here skips row groups at the scan
+    instead of filtering after deserialization."""
+    kw = {"columns": columns}
+    if filter is not None:
+        kw["filter"] = filter
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+        os.path.join(sf_dir, f"{name}.parquet"), **kw)
 
 
 # ------------------------------------------------------- relational queries
@@ -1673,10 +1680,11 @@ def urgent_order_revenue(sf_dir: str):
     side with one small broadcast. Result is exactly the plain join's."""
     from kgeng.ops.join import bloom_prefilter, build_bloom, hash_join
 
-    urgent = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
-        .map_batches(lambda t: t.filter(
-            pc.equal(t["o_orderpriority"], "1-URGENT")),
-            batch_format="pyarrow")
+    # predicate pushed into the scan: non-urgent rows never leave the
+    # reader (the filter column must stay in the projection — Ray
+    # evaluates the pushed filter after the column prune)
+    urgent = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+                 filter=(pc.field("o_orderpriority") == "1-URGENT"))
     bloom = build_bloom(urgent, "o_orderkey")
 
     li = _pq(sf_dir, "lineitem",
