@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_rank_dense": Q.orders_price_rank_dense,
         "orders_price_pct_rank": Q.orders_price_pct_rank,
         "docs_fuzzy_decontamination": Q.docs_fuzzy_decontamination,
+        "embedding_kmeans": Q.embedding_kmeans,
     }
 
 
@@ -1106,5 +1107,6 @@ def oracle_sql() -> dict[str, str]:
         # exact-regime parity + error-bound pytests instead),
         # parts_k_core (iterative peeling, data-dependent round count;
         # pytest peeling-reference parity + snapshot pin instead),
-        # docs_fuzzy_decontamination (LSH banding; recall test + pin)
+        # docs_fuzzy_decontamination (LSH banding; recall test + pin),
+        # embedding_kmeans (iterative; reference parity test + pin)
     }

@@ -386,3 +386,105 @@ def normalize_quantize_q8(ds: ray.data.Dataset, id_col: str = "vec_id",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def kmeans_assign(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
+                  id_col: str = "vec_id", vec: str = "embedding",
+                  scale: float = 1_000_000.0) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over an embedding column, returning
+    (id, cluster, n_iters_run) — the clustering step behind semantic
+    bucketing / curation / IVF index builds.
+
+    Deterministic and partition-invariant by construction:
+    - centroids initialize from the ``k`` LOWEST-id vectors (one tiny
+      distributed sort+limit);
+    - each iteration is ONE streaming pass: centroids broadcast via
+      ``ray.put``, every block computes assignments (float64 distances
+      against the same matrix — per-row deterministic) and per-cluster
+      partial sums QUANTIZED to int64 at ``scale``, so the driver-side
+      merge is order-invariant; the driver holds only k x dim;
+    - distance ties break toward the lower cluster id (argmin);
+    - an emptied cluster keeps its previous centroid;
+    - converged (no centroid movement) stops early — same result at
+      any partitioning.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+
+    def neg_id(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], vec: t[vec]})
+
+    seed_rows = ds.map_batches(neg_id, batch_format="pyarrow") \
+        .sort(id_col).limit(k).take_all()
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(seed_rows)} vectors")
+    cent = np.stack([np.asarray(r[vec], np.float64)
+                     for r in seed_rows])
+
+    def quant(m: np.ndarray) -> np.ndarray:
+        return (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)) \
+            .astype(np.int64)
+
+    n_done = 0
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _stack(t[vec]).astype(np.float64)
+            if m.size == 0:
+                d = c.shape[1]
+                return pa.table({
+                    "cl": pa.array([], pa.int32()),
+                    "n_p": pa.array([], pa.int64()),
+                    "sq": pa.array([], pa.list_(pa.int64()))})
+            d2 = ((m * m).sum(axis=1)[:, None]
+                  - 2.0 * (m @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            a = np.argmin(d2, axis=1)  # ties -> lowest cluster id
+            q = quant(m)
+            sums = np.zeros((c.shape[0], m.shape[1]), np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            return pa.table({
+                "cl": pa.array(np.arange(c.shape[0], dtype=np.int32)),
+                "n_p": pa.array(cnt),
+                "sq": pa.array(list(sums), pa.list_(pa.int64()))})
+
+        sums = np.zeros_like(cent, dtype=np.int64)
+        cnts = np.zeros(k, np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            cl = b["cl"].to_numpy(zero_copy_only=False)
+            cnts[cl] += b["n_p"].to_numpy(zero_copy_only=False)
+            sq = b["sq"].combine_chunks()
+            flat = sq.flatten().to_numpy(zero_copy_only=False)
+            sums[cl] += flat.reshape(len(cl), -1)
+        new = cent.copy()
+        nz = cnts > 0
+        new[nz] = (sums[nz].astype(np.float64) / scale) \
+            / cnts[nz, None].astype(np.float64)
+        n_done += 1
+        if np.array_equal(new, cent):
+            break
+        cent = new
+
+    ref = ray.put(cent)
+    iters_run = n_done
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _stack(t[vec]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({id_col: t[id_col],
+                             "cluster": pa.array([], pa.int64()),
+                             "n_iters_run": pa.array([], pa.int64())})
+        d2 = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col], "cluster": pa.array(a),
+            "n_iters_run": pa.array(
+                np.full(len(a), iters_run, np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

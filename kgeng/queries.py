@@ -2464,3 +2464,15 @@ def docs_fuzzy_decontamination(sf_dir: str):
 
     bench = docs.map_batches(bench_rows, batch_format="pyarrow")
     return minhash_decontaminate(docs, bench, threshold=0.5)
+
+
+def embedding_kmeans(sf_dir: str):
+    """Deterministic distributed Lloyd's k-means over the embeddings
+    table (ops/similarity.kmeans_assign): k=8, up to 10 iterations,
+    quantized order-invariant partial sums, lowest-id seeding.
+    Iterative — no SQL oracle; pinned by the single-threaded reference
+    parity test and a snapshot."""
+    from kgeng.ops.similarity import kmeans_assign
+
+    return kmeans_assign(_pq(sf_dir, "embeddings",
+                             ["vec_id", "embedding"]), k=8, iters=10)

@@ -68,6 +68,7 @@ PINS = {
     "parts_k_core": "54b70945fcb9c6c0",
     "corpus_top_terms_approx": "51888b431c2e6148",
     "docs_fuzzy_decontamination": "c5e1155ba224afd1",
+    "embedding_kmeans": "2ad87b8ccf93c706",
 }
 
 

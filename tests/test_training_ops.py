@@ -1270,3 +1270,54 @@ def test_misra_gries_weighted_partials_match_expanded():
     with pytest.raises(ValueError):
         agg.misra_gries_topk(ray.data.from_arrow(t_w), "term",
                              k=10, capacity=5)
+
+
+def _kmeans_reference(m, ids, k, iters, scale=1e6):
+    """Single-threaded reference of the IDENTICAL quantized algorithm."""
+    order = np.argsort(ids)
+    cent = m[order[:k]].astype(np.float64)
+    for _ in range(iters):
+        d2 = ((m * m).sum(1)[:, None] - 2.0 * (m @ cent.T)
+              + (cent * cent).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        q = (np.sign(m) * np.floor(np.abs(m) * scale + 0.5)).astype(
+            np.int64)
+        new = cent.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                new[c] = (q[sel].sum(0).astype(np.float64) / scale) \
+                    / sel.sum()
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    d2 = ((m * m).sum(1)[:, None] - 2.0 * (m @ cent.T)
+          + (cent * cent).sum(1)[None, :])
+    return np.argmin(d2, axis=1)
+
+
+def test_kmeans_assign_matches_reference_and_partition_invariant():
+    rng = np.random.default_rng(41)
+    # three separated blobs, INTERLEAVED across ids so the lowest-id
+    # seeding picks one seed per blob
+    blobs = [rng.normal(0, 0.2, (60, 6)) + off
+             for off in ([0, 0, 0, 0, 0, 0], [5, 5, 0, 0, 0, 0],
+                         [0, 0, 7, 7, 0, 0])]
+    m = np.stack(blobs, axis=1).reshape(-1, 6).astype(np.float32)
+    truth = np.tile([0, 1, 2], 60)
+    ids = np.arange(180)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(m),
+                                        pa.list_(pa.float32()))})
+    ref = _kmeans_reference(m.astype(np.float64), ids, k=3, iters=10)
+    outs = []
+    for parts in (1, 7):
+        out = similarity.kmeans_assign(
+            ray.data.from_arrow(t).repartition(parts), k=3,
+            iters=10).to_pandas().sort_values("vec_id")
+        outs.append(out["cluster"].to_numpy())
+        assert np.array_equal(out["cluster"].to_numpy(), ref), parts
+    assert np.array_equal(outs[0], outs[1])
+    # blob purity: each true blob maps to exactly one cluster
+    for b in range(3):
+        assert len(set(outs[0][truth == b])) == 1
