@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_pct_rank": Q.orders_price_pct_rank,
         "docs_fuzzy_decontamination": Q.docs_fuzzy_decontamination,
         "embedding_kmeans": Q.embedding_kmeans,
+        "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
     }
 
 
@@ -1108,5 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         # parts_k_core (iterative peeling, data-dependent round count;
         # pytest peeling-reference parity + snapshot pin instead),
         # docs_fuzzy_decontamination (LSH banding; recall test + pin),
-        # embedding_kmeans (iterative; reference parity test + pin)
+        # embedding_kmeans (iterative; reference parity test + pin),
+        # embedding_semantic_dup_pairs (kmeans blocking; precision/
+        # recall test vs the exact all-pairs + pin)
     }

@@ -138,6 +138,38 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
         global_topk, batch_format="pandas")
 
 
+def _pair_emit(threshold: float, round_to: int, tile: int = 2048):
+    """In-bucket exact cosine pair scoring, TILED: a hot bucket (the
+    near-dup use case concentrates duplicates) must not allocate an
+    n x n matrix — ``tile``-row tiles bound each sims block to ~32 MB
+    regardless of bucket size, with identical output. Shared by the
+    hyperplane-bucketed and kmeans-bucketed (semantic) paths."""
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(e) for e in g["emb"]])
+        ids = np.asarray(g["vec_id"])
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        n = len(ids)
+        outs = {"a": [], "b": [], "sim": []}
+        for i0 in range(0, n, tile):
+            mi = m[i0:i0 + tile]
+            for j0 in range(i0, n, tile):
+                sims = np.round(mi @ m[j0:j0 + tile].T, round_to)
+                ii, jj = np.where(sims >= threshold)
+                keep = (i0 + ii) < (j0 + jj)  # strict upper triangle
+                ii, jj = ii[keep], jj[keep]
+                outs["a"].append(ids[i0 + ii])
+                outs["b"].append(ids[j0 + jj])
+                outs["sim"].append(sims[ii, jj])
+        cat = {k: (np.concatenate(v) if v else np.array([], dtype=object))
+               for k, v in outs.items()}
+        return pd.DataFrame({"a": cat["a"], "b": cat["b"],
+                             "sim": cat["sim"].astype(np.float64)})
+
+    return emit
+
+
 def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95,
                        emb_col: str = "embedding", id_col: str = "vec_id",
                        num_planes: int = 10, seed: int = 7,
@@ -170,35 +202,7 @@ def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95,
         })
 
     buck = ds.map_batches(bucketize, batch_format="pyarrow")
-
-    # in-bucket exact scoring, TILED: a hot bucket (the near-dup use
-    # case concentrates duplicates) must not allocate an n x n matrix —
-    # 2048-row tiles bound each sims block to ~32 MB regardless of
-    # bucket size, with identical output
-    tile = 2048
-
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(e) for e in g["emb"]])
-        ids = np.asarray(g["vec_id"])
-        order = np.argsort(ids)
-        m, ids = m[order], ids[order]
-        n = len(ids)
-        outs = {"a": [], "b": [], "sim": []}
-        for i0 in range(0, n, tile):
-            mi = m[i0:i0 + tile]
-            for j0 in range(i0, n, tile):
-                sims = np.round(mi @ m[j0:j0 + tile].T, round_to)
-                ii, jj = np.where(sims >= threshold)
-                keep = (i0 + ii) < (j0 + jj)  # strict upper triangle
-                ii, jj = ii[keep], jj[keep]
-                outs["a"].append(ids[i0 + ii])
-                outs["b"].append(ids[j0 + jj])
-                outs["sim"].append(sims[ii, jj])
-        cat = {k: (np.concatenate(v) if v else np.array([], dtype=object))
-               for k, v in outs.items()}
-        return pd.DataFrame({"a": cat["a"], "b": cat["b"],
-                             "sim": cat["sim"].astype(np.float64)})
-
+    emit = _pair_emit(threshold, round_to)
     pairs = buck.groupby("bucket").map_groups(emit, batch_format="pandas")
     dedup = pairs.groupby(["a", "b"]).max("sim")
     return dedup.map_batches(
@@ -388,14 +392,14 @@ def normalize_quantize_q8(ds: ray.data.Dataset, id_col: str = "vec_id",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def kmeans_assign(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
-                  id_col: str = "vec_id", vec: str = "embedding",
-                  scale: float = 1_000_000.0) -> ray.data.Dataset:
-    """Distributed Lloyd's k-means over an embedding column, returning
-    (id, cluster, n_iters_run) — the clustering step behind semantic
-    bucketing / curation / IVF index builds.
+def kmeans_centroids(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
+                     id_col: str = "vec_id", vec: str = "embedding",
+                     scale: float = 1_000_000.0
+                     ) -> tuple[np.ndarray, int]:
+    """The Lloyd's-iteration core of :func:`kmeans_assign`: returns
+    (centroids [k x dim float64], iterations run). Deterministic and
+    partition-invariant by construction:
 
-    Deterministic and partition-invariant by construction:
     - centroids initialize from the ``k`` LOWEST-id vectors (one tiny
       distributed sort+limit);
     - each iteration is ONE streaming pass: centroids broadcast via
@@ -469,8 +473,20 @@ def kmeans_assign(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
             break
         cent = new
 
+    return cent, n_done
+
+
+def kmeans_assign(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
+                  id_col: str = "vec_id", vec: str = "embedding",
+                  scale: float = 1_000_000.0) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over an embedding column, returning
+    (id, cluster, n_iters_run) — the clustering step behind semantic
+    bucketing / curation / IVF index builds. See
+    :func:`kmeans_centroids` for the determinism contract."""
+    cent, iters_run = kmeans_centroids(ds, k=k, iters=iters,
+                                       id_col=id_col, vec=vec,
+                                       scale=scale)
     ref = ray.put(cent)
-    iters_run = n_done
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(ref)
@@ -488,3 +504,48 @@ def kmeans_assign(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
                 np.full(len(a), iters_run, np.int64))})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dup_pairs(ds: ray.data.Dataset, k: int = 16,
+                       iters: int = 5, threshold: float = 0.95,
+                       emb_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       round_to: int = 6,
+                       scale: float = 1_000_000.0) -> ray.data.Dataset:
+    """SemDeDup-style semantic near-duplicate pairs: k-means clusters
+    (Abbas et al. 2023's blocking step) instead of hyperplane buckets,
+    then EXACT tiled cosine scoring within each cluster — every vector
+    lands in exactly one cluster, so no cross-bucket pair dedup shuffle
+    is needed at all.
+
+    Recall is bounded by cluster purity (a true pair split across
+    clusters is missed — the standard SemDeDup trade; the hyperplane
+    path and the exact num_planes=0 path in
+    :func:`embedding_near_dup` remain the guaranteed-recall options).
+    Deterministic: the centroid iteration is order-invariant
+    (:func:`kmeans_centroids`), assignment is per-row."""
+    cent, _ = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
+                               vec=emb_col, scale=scale)
+    ref = ray.put(cent)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        raw = _stack(t[emb_col]).astype(np.float64)
+        if raw.size == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.string()),
+                "emb": pa.array([], pa.list_(pa.float64()))})
+        d2 = ((raw * raw).sum(axis=1)[:, None] - 2.0 * (raw @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        m = _normalize(raw)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), m.shape[1])
+        return pa.table({"bucket": pa.array(a),
+                         "vec_id": pc.cast(t[id_col], pa.string()),
+                         "emb": emb})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_pair_emit(threshold, round_to),
+                                      batch_format="pandas")

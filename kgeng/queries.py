@@ -2476,3 +2476,18 @@ def embedding_kmeans(sf_dir: str):
 
     return kmeans_assign(_pq(sf_dir, "embeddings",
                              ["vec_id", "embedding"]), k=8, iters=10)
+
+
+def embedding_semantic_dup_pairs(sf_dir: str):
+    """SemDeDup-style near-dup pairs over embeddings
+    (ops/similarity.semantic_dup_pairs): k-means blocking + exact
+    within-cluster cosine at the same 0.4 threshold the exact
+    embedding_near_dup_pairs oracle query uses (the synthetic
+    embeddings are random — only weak similarities exist). Rows-only
+    (blocking recall is data-dependent); the pytest compares against
+    the exact all-pairs result and asserts precision 1.0."""
+    from kgeng.ops.similarity import semantic_dup_pairs
+
+    return semantic_dup_pairs(
+        _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=16, iters=5, threshold=0.4)

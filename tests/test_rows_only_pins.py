@@ -69,6 +69,7 @@ PINS = {
     "corpus_top_terms_approx": "51888b431c2e6148",
     "docs_fuzzy_decontamination": "c5e1155ba224afd1",
     "embedding_kmeans": "2ad87b8ccf93c706",
+    "embedding_semantic_dup_pairs": "a206bec00539ae29",
 }
 
 

@@ -1321,3 +1321,33 @@ def test_kmeans_assign_matches_reference_and_partition_invariant():
     # blob purity: each true blob maps to exactly one cluster
     for b in range(3):
         assert len(set(outs[0][truth == b])) == 1
+
+
+def test_semantic_dup_pairs_precision_and_recall_on_blobs():
+    """k-means blocking + exact in-cluster cosine: every emitted pair
+    must be a TRUE pair (precision 1.0 vs the exact all-pairs result);
+    recall on well-separated blobs is 1.0 because near-dups share a
+    cluster."""
+    rng = np.random.default_rng(43)
+    base = rng.normal(0, 1, (20, 8))
+    rows, ids = [], []
+    for i, b in enumerate(base):
+        rows.append(b)
+        ids.append(2 * i)
+        rows.append(b + rng.normal(0, 0.01, 8))  # near-duplicate
+        ids.append(2 * i + 1)
+    m = np.stack(rows).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(m),
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = similarity.semantic_dup_pairs(ds, k=4, iters=5,
+                                        threshold=0.98).to_pandas()
+    exact = similarity.embedding_near_dup(ds, threshold=0.98,
+                                          num_planes=0).to_pandas()
+    gset = set(zip(got["a"], got["b"]))
+    eset = set(zip(exact["a"], exact["b"]))
+    assert gset <= eset               # precision 1.0
+    # every constructed near-dup pair is recovered
+    want = {(str(2 * i), str(2 * i + 1)) for i in range(20)}
+    assert want <= gset
