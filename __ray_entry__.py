@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_decontamination": Q.docs_fuzzy_decontamination,
         "embedding_kmeans": Q.embedding_kmeans,
         "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
+        "docs_duplicated_spans": Q.docs_duplicated_spans,
     }
 
 
@@ -1111,5 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         # docs_fuzzy_decontamination (LSH banding; recall test + pin),
         # embedding_kmeans (iterative; reference parity test + pin),
         # embedding_semantic_dup_pairs (kmeans blocking; precision/
-        # recall test vs the exact all-pairs + pin)
+        # recall test vs the exact all-pairs + pin),
+        # docs_duplicated_spans (hash-approximate; injected-paragraph
+        # test + pin)
     }

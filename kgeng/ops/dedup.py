@@ -856,3 +856,122 @@ def minhash_decontaminate(ds: ray.data.Dataset,
             "n_bench_hits": pa.array(hits)})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def _window_hashes63(texts: list[str | None], n: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Full-width rolling-polynomial hashes (masked to 63 bits for Ray
+    shuffle safety) over every ``n``-token window, concatenated across
+    docs with cumulative per-doc offsets. A doc with fewer than ``n``
+    tokens contributes ZERO windows — the same vectorized layout as
+    ``word_shingle_hashes`` minus its short-doc sentinel and its 32-bit
+    mulmod precondition mask."""
+    tok_lists = [(x or "").split() for x in texts]
+    n_docs = len(tok_lists)
+    lens = np.fromiter(map(len, tok_lists), np.int64, n_docs)
+    nw = np.where(lens >= n, lens - n + 1, 0)
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(nw, out=bounds[1:])
+    tot = int(bounds[-1])
+    out = np.empty(tot, dtype=np.uint64)
+    L = int(lens.sum())
+    if tot == 0 or L == 0:
+        return mask63(out), bounds
+    flat = np.empty(L, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    th = pd.util.hash_array(flat)
+    tok_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_starts[1:])
+    W = L - n + 1
+    acc = th[:W].copy()
+    for k in range(1, n):
+        acc *= _SHINGLE_MIX
+        acc += th[k:k + W]
+    prev = np.concatenate(([0], bounds[1:-1]))
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(prev, nw)
+    ws = np.repeat(tok_starts[:-1], nw) + offs
+    out[:] = acc[ws]
+    return mask63(out), bounds
+
+
+def duplicated_spans(ds: ray.data.Dataset, span_tokens: int = 32,
+                     min_dup_count: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     max_dup_hashes: int = 50_000_000
+                     ) -> ray.data.Dataset:
+    """Substring-level duplication signal (the Lee et al. 2022
+    'Deduplicating Training Data' family, hash-approximated): for every
+    ``span_tokens``-token rolling window, count corpus-wide occurrences
+    of its hash; a doc's windows whose hash occurs >= ``min_dup_count``
+    times anywhere in the corpus are DUPLICATED SPANS. Returns per doc
+    (id, n_spans, n_dup_spans, dup_fraction) — the filter column for
+    span-level dedup policies.
+
+    Pass 1 shuffles (hash, partial_count) pairs — O(tokens) rows, the
+    inherent cost of substring-level analysis (a suffix array costs
+    more) — into a groupby sum; only hashes reaching the threshold
+    survive. The surviving set broadcasts once (loud
+    ``max_dup_hashes`` guard: a corpus that duplicated THAT much needs
+    doc-level dedup first) and pass 2 is a stateless vectorized flag
+    pass. Window hashes are FULL-WIDTH 63-bit rolling polynomials (not
+    the 32-bit minhash shingles — at web scale 2^32 would over-flag
+    heavily); collisions can only over-flag at ~ windows^2 / 2^64.
+    A doc shorter than ``span_tokens`` has no window (n_spans = 0).
+    Intra-doc repeats count toward the threshold (documented; exclude
+    them by raising ``min_dup_count``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        if not texts:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        x, bounds = _window_hashes63(texts, span_tokens)
+        un, cn = np.unique(x, return_counts=True)
+        return pa.table({"h": pa.array(as_int64(un)),
+                         "c": pa.array(cn.astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("c", alias_name="c"))
+    dup = counts.filter(expr=f"c >= {min_dup_count}") \
+        .select_columns(["h"])
+    n_dup = dup.count()
+    if n_dup > max_dup_hashes:
+        raise ValueError(
+            f"{n_dup} duplicated span hashes exceed max_dup_hashes "
+            f"{max_dup_hashes}: run doc-level dedup first or raise "
+            f"span_tokens / min_dup_count")
+    arrs = [b["h"].to_numpy(zero_copy_only=False)
+            for b in dup.iter_batches(batch_size=None,
+                                      batch_format="pyarrow")]
+    ref = ray.put(np.sort(np.concatenate(arrs))
+                  if arrs else np.zeros(0, np.int64))
+
+    def flag(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({id_col: t[id_col],
+                             "n_spans": pa.array([], pa.int64()),
+                             "n_dup_spans": pa.array([], pa.int64()),
+                             "dup_fraction": pa.array([], pa.float64())})
+        x, bounds = _window_hashes63(texts, span_tokens)
+        h = as_int64(x)
+        idx = np.searchsorted(d, h)
+        hit = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == h)
+        n_spans = np.diff(bounds)
+        n_dup = np.zeros(n, np.int64)
+        np.add.at(n_dup, np.repeat(np.arange(n), n_spans),
+                  hit.astype(np.int64))
+        frac = np.round(
+            n_dup / np.maximum(n_spans, 1), 6)
+        return pa.table({id_col: t[id_col],
+                         "n_spans": pa.array(n_spans.astype(np.int64)),
+                         "n_dup_spans": pa.array(n_dup),
+                         "dup_fraction": pa.array(frac)})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -2491,3 +2491,17 @@ def embedding_semantic_dup_pairs(sf_dir: str):
     return semantic_dup_pairs(
         _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
         k=16, iters=5, threshold=0.4)
+
+
+def docs_duplicated_spans(sf_dir: str):
+    """Substring-level duplication per document
+    (ops/dedup.duplicated_spans): 16-token rolling windows whose hash
+    occurs >= 2 times corpus-wide are duplicated spans; output is the
+    per-doc span counts + fraction — the filter column for span-level
+    dedup policies. Rows-only (hash-approximate); crafted
+    injected-paragraph test + pin."""
+    from kgeng.ops.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _pq(sf_dir, "documents", ["doc_id", "text"]),
+        span_tokens=16, min_dup_count=2)

@@ -70,6 +70,7 @@ PINS = {
     "docs_fuzzy_decontamination": "c5e1155ba224afd1",
     "embedding_kmeans": "2ad87b8ccf93c706",
     "embedding_semantic_dup_pairs": "a206bec00539ae29",
+    "docs_duplicated_spans": "15f19f56f2747127",
 }
 
 

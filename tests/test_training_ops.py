@@ -1351,3 +1351,37 @@ def test_semantic_dup_pairs_precision_and_recall_on_blobs():
     # every constructed near-dup pair is recovered
     want = {(str(2 * i), str(2 * i + 1)) for i in range(20)}
     assert want <= gset
+
+
+def test_duplicated_spans_flags_injected_paragraph_only():
+    rng = np.random.default_rng(47)
+    vocab = [f"t{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab, size=20))  # the leaked span
+    docs, ids = [], []
+    for i in range(12):
+        body = " ".join(rng.choice(vocab, size=40))
+        if i < 4:  # inject the shared paragraph into 4 docs
+            body = body + " " + shared
+        docs.append(body)
+        ids.append(i)
+    docs.append("short doc")  # < span_tokens -> zero windows
+    ids.append(99)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": docs})
+    out = dedup.duplicated_spans(
+        ray.data.from_arrow(t).repartition(3), span_tokens=16,
+        min_dup_count=2).to_pandas().set_index("doc_id")
+    # the 4 injected docs each contain duplicated windows
+    for i in range(4):
+        assert out.loc[i, "n_dup_spans"] >= 5, i
+        assert out.loc[i, "dup_fraction"] > 0
+    # clean docs have none
+    for i in range(4, 12):
+        assert out.loc[i, "n_dup_spans"] == 0, i
+    assert out.loc[99, "n_spans"] == 0
+    assert out.loc[99, "dup_fraction"] == 0.0
+    # partition invariance
+    out2 = dedup.duplicated_spans(
+        ray.data.from_arrow(t).repartition(7), span_tokens=16,
+        min_dup_count=2).to_pandas().set_index("doc_id")
+    assert out.sort_index().equals(out2.sort_index())
