@@ -40,6 +40,17 @@ def read_documents(
         return ray.data.read_parquet(
             path, columns=columns, override_num_blocks=override_num_blocks
         )
+    if format == "jsonl":
+        # newline-delimited JSON (the interchange format most raw text
+        # dumps arrive in); Ray's read_json handles .jsonl/.json lines
+        # and file-splits like the parquet path. Column pruning happens
+        # post-parse (JSON has no column projection — convert to
+        # parquet for the hot path; this reader is the on-ramp).
+        ds = ray.data.read_json(
+            path, override_num_blocks=override_num_blocks)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     if format == "lance":
         if not _HAVE_LANCE:
             raise NotImplementedError(

@@ -59,3 +59,24 @@ def test_tar_extract_roundtrip(tmp_path):
 def test_zstd_extract_env_gated(tmp_path):
     with pytest.raises(ImportError, match="zstandard"):
         fetch.zstd_extract(str(tmp_path / "x.tar.zst"), str(tmp_path))
+
+
+def test_read_documents_jsonl_roundtrip(tmp_path):
+    import json
+
+    import ray.data
+
+    from kgeng.io.source import read_documents
+
+    p = tmp_path / "docs.jsonl"
+    rows = [{"doc_id": i, "text": f"doc number {i}", "lang": "en"}
+            for i in range(25)]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = read_documents(str(p), format="jsonl",
+                        columns=["doc_id", "text"])
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 25
+    assert list(out.columns) == ["doc_id", "text"]
+    assert out.loc[3, "text"] == "doc number 3"
