@@ -645,14 +645,18 @@ def profile_table(ds: ray.data.Dataset,
                 if not as_string:
                     ty = types[c]
                     if pa.types.is_floating(ty):
-                        v = np.unique(
-                            a.to_numpy(zero_copy_only=False)
-                            .astype(np.float64)).view(np.int64)
-                        u = pa.array(v)
+                        # canonicalize BEFORE the bit-pattern view so
+                        # per-block float dedup and the global int64
+                        # groupby agree (-0.0 == +0.0; one NaN class)
+                        # — else the count is partition-dependent
+                        x = a.to_numpy(zero_copy_only=False) \
+                            .astype(np.float64) + 0.0
+                        x[np.isnan(x)] = np.nan
+                        u = pa.array(np.unique(x.view(np.int64)))
                     else:
                         u = pc.unique(a.cast(pa.int64()))
                 else:
-                    u = pc.unique(a)
+                    u = pc.unique(a.cast(pa.large_string()))
                 vs.append(u)
                 cids.append(np.full(len(u), cid_of[c], np.int32))
             return pa.table({

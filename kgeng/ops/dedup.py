@@ -184,17 +184,12 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                              "bucket": pa.array([], pa.int32())})
         # vectorized shingling (one C-level token-hash pass + windowed
         # polynomial), then the exact mod-mersenne permutation family
-        # (plain x*a+b wraps mod 2^64), chunked cache-resident
-        x, bounds = word_shingle_hashes(texts, ngram)
-        sig = minhash_signatures(x, bounds, a_t, b_t)
+        # (plain x*a+b wraps mod 2^64), chunked cache-resident — the
+        # ONE band-hash kernel (shared with minhash_decontaminate)
+        bh2, _x, _bounds = _band_hashes(texts, num_perm, num_bands,
+                                        ngram, a_t, b_t)
         n = len(texts)
-        rows = num_perm // num_bands
-        sig3 = sig.reshape(n, num_bands, rows)
-        mult = np.uint64(0x9E3779B97F4A7C15)
-        acc = np.zeros((n, num_bands), dtype=np.uint64)
-        for r in range(rows):
-            acc = (acc * mult) ^ sig3[:, :, r]
-        bh = mask63(acc.reshape(-1))
+        bh = bh2.reshape(-1)
         # the coarse shuffle bucket (hash-partition bands into ~64 groups;
         # millions of tiny per-band map_groups calls would dominate) is
         # emitted here directly — no separate bucketing stage
@@ -936,8 +931,10 @@ def duplicated_spans(ds: ray.data.Dataset, span_tokens: int = 32,
 
     counts = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("h").aggregate(Sum("c", alias_name="c"))
+    # materialize: the O(tokens) pass-1 pipeline is consumed twice
+    # (count + gather) and would otherwise re-execute from scratch
     dup = counts.filter(expr=f"c >= {min_dup_count}") \
-        .select_columns(["h"])
+        .select_columns(["h"]).materialize()
     n_dup = dup.count()
     if n_dup > max_dup_hashes:
         raise ValueError(
@@ -961,8 +958,11 @@ def duplicated_spans(ds: ray.data.Dataset, span_tokens: int = 32,
                              "dup_fraction": pa.array([], pa.float64())})
         x, bounds = _window_hashes63(texts, span_tokens)
         h = as_int64(x)
-        idx = np.searchsorted(d, h)
-        hit = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == h)
+        if d.size:
+            idx = np.searchsorted(d, h)
+            hit = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == h)
+        else:  # clean corpus: nothing duplicated anywhere
+            hit = np.zeros(h.size, bool)
         n_spans = np.diff(bounds)
         n_dup = np.zeros(n, np.int64)
         np.add.at(n_dup, np.repeat(np.arange(n), n_spans),

@@ -278,8 +278,7 @@ def grouped_percent_rank(ds: ray.data.Dataset, key: str, value: str,
         g = g.drop(columns=["__bucket"])
         grp = g.groupby(key, sort=False, dropna=False)[value]
         r = grp.rank(method="min").to_numpy(np.float64)
-        n = g.groupby(key, sort=False, dropna=False)[value] \
-            .transform("size").to_numpy(np.float64)
+        n = grp.transform("size").to_numpy(np.float64)
         g[out] = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
         return g
 

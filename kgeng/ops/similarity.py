@@ -414,11 +414,14 @@ def kmeans_centroids(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
     """
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
+    # materialize: the seed sort + every Lloyd iteration consumes this
+    # dataset — a lazy parquet read would re-scan per iteration
+    ds = ds.materialize()
 
-    def neg_id(t: pa.Table) -> pa.Table:
+    def project(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t[id_col], vec: t[vec]})
 
-    seed_rows = ds.map_batches(neg_id, batch_format="pyarrow") \
+    seed_rows = ds.map_batches(project, batch_format="pyarrow") \
         .sort(id_col).limit(k).take_all()
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds the {len(seed_rows)} vectors")
@@ -437,7 +440,6 @@ def kmeans_centroids(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
             c = ray.get(ref)
             m = _stack(t[vec]).astype(np.float64)
             if m.size == 0:
-                d = c.shape[1]
                 return pa.table({
                     "cl": pa.array([], pa.int32()),
                     "n_p": pa.array([], pa.int64()),
@@ -460,10 +462,13 @@ def kmeans_centroids(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
         for b in ds.map_batches(partial, batch_format="pyarrow") \
                 .iter_batches(batch_size=None, batch_format="pyarrow"):
             cl = b["cl"].to_numpy(zero_copy_only=False)
-            cnts[cl] += b["n_p"].to_numpy(zero_copy_only=False)
+            # np.add.at: duplicate-safe — a block bundling several
+            # partial outputs (repeated cluster ids) must accumulate,
+            # not last-write-wins like fancy-indexed +=
+            np.add.at(cnts, cl, b["n_p"].to_numpy(zero_copy_only=False))
             sq = b["sq"].combine_chunks()
             flat = sq.flatten().to_numpy(zero_copy_only=False)
-            sums[cl] += flat.reshape(len(cl), -1)
+            np.add.at(sums, cl, flat.reshape(len(cl), -1))
         new = cent.copy()
         nz = cnts > 0
         new[nz] = (sums[nz].astype(np.float64) / scale) \
@@ -483,6 +488,7 @@ def kmeans_assign(ds: ray.data.Dataset, k: int = 8, iters: int = 10,
     (id, cluster, n_iters_run) — the clustering step behind semantic
     bucketing / curation / IVF index builds. See
     :func:`kmeans_centroids` for the determinism contract."""
+    ds = ds.materialize()  # shared by the iterations AND the assign pass
     cent, iters_run = kmeans_centroids(ds, k=k, iters=iters,
                                        id_col=id_col, vec=vec,
                                        scale=scale)
@@ -524,6 +530,7 @@ def semantic_dup_pairs(ds: ray.data.Dataset, k: int = 16,
     :func:`embedding_near_dup` remain the guaranteed-recall options).
     Deterministic: the centroid iteration is order-invariant
     (:func:`kmeans_centroids`), assignment is per-row."""
+    ds = ds.materialize()  # shared by the iterations AND bucketize
     cent, _ = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col,
                                vec=emb_col, scale=scale)
     ref = ray.put(cent)

@@ -1385,3 +1385,32 @@ def test_duplicated_spans_flags_injected_paragraph_only():
         ray.data.from_arrow(t).repartition(7), span_tokens=16,
         min_dup_count=2).to_pandas().set_index("doc_id")
     assert out.sort_index().equals(out2.sort_index())
+
+
+def test_duplicated_spans_clean_corpus_returns_zeros():
+    """Review regression: an already-clean corpus (no hash reaches the
+    threshold) must return all-zero counts, not crash on the empty
+    broadcast array."""
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [" ".join(f"u{i}" for i in range(30)),
+                           " ".join(f"v{i}" for i in range(30))]})
+    out = dedup.duplicated_spans(ray.data.from_arrow(t),
+                                 span_tokens=16).to_pandas()
+    assert (out["n_dup_spans"] == 0).all()
+    assert (out["n_spans"] > 0).all()
+
+
+def test_profile_table_mixed_string_types_and_signed_zero():
+    t = pa.table({
+        "s": pa.array(["a", "b", "a"], pa.string()),
+        "ls": pa.array(["x", "x", None], pa.large_string()),
+        "f": pa.array([-0.0, 0.0, float("nan")], pa.float64()),
+    })
+    for parts in (1, 3):
+        out = agg.profile_table(
+            ray.data.from_arrow(t).repartition(parts)).to_pandas() \
+            .set_index("col_name")
+        assert out.loc["s", "n_distinct"] == 2
+        assert out.loc["ls", "n_distinct"] == 1
+        # -0.0 == +0.0 (one value) + one NaN class = 2, at ANY sharding
+        assert out.loc["f", "n_distinct"] == 2, parts
