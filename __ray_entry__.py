@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": Q.embedding_kmeans,
         "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
         "docs_duplicated_spans": Q.docs_duplicated_spans,
+        "parts_frequent_pairs": Q.parts_frequent_pairs,
     }
 
 
@@ -897,6 +898,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mention_counts": f"""
             SELECT subj, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY subj
+        """,
+        "parts_frequent_pairs": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem)
+            SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "parts_triangle_counts": """
             WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -2505,3 +2505,23 @@ def docs_duplicated_spans(sf_dir: str):
     return duplicated_spans(
         _pq(sf_dir, "documents", ["doc_id", "text"]),
         span_tokens=16, min_dup_count=2)
+
+
+def parts_frequent_pairs(sf_dir: str):
+    """Pairwise frequent-itemset mining (market-basket support counts):
+    part pairs co-occurring in >= 2 orders. Reuses the cached
+    co-purchase pair stream (each order contributes a pair at most
+    once), so support is one groupby count — all-integer, the self-join
+    oracle hash-matches."""
+    from ray.data.aggregate import Count
+
+    co = _co_purchase_edges(sf_dir)
+    sup = co.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="support"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["support"], 2))
+        return pa.table({"part_a": t["src"], "part_b": t["dst"],
+                         "support": pc.cast(t["support"], pa.int64())})
+
+    return sup.map_batches(fin, batch_format="pyarrow")
