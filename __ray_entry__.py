@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
         "docs_duplicated_spans": Q.docs_duplicated_spans,
         "parts_frequent_pairs": Q.parts_frequent_pairs,
+        "events_props_k_counts": Q.events_props_k_counts,
     }
 
 
@@ -898,6 +899,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mention_counts": f"""
             SELECT subj, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY subj
+        """,
+        "events_props_k_counts": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "parts_frequent_pairs": """
             WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -847,3 +847,33 @@ def pmi_collocations(ds: ray.data.Dataset, col: str = "text",
         .sort(["neg", "bigram"]).limit(k) \
         .map_batches(lambda t: t.select(["bigram", "c_ab", "pmi"]),
                      batch_format="pyarrow")
+
+
+def extract_json_field(ds: ray.data.Dataset, col: str, field: str,
+                       out: str | None = None) -> ray.data.Dataset:
+    """Vectorized scalar-field extraction from FLAT JSON object strings
+    (the ubiquitous semi-structured `props` column): one RE2
+    ``extract_regex`` pass per batch — no per-row ``json.loads``.
+
+    Fast-path contract (documented, loudly scoped): the field's value
+    must be an unnested scalar (number, bool, null, or a quote-free
+    string) and the key must not appear escaped inside another string
+    value. That covers machine-emitted props/metadata columns; feed
+    genuinely nested JSON through a per-row parser stage instead.
+    Returns the raw value text (numbers unquoted, strings unquoted);
+    missing field -> null."""
+    out = out or field
+    # "field" : <number|bool|null|"string">
+    pat = (r'"' + re.escape(field)
+           + r'"\s*:\s*(?P<v>-?[0-9][0-9.eE+-]*|true|false|null|"[^"]*")')
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(t[col], ""), pattern=pat)
+        v = pc.struct_field(m, "v")
+        # strip quotes from string values, vectorized
+        quoted = pc.starts_with(pc.fill_null(v, ""), '"')
+        stripped = pc.utf8_trim(pc.fill_null(v, ""), '"')
+        v = pc.if_else(quoted, stripped, v)
+        return t.append_column(out, v)
+
+    return ds.map_batches(f, batch_format="pyarrow")

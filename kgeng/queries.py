@@ -2525,3 +2525,23 @@ def parts_frequent_pairs(sf_dir: str):
                          "support": pc.cast(t["support"], pa.int64())})
 
     return sup.map_batches(fin, batch_format="pyarrow")
+
+
+def events_props_k_counts(sf_dir: str):
+    """Semi-structured extraction: pull the scalar field 'k' out of the
+    JSON props column with ONE vectorized RE2 pass
+    (ops/text.extract_json_field — no per-row json.loads), then count
+    events per value. The oracle extracts with DuckDB's JSON functions;
+    both sides see identical scalars."""
+    from kgeng.ops.text import extract_json_field
+
+    ev = _pq(sf_dir, "events", ["props"])
+    ex = extract_json_field(ev, "props", "k")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["k"], pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return ex.map_batches(prep, batch_format="pyarrow") \
+        .groupby("k").aggregate(Count(alias_name="n"))

@@ -1414,3 +1414,18 @@ def test_profile_table_mixed_string_types_and_signed_zero():
         assert out.loc["ls", "n_distinct"] == 1
         # -0.0 == +0.0 (one value) + one NaN class = 2, at ANY sharding
         assert out.loc["f", "n_distinct"] == 2, parts
+
+
+def test_extract_json_field_scalars_strings_and_missing():
+    t = pa.table({"props": pa.array([
+        '{"k": 3, "s": "hello"}',
+        '{"s": "x y", "k": -2.5e3}',
+        '{"other": 1}',
+        '{"k": true}',
+        None,
+    ], pa.string())})
+    ds = ray.data.from_arrow(t)
+    k = text.extract_json_field(ds, "props", "k").to_pandas()["k"]
+    assert k.tolist() == ["3", "-2.5e3", None, "true", None]
+    s = text.extract_json_field(ds, "props", "s").to_pandas()["s"]
+    assert s.tolist() == ["hello", "x y", None, None, None]
