@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_duplicated_spans": Q.docs_duplicated_spans,
         "parts_frequent_pairs": Q.parts_frequent_pairs,
         "events_props_k_counts": Q.events_props_k_counts,
+        "docs_nfc_normalized": Q.docs_nfc_normalized,
     }
 
 
@@ -899,6 +900,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mention_counts": f"""
             SELECT subj, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY subj
+        """,
+        "docs_nfc_normalized": """
+            SELECT doc_id,
+                   nfc_normalize(text || repeat(' cafe' || chr(769),
+                                                doc_id % 3))
+                       AS nfc_text
+            FROM documents
         """,
         "events_props_k_counts": """
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)

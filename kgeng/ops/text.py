@@ -877,3 +877,22 @@ def extract_json_field(ds: ray.data.Dataset, col: str, field: str,
         return t.append_column(out, v)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nfc_normalize(ds: ray.data.Dataset, col: str = "text",
+                  out: str = "nfc_text") -> ray.data.Dataset:
+    """Unicode NFC normalization — the canonicalization step before
+    any cross-source text dedup/equality (decomposed accents compose
+    to their canonical form). The kernel is one ``unicodedata``
+    (ICU-table) C call per string via pandas ``str.normalize`` —
+    Arrow's ``utf8_normalize(form="NFC")`` does NOT actually compose
+    (verified: 'e'+U+0301 passes through unchanged), so the per-string
+    C call is the kernel itself, same contract as the RE2 ops.
+    Byte-identical to DuckDB ``nfc_normalize``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[col], "").to_pandas()
+        return t.append_column(
+            out, pa.array(s.str.normalize("NFC"), pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -2545,3 +2545,27 @@ def events_props_k_counts(sf_dir: str):
 
     return ex.map_batches(prep, batch_format="pyarrow") \
         .groupby("k").aggregate(Count(alias_name="n"))
+
+
+def docs_nfc_normalized(sf_dir: str):
+    """Unicode NFC canonicalization (ops/text.nfc_normalize): each doc
+    gets a deterministic DECOMPOSED tail (e + combining acute, doc_id
+    mod 3 copies) appended on both sides, so the kernel genuinely
+    recomposes; Arrow utf8_normalize and DuckDB nfc_normalize are
+    byte-identical."""
+    from kgeng.ops.text import nfc_normalize
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_tail(t: pa.Table) -> pa.Table:
+        reps = pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 3, pa.int64())
+        tail = pc.binary_repeat(pa.scalar(" cafe\u0301"), reps)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.binary_join_element_wise(
+                             t["text"], tail, "")})
+
+    out = nfc_normalize(ds.map_batches(add_tail, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "nfc_text"]),
+        batch_format="pyarrow")

@@ -1429,3 +1429,12 @@ def test_extract_json_field_scalars_strings_and_missing():
     assert k.tolist() == ["3", "-2.5e3", None, "true", None]
     s = text.extract_json_field(ds, "props", "s").to_pandas()["s"]
     assert s.tolist() == ["hello", "x y", None, None, None]
+
+
+def test_nfc_normalize_composes_decomposed_accents():
+    t = pa.table({"text": pa.array(["café", "café", None,
+                                    "plain"], pa.string())})
+    out = text.nfc_normalize(ray.data.from_arrow(t)).to_pandas()
+    assert out["nfc_text"].tolist() == ["café", "café", "",
+                                        "plain"]
+    assert all(len(x) in (0, 4, 5) for x in out["nfc_text"])
