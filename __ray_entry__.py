@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_frequent_pairs": Q.parts_frequent_pairs,
         "events_props_k_counts": Q.events_props_k_counts,
         "docs_nfc_normalized": Q.docs_nfc_normalized,
+        "events_sliding_window": Q.events_sliding_window,
     }
 
 
@@ -900,6 +901,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mention_counts": f"""
             SELECT subj, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY subj
+        """,
+        "events_sliding_window": """
+            WITH x AS (SELECT event_type, epoch_us(ts) AS e
+                       FROM events),
+                 w AS (SELECT event_type,
+                              unnest(generate_series(
+                                  (e - 3600000000) // 900000000 + 1,
+                                  e // 900000000)) AS "window"
+                       FROM x)
+            SELECT event_type, "window", count(*) AS n
+            FROM w GROUP BY 1, 2
         """,
         "docs_nfc_normalized": """
             SELECT doc_id,

@@ -282,3 +282,51 @@ def partitioned_cumsum(events: ray.data.Dataset, key: str, ts: str,
 
     return events.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def sliding_count(events: ray.data.Dataset, key: str, ts: str,
+                  width_seconds: int,
+                  hop_seconds: int) -> ray.data.Dataset:
+    """SLIDING (hopping) windows per key: every window of
+    ``width_seconds`` starting on a ``hop_seconds`` boundary counts the
+    events inside it — each event belongs to width/hop windows
+    (tumbling is the hop == width special case). Returns
+    (key, window — the hop index of the window START, n).
+
+    Per batch the window-index expansion is one vectorized repeat
+    (floor((e - width)/hop) + 1 .. floor(e/hop), exact integer
+    arithmetic) followed by an in-batch partial count, so the shuffle
+    moves (key, window, partial) rows — never the event expansion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if width_seconds % hop_seconds:
+        raise ValueError("width must be a multiple of hop (aligned "
+                         "hopping windows)")
+    w_us = width_seconds * 1_000_000
+    h_us = hop_seconds * 1_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t_us = pc.cast(t[ts], pa.timestamp("us"))
+        e = pc.cast(t_us, pa.int64()).to_numpy(zero_copy_only=False)
+        lo = (e - w_us) // h_us + 1
+        hi = e // h_us  # inclusive
+        cnt = (hi - lo + 1).astype(np.int64)
+        wins = np.repeat(lo, cnt) + (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        keys = t[key].to_pandas().to_numpy()
+        g = pd.DataFrame({"k": np.repeat(keys, cnt), "w": wins}) \
+            .groupby(["k", "w"], sort=False, dropna=False).size()
+        return pa.table({
+            key: pa.array(g.index.get_level_values(0).to_numpy()),
+            "window": pa.array(
+                g.index.get_level_values(1).to_numpy(np.int64)),
+            "n_p": pa.array(g.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return events.map_batches(expand, batch_format="pyarrow") \
+        .groupby([key, "window"]).aggregate(Sum("n_p", alias_name="n"))

@@ -2569,3 +2569,15 @@ def docs_nfc_normalized(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["doc_id", "nfc_text"]),
         batch_format="pyarrow")
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding-window event counts (1h windows hopping every 15min) per
+    event type — ops/window.sliding_count; each event lands in 4
+    windows via one vectorized integer expansion, partial counts
+    shuffle. Exact integers, the generate_series oracle hash-matches."""
+    from kgeng.ops.window import sliding_count
+
+    ev = _pq(sf_dir, "events", ["event_type", "ts"])
+    return sliding_count(ev, key="event_type", ts="ts",
+                         width_seconds=3600, hop_seconds=900)

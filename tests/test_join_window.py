@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -1231,3 +1232,39 @@ def test_dense_rank_null_values_rank_last():
     assert out[(out["k"] == 1) & (out["v"].isna())]["r"].iloc[0] == 3
     # all-null group ranks 1
     assert out[out["k"] == 2]["r"].iloc[0] == 1
+
+
+def test_sliding_count_matches_reference_and_tumbling_special_case():
+    from kgeng.ops.window import sliding_count, tumbling
+
+    rng = np.random.default_rng(53)
+    n = 600
+    base = pd.Timestamp("2024-02-01")
+    ts = base + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s")
+    keys = rng.choice(["a", "b"], n)
+    ev = pa.table({"k": keys, "ts": ts,
+                   "v": pa.array(np.ones(n, np.int64))})
+    ds = ray.data.from_arrow(ev).repartition(4)
+    out = sliding_count(ds, key="k", ts="ts", width_seconds=3600,
+                        hop_seconds=900).to_pandas()
+    # python reference
+    from collections import Counter
+    ref = Counter()
+    e_us = (ts.astype("int64") // 10**3).to_numpy()
+    for kk, e in zip(keys, e_us):
+        for w in range((e - 3_600_000_000) // 900_000_000 + 1,
+                       e // 900_000_000 + 1):
+            ref[(kk, w)] += 1
+    got = {(r["k"], r["window"]): r["n"] for _, r in out.iterrows()}
+    assert got == dict(ref)
+    # hop == width degenerates to tumbling counts
+    sl = sliding_count(ds, key="k", ts="ts", width_seconds=3600,
+                       hop_seconds=3600).to_pandas()
+    tm = tumbling(ds, key="k", ts="ts", value="v",
+                  width_seconds=3600).to_pandas()
+    a = sl.sort_values(["k", "window"]).reset_index(drop=True)
+    b = tm.sort_values(["k", "window"]).reset_index(drop=True)
+    assert a["n"].tolist() == b["n"].tolist()
+    with pytest.raises(ValueError):
+        sliding_count(ds, key="k", ts="ts", width_seconds=3600,
+                      hop_seconds=1000)
