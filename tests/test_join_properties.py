@@ -166,3 +166,33 @@ def test_grouped_mode_matches_bruteforce_fuzz(rows):
         best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         want[k] = best
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(st.tuples(keys, minutes), min_size=1, max_size=20),
+    hop_mult=st.integers(min_value=1, max_value=4),
+    width_mult=st.integers(min_value=1, max_value=3),
+)
+def test_sliding_count_matches_bruteforce(events, hop_mult, width_mult):
+    from collections import Counter
+
+    from kgeng.ops.window import sliding_count
+
+    hop = 60 * hop_mult
+    width = hop * width_mult  # aligned by construction
+    t = pa.table({"k": [k for k, _ in events],
+                  "ts": _ts([m for _, m in events])})
+    out = sliding_count(ray.data.from_arrow(t).repartition(3),
+                        key="k", ts="ts", width_seconds=width,
+                        hop_seconds=hop).to_pandas()
+    got = {(r["k"], r["window"]): r["n"] for _, r in out.iterrows()}
+    ref = Counter()
+    w_us, h_us = width * 10**6, hop * 10**6
+    e_us = (_ts([m for _, m in events]).astype("int64")
+            // 10**3).to_numpy()
+    for (k, _), e in zip(events, e_us):
+        for w in range((e - w_us) // h_us + 1, e // h_us + 1):
+            ref[(k, w)] += 1
+    assert got == dict(ref)
