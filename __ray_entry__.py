@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k_counts": Q.events_props_k_counts,
         "docs_nfc_normalized": Q.docs_nfc_normalized,
         "events_sliding_window": Q.events_sliding_window,
+        "docs_curation_pipeline": Q.docs_curation_pipeline,
     }
 
 
@@ -1149,5 +1150,6 @@ def oracle_sql() -> dict[str, str]:
         # embedding_semantic_dup_pairs (kmeans blocking; precision/
         # recall test vs the exact all-pairs + pin),
         # docs_duplicated_spans (hash-approximate; injected-paragraph
-        # test + pin)
+        # test + pin), docs_curation_pipeline (7-stage composition;
+        # invariants test + pin)
     }

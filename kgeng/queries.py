@@ -2581,3 +2581,96 @@ def events_sliding_window(sf_dir: str):
     ev = _pq(sf_dir, "events", ["event_type", "ts"])
     return sliding_count(ev, key="event_type", ts="ts",
                          width_seconds=3600, hop_seconds=900)
+
+
+def docs_curation_pipeline(sf_dir: str):
+    """The end-to-end corpus-curation showcase — the full training-data
+    prep flow a 100-TB pipeline runs, composed from the engine's own
+    operators in one lazy plan per stage:
+
+      1. NFC-normalize text (ops/text.nfc_normalize),
+      2. EXACT dedup — keep each distinct text's min-id representative
+         (ops/dedup.exact_dedup + semi hash_join),
+      3. NEAR dedup — keep only MinHash-LSH cluster representatives
+         (ops/dedup.minhash_dedup),
+      4. quality gate — drop the bottom quality quartile (exact global
+         quantile, one tiny broadcast),
+      5. LM gate — drop the bottom LM-score decile
+         (ops/text.lm_doc_scores, same pattern),
+      6. deterministic train/val/test split (ops/sample.split_assign),
+      7. token-budget packing of the train split
+         (ops/sample.pack_sequences, 512-token budget).
+
+    Returns (doc_id, split, n_tokens, seq_id — null off-train).
+    Deterministic and partition-invariant end to end (every stage is);
+    rows-only (the composition is not SQL-expressible) — pinned +
+    monotonicity/invariants pytest."""
+    from kgeng.ops.dedup import exact_dedup, minhash_dedup
+    from kgeng.ops.join import hash_join
+    from kgeng.ops.rank import grouped_quantiles
+    from kgeng.ops.sample import pack_sequences, split_assign
+    from kgeng.ops.text import lm_doc_scores, nfc_normalize
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    norm = nfc_normalize(docs).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "text": t["nfc_text"]}),
+        batch_format="pyarrow").materialize()
+
+    # 2. exact representatives
+    reps = exact_dedup(norm).select_columns(["doc_id"])
+    survivors = hash_join(norm, reps, key="doc_id", how="semi")
+
+    # 3. near-dup cluster representatives
+    clusters = minhash_dedup(survivors.materialize(), threshold=0.6)
+    keep_near = clusters.filter(
+        expr="doc_id == cluster_rep").map_batches(
+        # the LSH band stage stringifies ids; restore int64 for the join
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    survivors = hash_join(survivors, keep_near, key="doc_id",
+                          how="semi").materialize()
+
+    # 4. quality gate (global P25)
+    scored = text_ops.add_quality_score(survivors) \
+        .select_columns(["doc_id", "text", "quality_score"]) \
+        .materialize()
+
+    def const_group(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array(np.zeros(len(t), np.int8)))
+
+    q25 = float(grouped_quantiles(
+        scored.map_batches(const_group, batch_format="pyarrow"),
+        "g", "quality_score", [0.25], round_to=9).take_all()
+        [0]["quantile_value"])
+    scored = scored.filter(expr=f"quality_score >= {q25!r}")
+
+    # 5. LM gate (global P10 of avg log-prob)
+    lm = lm_doc_scores(scored).materialize()
+    p10 = float(grouped_quantiles(
+        lm.map_batches(const_group, batch_format="pyarrow"),
+        "g", "avg_logprob", [0.10], round_to=9).take_all()
+        [0]["quantile_value"])
+    kept = lm.filter(expr=f"avg_logprob >= {p10!r}") \
+        .select_columns(["doc_id", "n_tokens"])
+
+    # 6. split + 7. pack the train split
+    split = split_assign(kept, "doc_id",
+                         {"train": 0.75, "val": 0.125,
+                          "test": 0.125}).materialize()
+    train = split.filter(expr="split == 'train'")
+    packed = pack_sequences(train, count_col="n_tokens",
+                            id_col="doc_id", budget=512)
+
+    # join seq ids back (off-train docs keep a null seq_id)
+    out = hash_join(split, packed.select_columns(["doc_id", "seq_id"]),
+                    key="doc_id", how="left")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": t["split"],
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "seq_id": pc.cast(t["seq_id"], pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -71,6 +71,7 @@ PINS = {
     "embedding_kmeans": "2ad87b8ccf93c706",
     "embedding_semantic_dup_pairs": "a206bec00539ae29",
     "docs_duplicated_spans": "15f19f56f2747127",
+    "docs_curation_pipeline": "fa5885f9b6fa2707",
 }
 
 

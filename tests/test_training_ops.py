@@ -1438,3 +1438,22 @@ def test_nfc_normalize_composes_decomposed_accents():
     assert out["nfc_text"].tolist() == ["café", "café", "",
                                         "plain"]
     assert all(len(x) in (0, 4, 5) for x in out["nfc_text"])
+
+
+def test_curation_pipeline_invariants_and_partition_invariance():
+    import kgeng.queries as Q
+
+    out = Q.docs_curation_pipeline(SF).to_pandas()
+    # strictly fewer docs than the raw corpus (dedup + two gates bite)
+    assert 0 < len(out) < 500
+    # every kept doc has a split; exactly the train split is packed
+    assert set(out["split"]) == {"train", "val", "test"}
+    assert out[out["split"] == "train"]["seq_id"].notna().all()
+    assert out[out["split"] != "train"]["seq_id"].isna().all()
+    # no duplicate docs survive
+    assert out["doc_id"].is_unique
+    # deterministic: a second run returns the identical table
+    out2 = Q.docs_curation_pipeline(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
