@@ -158,15 +158,18 @@ def write_partitioned_parquet(ds, root: str, by: str,
 
     Each task splits its blocks by the partition value with one
     vectorized sort + ``searchsorted`` slice per block and writes its
-    own files (content-hashed names, written via temp-file +
-    ``os.replace`` so a crash never leaves a truncated part visible).
-    Any partition dirs and sentinels from a previous (possibly
-    differently-sharded or crashed) run are cleared first — stale files
-    from another block layout would otherwise survive alongside the new
-    ones and double-count on read. A ``_SUCCESS`` manifest at the root
-    records row counts per partition; ``partitioned_is_done(root)``
-    gates a resume exactly like the checkpoint stages (callers skip the
-    whole write when it returns True)."""
+    own files (content-hashed names for debuggability; two
+    byte-identical blocks in one run take -1/-2 suffixes via
+    exclusive-create, so the manifest's row counts ALWAYS equal what
+    ``read_parquet`` returns; temp-file + ``os.replace`` so a crash
+    never leaves a truncated part visible). Any partition dirs and
+    sentinels from a previous (possibly differently-sharded or
+    crashed) run are cleared first — stale files from another block
+    layout would otherwise survive alongside the new ones and
+    double-count on read. A ``_SUCCESS`` manifest at the root records
+    row counts per partition; ``partitioned_is_done(root)`` gates a
+    resume exactly like the checkpoint stages (callers skip the whole
+    write when it returns True)."""
     import hashlib
     import shutil
 
@@ -209,15 +212,25 @@ def write_partitioned_parquet(ds, root: str, by: str,
             pq.write_table(sub.drop_columns([by]), sink)
             buf = sink.getvalue()
             name = hashlib.sha256(buf.to_pybytes()).hexdigest()[:16]
-            path = os.path.join(d, f"part-{name}.parquet")
-            if not os.path.exists(path):
-                # temp + atomic rename: a crash mid-write never leaves
-                # a truncated part visible under its final name (which
-                # the exists-skip would otherwise trust on retry)
+            # every block writes ITS OWN file: two byte-identical
+            # blocks in one run get -1/-2 suffixes (exclusive-create
+            # detects the clash) so the manifest row counts always
+            # match what read_parquet returns. Temp + atomic rename:
+            # a crash mid-write never leaves a truncated part visible.
+            for k in range(1_000_000):
+                suffix = "" if k == 0 else f"-{k}"
+                path = os.path.join(d, f"part-{name}{suffix}.parquet")
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL
+                                 | os.O_WRONLY)
+                except FileExistsError:
+                    continue
+                os.close(fd)
                 tmp = f"{path}.tmp-{os.getpid()}"
                 with open(tmp, "wb") as f:
                     f.write(buf.to_pybytes())
                 os.replace(tmp, path)
+                break
             parts.append(v)
             rows.append(len(sub))
         return pa.table({"part": pa.array(parts, pa.string()),

@@ -495,6 +495,19 @@ def misra_gries_topk(ds: ray.data.Dataset, key: str, k: int = 20,
         raise ValueError(f"capacity {capacity} < k {k}")
 
     def partial(t: pa.Table) -> pa.Table:
+        if not (pa.types.is_string(t[key].type)
+                or pa.types.is_large_string(t[key].type)):
+            raise TypeError(
+                f"misra_gries_topk key {key!r} must be a string column "
+                f"(got {t[key].type}); cast upstream — the sentinel "
+                "error row shares the column")
+        if weight is not None and not pa.types.is_integer(
+                t[weight].type):
+            raise TypeError(
+                f"weight column {weight!r} must be integer (got "
+                f"{t[weight].type}): float weights would truncate and "
+                "break the true-err_bound<=est<=true guarantee; "
+                "quantize upstream (see queries._cents)")
         if weight is None:
             vc = t[key].to_pandas().value_counts(sort=False)
             keys = vc.index.to_numpy()
@@ -616,7 +629,10 @@ def profile_table(ds: ray.data.Dataset,
             Max("max_num", alias_name="max_num"),
             Min("min_str", alias_name="min_str"),
             Max("max_str", alias_name="max_str")) \
-        .to_pandas().set_index("col_name")
+        .take_all()
+    # dict-of-rows, NOT to_pandas: pandas would coerce a nullable
+    # min_int/max_int column to float64 and corrupt extremes > 2^53
+    prof = {r["col_name"]: r for r in prof}
 
     # exact distinct counts in TWO fused passes (not one per column):
     # integers/timestamps as int64, floats as their int64 BIT PATTERN
@@ -695,20 +711,20 @@ def profile_table(ds: ray.data.Dataset,
 
     return pa.table({
         "col_name": pa.array(cols, pa.string()),
-        "n_nulls": pa.array([int(prof.loc[c, "n_nulls"]) for c in cols],
+        "n_nulls": pa.array([int(prof[c]["n_nulls"]) for c in cols],
                             pa.int64()),
         "n_distinct": pa.array([nd[c] for c in cols], pa.int64()),
-        "min_int": pa.array([_iv(prof.loc[c, "min_int"]) for c in cols],
+        "min_int": pa.array([_iv(prof[c]["min_int"]) for c in cols],
                             pa.int64()),
-        "max_int": pa.array([_iv(prof.loc[c, "max_int"]) for c in cols],
+        "max_int": pa.array([_iv(prof[c]["max_int"]) for c in cols],
                             pa.int64()),
-        "min_num": pa.array([_fv(prof.loc[c, "min_num"]) for c in cols],
+        "min_num": pa.array([_fv(prof[c]["min_num"]) for c in cols],
                             pa.float64()),
-        "max_num": pa.array([_fv(prof.loc[c, "max_num"]) for c in cols],
+        "max_num": pa.array([_fv(prof[c]["max_num"]) for c in cols],
                             pa.float64()),
-        "min_str": pa.array([_sv(prof.loc[c, "min_str"]) for c in cols],
+        "min_str": pa.array([_sv(prof[c]["min_str"]) for c in cols],
                             pa.string()),
-        "max_str": pa.array([_sv(prof.loc[c, "max_str"]) for c in cols],
+        "max_str": pa.array([_sv(prof[c]["max_str"]) for c in cols],
                             pa.string()),
     })
 

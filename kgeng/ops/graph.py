@@ -1395,7 +1395,9 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "src",
 
     e = _canonical_undirected(edges, src, dst, num_buckets) \
         .materialize()  # reused: degrees, orientation, closure
-    degs = _undirected_degrees(e)
+    # materialize degs: it feeds count + id probe + (on plan B) two
+    # joins — the distributed degree groupby must not re-run per use
+    degs = _undirected_degrees(e).materialize()
 
     n_nodes = degs.count()
     if n_nodes <= broadcast_nodes_cutover:

@@ -277,7 +277,11 @@ def grouped_percent_rank(ds: ray.data.Dataset, key: str, value: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"])
         grp = g.groupby(key, sort=False, dropna=False)[value]
-        r = grp.rank(method="min").to_numpy(np.float64)
+        # na_option='bottom': SQL percent_rank ranks NULL rows too
+        # (NULLS LAST under DuckDB's default) — a bare rank() would
+        # emit NaN for them and break the oracle hash
+        r = grp.rank(method="min",
+                     na_option="bottom").to_numpy(np.float64)
         n = grp.transform("size").to_numpy(np.float64)
         g[out] = np.where(n > 1, (r - 1.0) / (n - 1.0), 0.0)
         return g

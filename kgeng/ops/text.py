@@ -803,7 +803,6 @@ def pmi_collocations(ds: ray.data.Dataset, col: str = "text",
     def btot(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(t[col], pattern=r"\s+")
         flat = toks.combine_chunks()
-        lens = pc.list_value_length(flat).to_numpy(zero_copy_only=False)
         nonempty = np.zeros(len(t), np.int64)
         # split artifacts: a doc's token list counts only non-"" tokens
         fl = flat.flatten().to_numpy(zero_copy_only=False)

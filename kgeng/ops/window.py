@@ -196,7 +196,9 @@ def partitioned_locf(events: ray.data.Dataset, key: str, ts: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"]).sort_values(sort_cols,
                                                      kind="mergesort")
-        g[out] = g.groupby(key, sort=False)[value].ffill()
+        # dropna=False: a null key is its own partition (SQL PARTITION
+        # BY semantics) — the default would blank those rows' values
+        g[out] = g.groupby(key, sort=False, dropna=False)[value].ffill()
         return g
 
     return events.map_batches(bucket, batch_format="pyarrow") \
@@ -277,7 +279,9 @@ def partitioned_cumsum(events: ray.data.Dataset, key: str, ts: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"]).sort_values(
             [key, ts, tiebreak], kind="mergesort")
-        g[out] = g.groupby(key, sort=False)[value].cumsum()
+        # dropna=False: null keys form one partition (SQL semantics)
+        g[out] = g.groupby(key, sort=False,
+                           dropna=False)[value].cumsum()
         return g
 
     return events.map_batches(bucket, batch_format="pyarrow") \

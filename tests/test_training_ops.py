@@ -1457,3 +1457,39 @@ def test_curation_pipeline_invariants_and_partition_invariance():
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_percent_rank_and_locf_cumsum_null_semantics():
+    """Review regressions: percent_rank ranks NULL rows (NULLS LAST,
+    shared rank); locf/cumsum treat a null key as its own partition."""
+    import duckdb
+
+    from kgeng.ops.rank import grouped_percent_rank
+    from kgeng.ops.window import partitioned_cumsum, partitioned_locf
+
+    t = pa.table({"k": pa.array([1, 1, 1, 1], pa.int64()),
+                  "v": pa.array([10.0, 20.0, None, None], pa.float64())})
+    got = grouped_percent_rank(ray.data.from_arrow(t), "k",
+                               "v").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, v, percent_rank() OVER (PARTITION BY k ORDER BY v)"
+        " AS pct_rank FROM t").fetchdf()
+    gs = got.sort_values("v", na_position="last")["pct_rank"].to_numpy()
+    ws = want.sort_values("v", na_position="last")["pct_rank"].to_numpy()
+    assert (gs == ws).all()
+
+    # null keys: one partition, values survive / accumulate
+    tn = pa.table({"k": pa.array([None, None], pa.int64()),
+                   "ts": pa.array([1, 2], pa.int64()),
+                   "id": pa.array([1, 2], pa.int64()),
+                   "v": pa.array([7.0, None], pa.float64()),
+                   "vi": pa.array([3, 4], pa.int64())})
+    lo = partitioned_locf(ray.data.from_arrow(tn), key="k", ts="ts",
+                          value="v").to_pandas().sort_values("ts")
+    assert lo["v"].tolist() == [7.0, 7.0]
+    cs = partitioned_cumsum(ray.data.from_arrow(tn), key="k", ts="ts",
+                            value="vi", tiebreak="id",
+                            out="rt").to_pandas().sort_values("ts")
+    assert cs["rt"].tolist() == [3, 7]
