@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nfc_normalized": Q.docs_nfc_normalized,
         "events_sliding_window": Q.events_sliding_window,
         "docs_curation_pipeline": Q.docs_curation_pipeline,
+        "price_mad_by_priority": Q.price_mad_by_priority,
+        "parts_fuzzy_match": Q.parts_fuzzy_match,
     }
 
 
@@ -902,6 +904,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mention_counts": f"""
             SELECT subj, count(*) AS n_triples
             FROM read_parquet('{gt}') GROUP BY subj
+        """,
+        "parts_fuzzy_match": """
+            WITH cat AS (SELECT DISTINCT p_name FROM part),
+                 probes AS (SELECT p_partkey,
+                                   substr(p_name, 1, 1) || substr(p_name, 3)
+                                       AS p_name
+                            FROM part WHERE p_partkey % 100 = 0),
+                 pairs AS (SELECT p.p_partkey, p.p_name,
+                                  c.p_name AS match,
+                                  levenshtein(p.p_name, c.p_name) AS dist
+                           FROM probes p
+                           JOIN cat c
+                             ON abs(length(p.p_name)
+                                    - length(c.p_name)) <= 3
+                           WHERE levenshtein(p.p_name, c.p_name) <= 3)
+            SELECT p_partkey, p_name, match, dist FROM pairs
+            QUALIFY row_number() OVER (PARTITION BY p_partkey
+                                       ORDER BY dist, match) = 1
+        """,
+        "price_mad_by_priority": """
+            SELECT o_orderpriority, round(mad(o_totalprice), 6) AS mad
+            FROM orders GROUP BY 1
         """,
         "events_sliding_window": """
             WITH x AS (SELECT event_type, epoch_us(ts) AS e

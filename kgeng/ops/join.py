@@ -446,3 +446,82 @@ def bloom_prefilter(ds: ray.data.Dataset, key: str, bloom: bytes,
         return t.filter(pa.array(ok))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def fuzzy_lookup(probes: ray.data.Dataset, catalog: ray.data.Dataset,
+                 col: str, probe_id: str, max_dist: int = 3,
+                 out_match: str = "match", out_dist: str = "dist",
+                 max_catalog: int = 2_000_000) -> ray.data.Dataset:
+    """Fuzzy LOOKUP join: for each probe string, the closest catalog
+    string by exact byte-level Levenshtein distance, restricted to
+    ``max_dist`` (no match within the cap -> no output row) — the
+    dirty-dimension matching step (misspelled names against a clean
+    catalog). Deterministic tiebreak: (distance, catalog value asc).
+
+    The catalog is the SMALL side by nature: it broadcasts once as a
+    byte matrix sorted by (length, value) (loud ``max_catalog`` guard).
+    Each probe batch selects candidates by the lossless length band
+    (|len diff| <= max_dist — a longer gap cannot beat the cap) via two
+    searchsorted calls, then scores all (probe, candidate) pairs in ONE
+    banded-Ukkonen vectorized DP (dedup.banded_levenshtein). No
+    shuffle; the probe stream passes once."""
+    import pandas as pd
+
+    from kgeng.ops.dedup import _byte_matrix, banded_levenshtein
+
+    cat_rows = catalog.select_columns([col]).take_all()
+    if len(cat_rows) > max_catalog:
+        raise ValueError(
+            f"catalog {len(cat_rows)} exceeds max_catalog "
+            f"{max_catalog}; fuzzy_lookup broadcasts the catalog")
+    names = sorted({r[col] for r in cat_rows if r[col] is not None})
+    cmat, clens = _byte_matrix(names)
+    order = np.lexsort((np.array(names, object), clens))
+    cmat, clens = cmat[order], clens[order]
+    cnames = np.array(names, object)[order]
+    ref = ray.put((cmat, clens, cnames))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        cm, cl, cn = ray.get(ref)
+        texts = t[col].to_pylist()
+        ids = t[probe_id].to_numpy(zero_copy_only=False)
+        pm, pl = _byte_matrix(texts)
+        # candidate ranges per probe via the sorted-length band
+        lo = np.searchsorted(cl, pl - max_dist, side="left")
+        hi = np.searchsorted(cl, pl + max_dist, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({probe_id: pa.array([], pa.int64()),
+                             col: pa.array([], pa.string()),
+                             out_match: pa.array([], pa.string()),
+                             out_dist: pa.array([], pa.int64())})
+        pi = np.repeat(np.arange(len(texts)), cnt)
+        ci = np.repeat(lo, cnt) + (np.arange(tot)
+                                   - np.repeat(np.cumsum(cnt) - cnt,
+                                               cnt))
+        w = max(pm.shape[1], cm.shape[1])
+        left = np.zeros((tot, w), np.uint8)
+        left[:, :pm.shape[1]] = pm[pi]
+        right = np.zeros((tot, w), np.uint8)
+        right[:, :cm.shape[1]] = cm[ci]
+        dist = banded_levenshtein(left, right, pl[pi], cl[ci],
+                                  max_dist)
+        okm = dist <= max_dist
+        if not okm.any():
+            return pa.table({probe_id: pa.array([], pa.int64()),
+                             col: pa.array([], pa.string()),
+                             out_match: pa.array([], pa.string()),
+                             out_dist: pa.array([], pa.int64())})
+        df = pd.DataFrame({"p": pi[okm], "d": dist[okm],
+                           "m": cn[ci[okm]]})
+        best = df.sort_values(["p", "d", "m"]).groupby("p",
+                                                       sort=False).head(1)
+        sel = best["p"].to_numpy()
+        return pa.table({
+            probe_id: pa.array(ids[sel]),
+            col: pa.array([texts[i] for i in sel], pa.string()),
+            out_match: pa.array(best["m"].to_numpy(), pa.string()),
+            out_dist: pa.array(best["d"].to_numpy(np.int64))})
+
+    return probes.map_batches(lookup, batch_format="pyarrow")

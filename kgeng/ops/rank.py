@@ -288,3 +288,21 @@ def grouped_percent_rank(ds: ray.data.Dataset, key: str, value: str,
 
     return _bucket(ds, key, num_buckets).groupby("__bucket") \
         .map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_mad(ds: ray.data.Dataset, key: str, value: str,
+                round_to: int = 6) -> ray.data.Dataset:
+    """Median absolute deviation per group (robust spread — the
+    outlier-resistant sibling of grouped_stats' stddev): median of
+    |x - median(x)| with linear interpolation, matching DuckDB
+    ``mad()``. Same contract as :func:`grouped_quantiles`: group count
+    must be low, each group's values gather into one task."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value].to_numpy(dtype=np.float64)
+        med = float(np.quantile(vals, 0.5, method="linear"))
+        mad = round(float(np.quantile(np.abs(vals - med), 0.5,
+                                      method="linear")), round_to)
+        return pd.DataFrame({key: [g[key].iloc[0]], "mad": [mad]})
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")

@@ -2674,3 +2674,43 @@ def docs_curation_pipeline(sf_dir: str):
             "seq_id": pc.cast(t["seq_id"], pa.int64())})
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def price_mad_by_priority(sf_dir: str):
+    """Robust spread of order price per priority: median absolute
+    deviation (ops/rank.grouped_mad) — matches DuckDB mad() exactly
+    (same interpolated medians, rounded both sides)."""
+    from kgeng.ops.rank import grouped_mad
+
+    orders = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return grouped_mad(orders, "o_orderpriority", "o_totalprice")
+
+
+def parts_fuzzy_match(sf_dir: str):
+    """Fuzzy LOOKUP join showcase (ops/join.fuzzy_lookup): every 100th
+    part name is deterministically misspelled (second character
+    dropped), then matched back against the clean catalog by exact
+    banded Levenshtein (<= 3) with (dist, name) tiebreak — the
+    dirty-dimension repair step. Names are ASCII, so the byte-level
+    kernel and DuckDB's levenshtein agree exactly."""
+    from kgeng.ops.join import fuzzy_lookup
+
+    part = _pq(sf_dir, "part", ["p_partkey", "p_name"]).materialize()
+
+    def mangle(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(t["p_partkey"],
+                        pc.multiply(pc.divide(t["p_partkey"], 100),
+                                    100)),
+            pa.scalar(0, pa.int64()))
+        t = t.filter(keep)
+        n = t["p_name"]
+        mangled = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(n, 0, 1),
+            pc.utf8_slice_codeunits(n, 2, 1_000_000), "")
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "p_name": mangled})
+
+    probes = part.map_batches(mangle, batch_format="pyarrow")
+    return fuzzy_lookup(probes, part, col="p_name",
+                        probe_id="p_partkey", max_dist=3)

@@ -1268,3 +1268,25 @@ def test_sliding_count_matches_reference_and_tumbling_special_case():
     with pytest.raises(ValueError):
         sliding_count(ds, key="k", ts="ts", width_seconds=3600,
                       hop_seconds=1000)
+
+
+def test_fuzzy_lookup_exact_match_ties_and_no_match():
+    from kgeng.ops.join import fuzzy_lookup
+
+    catalog = ray.data.from_arrow(pa.table(
+        {"name": ["apple", "apply", "banana", "cherry"]}))
+    probes = ray.data.from_arrow(pa.table({
+        "pid": pa.array([1, 2, 3], pa.int64()),
+        # "appl" ties apple/apply at dist 1 -> 'apple' (name asc);
+        # exact hit; and a string nothing is within 3 of
+        "name": ["appl", "banana", "zzzzzzzzzzzz"]}))
+    out = fuzzy_lookup(probes, catalog, col="name", probe_id="pid",
+                       max_dist=3).to_pandas().set_index("pid")
+    assert out.loc[1, "match"] == "apple" and out.loc[1, "dist"] == 1
+    assert out.loc[2, "match"] == "banana" and out.loc[2, "dist"] == 0
+    assert 3 not in out.index  # beyond the cap -> no row
+    # partition invariance
+    out2 = fuzzy_lookup(probes.repartition(3), catalog, col="name",
+                        probe_id="pid", max_dist=3).to_pandas() \
+        .set_index("pid")
+    assert out.sort_index().equals(out2.sort_index())
