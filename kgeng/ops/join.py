@@ -492,7 +492,7 @@ def fuzzy_lookup(probes: ray.data.Dataset, catalog: ray.data.Dataset,
         cnt = (hi - lo).astype(np.int64)
         tot = int(cnt.sum())
         if tot == 0:
-            return pa.table({probe_id: pa.array([], pa.int64()),
+            return pa.table({probe_id: pa.array([], t[probe_id].type),
                              col: pa.array([], pa.string()),
                              out_match: pa.array([], pa.string()),
                              out_dist: pa.array([], pa.int64())})
@@ -509,7 +509,7 @@ def fuzzy_lookup(probes: ray.data.Dataset, catalog: ray.data.Dataset,
                                   max_dist)
         okm = dist <= max_dist
         if not okm.any():
-            return pa.table({probe_id: pa.array([], pa.int64()),
+            return pa.table({probe_id: pa.array([], t[probe_id].type),
                              col: pa.array([], pa.string()),
                              out_match: pa.array([], pa.string()),
                              out_dist: pa.array([], pa.int64())})
