@@ -161,15 +161,26 @@ def write_partitioned_parquet(ds, root: str, by: str,
     own files (content-hashed names for debuggability; two
     byte-identical blocks in one run take -1/-2 suffixes via
     exclusive-create, so the manifest's row counts ALWAYS equal what
-    ``read_parquet`` returns; temp-file + ``os.replace`` so a crash
-    never leaves a truncated part visible). Any partition dirs and
-    sentinels from a previous (possibly differently-sharded or
-    crashed) run are cleared first — stale files from another block
-    layout would otherwise survive alongside the new ones and
-    double-count on read. A ``_SUCCESS`` manifest at the root records
-    row counts per partition; ``partitioned_is_done(root)`` gates a
-    resume exactly like the checkpoint stages (callers skip the whole
-    write when it returns True)."""
+    ``read_parquet`` returns). Files are fully written to a temp name
+    and published atomically with ``os.link`` (exclusive-create of the
+    final name from an already-complete file) — no 0-byte or truncated
+    part is ever visible. Receipts carry the published FILE NAMES, and
+    after the receipt aggregation the directory is reconciled against
+    them: any part file not named by a surviving receipt (e.g. written
+    by a task attempt Ray later retried — the retry takes a -1/-2
+    suffix and only ITS receipt survives) is deleted, so the manifest
+    row counts always equal what ``read_parquet`` returns even under
+    task re-execution. Any partition dirs and sentinels from a
+    previous (possibly differently-sharded or crashed) run are cleared
+    first — stale files from another block layout would otherwise
+    survive alongside the new ones and double-count on read. A
+    ``_SUCCESS`` manifest at the root records row counts per
+    partition; ``partitioned_is_done(root)`` gates a resume exactly
+    like the checkpoint stages (callers skip the whole write when it
+    returns True).
+
+    Null partition values are rejected loudly (a null would otherwise
+    round-trip as the string 'None')."""
     import hashlib
     import shutil
 
@@ -187,11 +198,19 @@ def write_partitioned_parquet(ds, root: str, by: str,
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     def write_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"part": pa.array([], pa.string()),
+                          "rows": pa.array([], pa.int64()),
+                          "file": pa.array([], pa.string())})
         if len(t) == 0:
-            return pa.table({"part": pa.array([], pa.string()),
-                             "rows": pa.array([], pa.int64())})
+            return empty
         import numpy as np
 
+        if t[by].null_count:
+            raise ValueError(
+                f"write_partitioned_parquet: partition column {by!r} "
+                f"contains {t[by].null_count} null value(s); a null "
+                "would round-trip as the string 'None'. Fill or filter "
+                "nulls before partitioning.")
         order = pc.sort_indices(t, sort_keys=[(by, "ascending")])
         t = t.take(order)
         col = t[by].combine_chunks()
@@ -202,7 +221,7 @@ def write_partitioned_parquet(ds, root: str, by: str,
                                             != codes[:-1]]),
                        [len(codes)]].tolist()
         vals = col.to_pandas()
-        parts, rows = [], []
+        parts, rows, files = [], [], []
         for a, b in zip(starts[:-1], starts[1:]):
             sub = t.slice(a, b - a)
             v = str(vals.iloc[a])
@@ -212,33 +231,50 @@ def write_partitioned_parquet(ds, root: str, by: str,
             pq.write_table(sub.drop_columns([by]), sink)
             buf = sink.getvalue()
             name = hashlib.sha256(buf.to_pybytes()).hexdigest()[:16]
-            # every block writes ITS OWN file: two byte-identical
-            # blocks in one run get -1/-2 suffixes (exclusive-create
-            # detects the clash) so the manifest row counts always
-            # match what read_parquet returns. Temp + atomic rename:
-            # a crash mid-write never leaves a truncated part visible.
+            # fully write a task-attempt-unique temp file, then publish
+            # it under an exclusive final name with os.link (atomic,
+            # fails if the name exists): no 0-byte placeholder, no
+            # truncated part ever visible. Two byte-identical blocks in
+            # one run (or a retried task attempt re-writing the same
+            # block) take -1/-2 suffixes; the end-of-run reconcile
+            # keeps only files named by surviving receipts.
+            tmp = os.path.join(
+                d, f".tmp-{os.getpid()}-{id(buf):x}-{name}")
+            with open(tmp, "wb") as f:
+                f.write(buf.to_pybytes())
+            fname = None
             for k in range(1_000_000):
                 suffix = "" if k == 0 else f"-{k}"
-                path = os.path.join(d, f"part-{name}{suffix}.parquet")
+                cand = f"part-{name}{suffix}.parquet"
                 try:
-                    fd = os.open(path, os.O_CREAT | os.O_EXCL
-                                 | os.O_WRONLY)
+                    os.link(tmp, os.path.join(d, cand))
                 except FileExistsError:
                     continue
-                os.close(fd)
-                tmp = f"{path}.tmp-{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    f.write(buf.to_pybytes())
-                os.replace(tmp, path)
+                fname = cand
                 break
+            os.unlink(tmp)
             parts.append(v)
             rows.append(len(sub))
+            files.append(fname)
         return pa.table({"part": pa.array(parts, pa.string()),
-                         "rows": pa.array(rows, pa.int64())})
+                         "rows": pa.array(rows, pa.int64()),
+                         "file": pa.array(files, pa.string())})
 
     receipts = ds.map_batches(write_block, batch_format="pyarrow") \
-        .groupby("part").sum("rows").take_all()
-    counts = {r["part"]: int(r["sum(rows)"]) for r in receipts}
+        .take_all()
+    counts: dict[str, int] = {}
+    kept: dict[str, set[str]] = {}
+    for r in receipts:
+        counts[r["part"]] = counts.get(r["part"], 0) + int(r["rows"])
+        kept.setdefault(r["part"], set()).add(r["file"])
+    # reconcile: a task attempt Ray retried leaves its file behind while
+    # only the retry's receipt survives — delete any part file no
+    # surviving receipt names, so manifest row counts == read_parquet.
+    for v, names in kept.items():
+        d = os.path.join(root, f"{by}={v}")
+        for entry in os.listdir(d):
+            if entry.endswith(".parquet") and entry not in names:
+                os.remove(os.path.join(d, entry))
     manifest = {"by": by, "partitions": counts,
                 "n_rows": int(sum(counts.values()))}
     with open(os.path.join(root, "_MANIFEST.json"), "w") as f:

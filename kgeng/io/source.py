@@ -73,18 +73,35 @@ def wrap_flat_documents(
     doc_id:int64, text) into the engine's interleaved span schema — one
     text span per document. Lets every KG stage run over plain text
     corpora unchanged."""
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def wrap(t: pa.Table) -> pa.Table:
-        ids = [str(x) for x in t[id_col].to_pylist()]
-        texts = t[text_col].to_pylist()
-        spans = [[{"kind": "text", "text": x, "media_ref": "",
-                   "offset": 0}] for x in texts]
         from kgeng.synth.corpus import SPAN_TYPE
 
+        # all-Arrow list<struct> construction: one struct child per
+        # field + offsets [0, 1, 2, ...] (one span per doc) — this
+        # on-ramp touches every corpus row, so no Python row objects
+        n = len(t)
+        texts = pc.cast(t[text_col], SPAN_TYPE.field("text").type) \
+            .combine_chunks()
+        kind = pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(n, np.int32)),
+            pa.array(["text"])).cast(SPAN_TYPE.field("kind").type)
+        media = pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(n, np.int32)),
+            pa.array([""])).cast(SPAN_TYPE.field("media_ref").type)
+        offset = pa.array(np.zeros(n, np.int32),
+                          SPAN_TYPE.field("offset").type)
+        structs = pa.StructArray.from_arrays(
+            [kind, texts, media, offset],
+            fields=list(SPAN_TYPE))
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), structs)
         return pa.table({
-            "doc_id": pa.array(ids, pa.string()),
-            "spans": pa.array(spans, pa.list_(SPAN_TYPE)),
+            "doc_id": pc.cast(t[id_col], pa.string()),
+            "spans": spans,
         })
 
     return ds.map_batches(wrap, batch_format="pyarrow")

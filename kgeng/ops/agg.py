@@ -508,6 +508,19 @@ def misra_gries_topk(ds: ray.data.Dataset, key: str, k: int = 20,
                 f"{t[weight].type}): float weights would truncate and "
                 "break the true-err_bound<=est<=true guarantee; "
                 "quantize upstream (see queries._cents)")
+        if t[key].null_count:
+            raise ValueError(
+                f"misra_gries_topk key {key!r} has "
+                f"{t[key].null_count} null(s); pandas groupby would "
+                "silently drop them and the estimate would undercount "
+                "— fill_null upstream (a null key has no MG identity)")
+        if weight is not None and pc.min(t[weight]).as_py() is not None \
+                and pc.min(t[weight]).as_py() < 0:
+            raise ValueError(
+                f"misra_gries_topk weight {weight!r} has negative "
+                "values; MG counters assume non-negative increments — "
+                "the true-err_bound<=est<=true guarantee does not hold "
+                "for signed weights")
         if weight is None:
             vc = t[key].to_pandas().value_counts(sort=False)
             keys = vc.index.to_numpy()

@@ -276,8 +276,7 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
         need_arr = pa.array(sorted(need), pa.string())
 
         def project(t: pa.Table) -> pa.Table:
-            ids = pa.array([str(i) for i in t[id_col].to_pylist()],
-                           pa.string())
+            ids = _pc.cast(t[id_col], pa.string()).combine_chunks()
             mask = _pc.is_in(ids, value_set=need_arr)
             return pa.table({
                 "id": ids.filter(mask),
@@ -300,10 +299,13 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
     def label(t: pa.Table) -> pa.Table:
         m = ray.get(comp_ref)
-        ids = [str(i) for i in t[id_col].to_pylist()]
+        ids = _pc.cast(t[id_col], pa.string())
+        # the per-id dict probe is inherently Python (tiny driver map);
+        # the id stringification above stays in Arrow
+        id_list = ids.to_pylist()
         return pa.table({
-            "doc_id": pa.array(ids),
-            "cluster_rep": pa.array([m.get(i, i) for i in ids]),
+            "doc_id": ids,
+            "cluster_rep": pa.array([m.get(i, i) for i in id_list]),
         })
 
     return ds.map_batches(label, batch_format="pyarrow")
@@ -326,7 +328,7 @@ def _verify_distributed(ds: ray.data.Dataset, cand: ray.data.Dataset,
 
     txt = ds.map_batches(
         lambda t: pa.table({
-            "id": pa.array([str(i) for i in t[id_col].to_pylist()]),
+            "id": _pc.cast(t[id_col], pa.string()),
             "txt": t[text_col]}),
         batch_format="pyarrow")
 

@@ -466,6 +466,7 @@ def fuzzy_lookup(probes: ray.data.Dataset, catalog: ray.data.Dataset,
     banded-Ukkonen vectorized DP (dedup.banded_levenshtein). No
     shuffle; the probe stream passes once."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     from kgeng.ops.dedup import _byte_matrix, banded_levenshtein
 
@@ -483,6 +484,12 @@ def fuzzy_lookup(probes: ray.data.Dataset, catalog: ray.data.Dataset,
 
     def lookup(t: pa.Table) -> pa.Table:
         cm, cl, cn = ray.get(ref)
+        # null probes produce no output row (SQL: levenshtein(NULL, x)
+        # IS NULL -> filtered), mirroring the catalog-side null guard —
+        # without this, a null probe would byte-encode as '' and
+        # "match" any catalog value of length <= max_dist.
+        if t[col].null_count:
+            t = t.filter(pc.is_valid(t[col]))
         texts = t[col].to_pylist()
         ids = t[probe_id].to_numpy(zero_copy_only=False)
         pm, pl = _byte_matrix(texts)

@@ -887,11 +887,17 @@ def nfc_normalize(ds: ray.data.Dataset, col: str = "text",
     Arrow's ``utf8_normalize(form="NFC")`` does NOT actually compose
     (verified: 'e'+U+0301 passes through unchanged), so the per-string
     C call is the kernel itself, same contract as the RE2 ops.
-    Byte-identical to DuckDB ``nfc_normalize``."""
+    Byte-identical to DuckDB ``nfc_normalize``, including NULL
+    propagation (``nfc_normalize(NULL) IS NULL``): normalization runs
+    over null-filled slots, then the original null mask is re-applied."""
 
     def f(t: pa.Table) -> pa.Table:
-        s = pc.fill_null(t[col], "").to_pandas()
-        return t.append_column(
-            out, pa.array(s.str.normalize("NFC"), pa.string()))
+        c = t[col].combine_chunks()
+        s = pc.fill_null(c, "").to_pandas()
+        normed = pa.array(s.str.normalize("NFC"), pa.string())
+        if c.null_count:
+            normed = pc.if_else(pc.is_null(c),
+                                pa.scalar(None, pa.string()), normed)
+        return t.append_column(out, normed)
 
     return ds.map_batches(f, batch_format="pyarrow")
