@@ -382,20 +382,36 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
 
 
 def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
-              dst: str = "dst") -> ray.data.Dataset:
+              dst: str = "dst", state: str = "auto",
+              max_driver_nodes: int = 100_000_000) -> ray.data.Dataset:
     """Single-source shortest path in hops (BFS layers) — 'sssp' in the
     reference's Pregel algorithm list (arguments.py:187), run
     server-side there. Returns Dataset(node, dist) for REACHED nodes
     only (matches the recursive-CTE oracle's reachability semantics).
 
     Plan A shape (like :func:`pagerank`): the distance vector is
-    driver-held (node-count bounded); each BFS layer is a raw-task
-    fan-out over indexed edge blocks (see :class:`_IndexedEdges`) —
-    per-block vectorized frontier-membership filter emitting that
-    block's distinct successors — until the frontier empties (exact
-    BFS, no iteration cap). Integer distances: the oracle is exact.
-    """
-    idx = _IndexedEdges(_bounded_blocks(edges), None, src, dst)
+    driver-held (node-count bounded, ``max_driver_nodes``-guarded);
+    each BFS layer is a raw-task fan-out over indexed edge blocks (see
+    :class:`_IndexedEdges`) — per-block vectorized frontier-membership
+    filter emitting that block's distinct successors — until the
+    frontier empties (exact BFS, no iteration cap). Integer distances:
+    the oracle is exact. Past the cutover (or with
+    ``state='distributed'``) it falls back to plan B: unit-weight
+    Bellman-Ford dataset rounds (:func:`_bellman_ford_distributed`,
+    run to its fixpoint) — BFS IS Bellman-Ford with w=1, and integer
+    mins are order-invariant, so the plans agree bit-for-bit."""
+    if state == "distributed":
+        return _sssp_hops_distributed(edges, source, src, dst)
+    try:
+        idx = _IndexedEdges(
+            _bounded_blocks(edges), None, src, dst,
+            max_nodes=max_driver_nodes if state == "auto" else None,
+            max_nodes_hint=("sssp_hops plan A holds two n-vectors on "
+                            "the driver; use state='distributed'."))
+    except ValueError:
+        if state != "auto":
+            raise
+        return _sssp_hops_distributed(edges, source, src, dst)
     nodes, n = idx.nodes, idx.n
 
     si0 = int(np.searchsorted(nodes, source))
@@ -424,6 +440,32 @@ def sssp_hops(edges: ray.data.Dataset, source: int, src: str = "src",
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes[reached]),
         "dist": pa.array(dist[reached])}))
+
+
+def _sssp_hops_distributed(edges: ray.data.Dataset, source: int,
+                           src: str, dst: str) -> ray.data.Dataset:
+    """Plan B BFS: unit-weight Bellman-Ford Dataset rounds run to the
+    fixpoint (:func:`_bellman_ford_distributed` early-exits when no
+    distance moves) — BFS IS Bellman-Ford with w=1, and integer mins
+    are order-invariant, so this matches plan A bit-for-bit. The
+    distance frontier lives as a Dataset; node-count unbounded."""
+    unit = edges.map_batches(
+        lambda t: pa.table({
+            "s": pc.cast(t[src], pa.int64()),
+            "d": pc.cast(t[dst], pa.int64()),
+            "w": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow")
+    try:
+        # rounds bound = fixpoint-only in practice: BFS depth <= n, and
+        # the early-exit fires the round after the last frontier moves
+        return _bellman_ford_distributed(unit, source, 1 << 40,
+                                         "s", "d", "w")
+    except ValueError:
+        # isolated source: plan A's seeded-CTE contract — one (source,
+        # 0) row, not an error (sssp_hops:418)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([source], pa.int64()),
+            "dist": pa.array([0], pa.int64())}))
 
 
 def hits(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",

@@ -473,6 +473,18 @@ def test_sssp_hops_matches_bfs_reference():
                 q.append(v)
     assert got == ref
 
+    # plan B (distributed distance Dataset, unit-weight Bellman-Ford to
+    # the fixpoint) agrees bit-for-bit — integer mins are order-invariant
+    outb = (sssp_hops(ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst})).repartition(5), source=0,
+        state="distributed").to_pandas())
+    assert dict(zip(outb["node"], outb["dist"])) == ref
+    # auto falls BACK to plan B past the driver cutover (not a raise)
+    outc = (sssp_hops(ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst})).repartition(5), source=0,
+        max_driver_nodes=5).to_pandas())
+    assert dict(zip(outc["node"], outc["dist"])) == ref
+
 
 def test_hits_matches_numpy_reference():
     """3-way parity: plan A (driver vectors) == plan B (distributed
