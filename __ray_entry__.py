@@ -35,120 +35,22 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-4 rotation: the 22 entries last driver-verified in
-    # round 2 (kg_*, compat_*, synth_*, ann_*, embedding_*, media_*,
-    # doc_pair_jaccard) lead, followed by every query whose code path
-    # changed this round (join bucketing, zero-fill, feature sums), then
-    # the rest of the registry.
+    # entries. Round-5 rotation (VERDICT r4 item 1): the 32 entries never
+    # driver-verified lead, then the 5 entries gaining oracles this round,
+    # then every query whose code path changed this round (sssp/scc/slpa
+    # plan-B fallbacks, rank bucketing), then the flagship KG block; the
+    # rest of the registry (all driver-green in r03/r04) follows.
     return {
-        # --- re-verify block (r02-green, code changed since) ---
-        "kg_triples": Q.kg_triples,
-        "kg_entities": Q.kg_entities,
-        "kg_vertices_out": Q.kg_vertices_out,
-        "kg_edges_out": Q.kg_edges_out,
-        "kg_entity_mention_counts": Q.kg_entity_mention_counts,
-        "kg_mention_stats": Q.kg_mention_stats,
-        "kg_media_features": Q.kg_media_features,
-        "compat_edge_list_edges": Q.compat_edge_list_edges,
-        "compat_edge_list_vertices": Q.compat_edge_list_vertices,
-        "compat_graphalytics_vertices": Q.compat_graphalytics_vertices,
-        "compat_graphalytics_edges": Q.compat_graphalytics_edges,
-        "synth_clique_edges": Q.synth_clique_edges,
-        "synth_kpartite_edges": Q.synth_kpartite_edges,
-        "synth_clique_vertices_smart": Q.synth_clique_vertices_smart,
-        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
-        "embedding_components": Q.embedding_components,
-        "ann_topk": Q.ann_topk,
-        "ann_topk_lsh": Q.ann_topk_lsh,
-        "ann_topk_ivf": Q.ann_topk_ivf,
-        "media_features": Q.media_features,
-        "media_frame_samples": Q.media_frame_samples,
-        "doc_pair_jaccard": Q.doc_pair_jaccard,
-        # --- queries whose code paths changed in round 4 ---
-        "cust_big_order_counts": Q.cust_big_order_counts,
-        "events_last_order": Q.events_last_order,
-        "events_followers_1h": Q.events_followers_1h,
-        "revenue_by_nation": Q.revenue_by_nation,
-        "revenue_by_orderpriority": Q.revenue_by_orderpriority,
-        "urgent_order_revenue": Q.urgent_order_revenue,
-        "custs_without_big_orders": Q.custs_without_big_orders,
-        "user_event_paths": Q.user_event_paths,
-        "lineitem_hits": Q.lineitem_hits,
-        "lineitem_closeness": Q.lineitem_closeness,
-        "lineitem_pagerank": Q.lineitem_pagerank,
-        # --- new in round 4 ---
-        "cust_order_profile_outer": Q.cust_order_profile_outer,
-        "docs_length_ntile": Q.docs_length_ntile,
-        "top_event_per_user": Q.top_event_per_user,
-        "events_type_long": Q.events_type_long,
-        "docs_boilerplate_removed": Q.docs_boilerplate_removed,
-        "docs_tfidf_terms": Q.docs_tfidf_terms,
-        "docs_repetition_ratio": Q.docs_repetition_ratio,
-        "lineitem_linerank": Q.lineitem_linerank,
-        "lineitem_scc": Q.lineitem_scc,
-        "lineitem_harmonic": Q.lineitem_harmonic,
-        "lineitem_slpa": Q.lineitem_slpa,
-        "revenue_rollup": Q.revenue_rollup,
-        "revenue_cube": Q.revenue_cube,
-        "corpus_top_terms": Q.corpus_top_terms,
-        "docs_editdist_pairs": Q.docs_editdist_pairs,
-        "lang_id_pred": Q.lang_id_pred,
-        # --- relational / engine core ---
-        "q1_lineitem_agg": Q.q1_lineitem_agg,
-        # below this line: entries 50+ (driver-verified in r03; the
-        # driver's gate checks the first 50 only)
-        "orders_by_custseg": Q.orders_by_custseg,
-        "events_tumbling_window": Q.events_tumbling_window,
-        "top_orders": Q.top_orders,
-        "distinct_event_types": Q.distinct_event_types,
         "qty_price_corr_by_flag": Q.qty_price_corr_by_flag,
         "custs_both_big_and_urgent": Q.custs_both_big_and_urgent,
         "doc_pair_jw": Q.doc_pair_jw,
         "price_stats_by_priority": Q.price_stats_by_priority,
-        "events_prev_gap": Q.events_prev_gap,
-        "docs_sample_by_lang": Q.docs_sample_by_lang,
-        "docs_hash_sample": Q.docs_hash_sample,
-        "docs_mix_by_lang": Q.docs_mix_by_lang,
-        "events_hourly_active_users": Q.events_hourly_active_users,
-        "parts_never_bulk_ordered": Q.parts_never_bulk_ordered,
-        "docs_weighted_sample": Q.docs_weighted_sample,
-        "corpus_term_stats": Q.corpus_term_stats,
-        "corpus_bigram_counts": Q.corpus_bigram_counts,
-        "docs_normalized": Q.docs_normalized,
-        "docs_benchmark_contamination": Q.docs_benchmark_contamination,
-        "docs_pii_redacted": Q.docs_pii_redacted,
-        "lineitem_sssp": Q.lineitem_sssp,
-        "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
-        "events_rolling_sum": Q.events_rolling_sum,
-        "events_type_pivot": Q.events_type_pivot,
-        "distinct_users_by_type": Q.distinct_users_by_type,
-        "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
-        "sessionize_events": Q.sessionize_events,
-        "top2_orders_per_cust": Q.top2_orders_per_cust,
-        "price_quantiles_by_priority": Q.price_quantiles_by_priority,
-        "price_quantiles_by_priority_approx":
-            Q.price_quantiles_by_priority_approx,
-        # text analysis
-        "doc_token_count": Q.doc_token_count,
-        "doc_token_count_bpe": Q.doc_token_count_bpe,
-        "doc_quality": Q.doc_quality,
-        "doc_stats_by_lang": Q.doc_stats_by_lang,
-        "docs_above_median_quality": Q.docs_above_median_quality,
-        "docs_packed_2k": Q.docs_packed_2k,
-        "doc_length_histogram": Q.doc_length_histogram,
-        "doc_fingerprints": Q.doc_fingerprints,
-        # dedup family
-        "dedup_exact_docs": Q.dedup_exact_docs,
-        "minhash_dedup_docs": Q.minhash_dedup_docs,
-        "simhash_docs": Q.simhash_docs,
-        # --- round-4 continuation (this session) ---
         "parts_triangle_counts": Q.parts_triangle_counts,
         "corpus_top_terms_approx": Q.corpus_top_terms_approx,
         "events_profile": Q.events_profile,
         "docs_split_assign": Q.docs_split_assign,
         "embedding_centroid_by_label": Q.embedding_centroid_by_label,
-        "price_quantiles_disc_by_priority":
-            Q.price_quantiles_disc_by_priority,
+        "price_quantiles_disc_by_priority": Q.price_quantiles_disc_by_priority,
         "docs_lm_scores": Q.docs_lm_scores,
         "parts_k_core": Q.parts_k_core,
         "events_value_locf": Q.events_value_locf,
@@ -171,6 +73,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_pipeline": Q.docs_curation_pipeline,
         "price_mad_by_priority": Q.price_mad_by_priority,
         "parts_fuzzy_match": Q.parts_fuzzy_match,
+        "minhash_dedup_docs": Q.minhash_dedup_docs,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "docs_weighted_sample": Q.docs_weighted_sample,
+        "docs_packed_2k": Q.docs_packed_2k,
+        "lineitem_closeness": Q.lineitem_closeness,
+        "lineitem_sssp": Q.lineitem_sssp,
+        "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
+        "lineitem_scc": Q.lineitem_scc,
+        "lineitem_slpa": Q.lineitem_slpa,
+        "price_quantiles_by_priority": Q.price_quantiles_by_priority,
+        "kg_triples": Q.kg_triples,
+        "kg_entities": Q.kg_entities,
+        "kg_vertices_out": Q.kg_vertices_out,
+        "kg_edges_out": Q.kg_edges_out,
+        "q1_lineitem_agg": Q.q1_lineitem_agg,
+        "dedup_exact_docs": Q.dedup_exact_docs,
+        "lineitem_pagerank": Q.lineitem_pagerank,
+        "lineitem_hits": Q.lineitem_hits,
+        "kg_entity_mention_counts": Q.kg_entity_mention_counts,
+        "kg_mention_stats": Q.kg_mention_stats,
+        "kg_media_features": Q.kg_media_features,
+        "compat_edge_list_edges": Q.compat_edge_list_edges,
+        "compat_edge_list_vertices": Q.compat_edge_list_vertices,
+        "compat_graphalytics_vertices": Q.compat_graphalytics_vertices,
+        "compat_graphalytics_edges": Q.compat_graphalytics_edges,
+        "synth_clique_edges": Q.synth_clique_edges,
+        "synth_kpartite_edges": Q.synth_kpartite_edges,
+        "synth_clique_vertices_smart": Q.synth_clique_vertices_smart,
+        "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
+        "embedding_components": Q.embedding_components,
+        "ann_topk": Q.ann_topk,
+        "ann_topk_lsh": Q.ann_topk_lsh,
+        "ann_topk_ivf": Q.ann_topk_ivf,
+        "media_features": Q.media_features,
+        "media_frame_samples": Q.media_frame_samples,
+        "doc_pair_jaccard": Q.doc_pair_jaccard,
+        "cust_big_order_counts": Q.cust_big_order_counts,
+        "events_last_order": Q.events_last_order,
+        "events_followers_1h": Q.events_followers_1h,
+        "revenue_by_nation": Q.revenue_by_nation,
+        "revenue_by_orderpriority": Q.revenue_by_orderpriority,
+        "urgent_order_revenue": Q.urgent_order_revenue,
+        "custs_without_big_orders": Q.custs_without_big_orders,
+        "user_event_paths": Q.user_event_paths,
+        "cust_order_profile_outer": Q.cust_order_profile_outer,
+        "docs_length_ntile": Q.docs_length_ntile,
+        "top_event_per_user": Q.top_event_per_user,
+        "events_type_long": Q.events_type_long,
+        "docs_boilerplate_removed": Q.docs_boilerplate_removed,
+        "docs_tfidf_terms": Q.docs_tfidf_terms,
+        "docs_repetition_ratio": Q.docs_repetition_ratio,
+        "lineitem_linerank": Q.lineitem_linerank,
+        "lineitem_harmonic": Q.lineitem_harmonic,
+        "revenue_rollup": Q.revenue_rollup,
+        "revenue_cube": Q.revenue_cube,
+        "corpus_top_terms": Q.corpus_top_terms,
+        "docs_editdist_pairs": Q.docs_editdist_pairs,
+        "lang_id_pred": Q.lang_id_pred,
+        "orders_by_custseg": Q.orders_by_custseg,
+        "events_tumbling_window": Q.events_tumbling_window,
+        "top_orders": Q.top_orders,
+        "distinct_event_types": Q.distinct_event_types,
+        "events_prev_gap": Q.events_prev_gap,
+        "docs_sample_by_lang": Q.docs_sample_by_lang,
+        "docs_hash_sample": Q.docs_hash_sample,
+        "docs_mix_by_lang": Q.docs_mix_by_lang,
+        "events_hourly_active_users": Q.events_hourly_active_users,
+        "parts_never_bulk_ordered": Q.parts_never_bulk_ordered,
+        "corpus_term_stats": Q.corpus_term_stats,
+        "corpus_bigram_counts": Q.corpus_bigram_counts,
+        "docs_normalized": Q.docs_normalized,
+        "docs_benchmark_contamination": Q.docs_benchmark_contamination,
+        "docs_pii_redacted": Q.docs_pii_redacted,
+        "events_rolling_sum": Q.events_rolling_sum,
+        "events_type_pivot": Q.events_type_pivot,
+        "distinct_users_by_type": Q.distinct_users_by_type,
+        "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
+        "sessionize_events": Q.sessionize_events,
+        "top2_orders_per_cust": Q.top2_orders_per_cust,
+        "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
+        "doc_token_count": Q.doc_token_count,
+        "doc_token_count_bpe": Q.doc_token_count_bpe,
+        "doc_quality": Q.doc_quality,
+        "doc_stats_by_lang": Q.doc_stats_by_lang,
+        "docs_above_median_quality": Q.docs_above_median_quality,
+        "doc_length_histogram": Q.doc_length_histogram,
+        "simhash_docs": Q.simhash_docs,
     }
 
 
