@@ -13,3 +13,24 @@ batches; stateful stages (linker, detectors) are actor pools; wide steps are
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _DropSchemaHashNoise(_logging.Filter):
+    """Ray Data's unify_schemas logs 'Failed to hash the schemas (for
+    deduplication): unhashable type: dict' once per reduce task whenever
+    a block's schema carries pandas metadata (pa.Table.from_pandas keeps
+    the b'pandas' key, whose hash raises). It is a benign fallback —
+    unify proceeds without the dedup early-exit — but at one line per
+    reduce task it buries real warnings in bench/driver logs. Workers
+    import this package (stage callables live in kgeng.*), so the filter
+    applies cluster-wide."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _DropSchemaHashNoise())

@@ -72,6 +72,16 @@ def _feat_sum_batches(t: pa.Table) -> pa.Table:
         "feat_sum", pc.round(pa.array(sums, pa.float64()), ndigits=4))
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). The sf parquet files carry
+    pandas-written ``b'pandas'`` metadata whose dict payload makes
+    ``hash(schema)`` raise; every downstream wide op then logs Ray's
+    'Failed to hash the schemas (for deduplication)' once per reduce
+    task AND loses the schema-dedup early-exit in unify_schemas. Fusing
+    this O(1) strip into the read kills both."""
+    return t.replace_schema_metadata(None)
+
+
 def _pq(sf_dir: str, name: str, columns=None,
         filter=None) -> ray.data.Dataset:
     """Column-pruned (and optionally row-filter-pushed) parquet read —
@@ -81,7 +91,8 @@ def _pq(sf_dir: str, name: str, columns=None,
     if filter is not None:
         kw["filter"] = filter
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), **kw)
+        os.path.join(sf_dir, f"{name}.parquet"), **kw).map_batches(
+        _strip_meta, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- relational queries
