@@ -1292,8 +1292,9 @@ def corpus_bigram_counts(sf_dir: str):
 def docs_weighted_sample(sf_dir: str):
     """Length-weighted sample of 25 docs without replacement (A-ES
     keys, deterministic) — the importance-sampling primitive for
-    corpus curation. Rows-only for the driver (float pow is
-    library-dependent in the last ulp); tests pin the exact selection
+    corpus curation. Oracle: the same u^(1/w) arithmetic as a SQL
+    ORDER BY pow(...) DESC LIMIT k (both sides call the host libm pow
+    on identical doubles); tests additionally pin the exact selection
     against a numpy reference."""
     from kgeng.ops.sample import weighted_sample
 
