@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": Q.docs_weighted_sample,
         "docs_packed_2k": Q.docs_packed_2k,
         "lineitem_closeness": Q.lineitem_closeness,
+        "lineitem_closeness_exact": Q.lineitem_closeness_exact,
         "lineitem_sssp": Q.lineitem_sssp,
         "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
         "lineitem_scc": Q.lineitem_scc,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
         "lang_id_pred": Q.lang_id_oracle_sql(),
         "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
+        "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
         "corpus_top_terms": """
             WITH tokens AS (

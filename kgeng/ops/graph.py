@@ -1096,12 +1096,15 @@ def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
 # ----------------------------------------------- bounded harmonic (exact)
 
 def _harmonic_driver(se: np.ndarray, de: np.ndarray, max_hops: int,
-                     lcm: int) -> tuple[np.ndarray, np.ndarray]:
+                     lcm: int) -> tuple[np.ndarray, np.ndarray,
+                                        np.ndarray, np.ndarray]:
     """Plan A: dense vectorized multi-source BFS on the driver. Rows of
     the (V, V) boolean frontier are BFS roots; one round is a gather of
     frontier columns at edge sources + a maximum.reduceat over
     dst-grouped edges — numpy throughout, no per-node Python. Returns
-    (sorted node ids, integer LCM//d harmonic sums)."""
+    (sorted node ids, integer LCM//d harmonic sums, reached counts
+    excluding self, integer distance sums) — the last two feed
+    :func:`bounded_closeness` off the same BFS."""
     nodes = np.unique(np.concatenate([se, de]))
     V = len(nodes)
     si = np.searchsorted(nodes, se)
@@ -1117,6 +1120,8 @@ def _harmonic_driver(se: np.ndarray, de: np.ndarray, max_hops: int,
     visited[ar, ar] = True
     frontier = visited.copy()
     s60 = np.zeros(V, np.int64)
+    cnt = np.zeros(V, np.int64)
+    sd = np.zeros(V, np.int64)
     for d in range(1, max_hops + 1):
         if not frontier.any():
             break
@@ -1126,8 +1131,11 @@ def _harmonic_driver(se: np.ndarray, de: np.ndarray, max_hops: int,
         new &= ~visited
         visited |= new
         frontier = new
-        s60 += (lcm // d) * new.sum(1)
-    return nodes, s60
+        n_new = new.sum(1)
+        s60 += (lcm // d) * n_new
+        cnt += n_new
+        sd += d * n_new
+    return nodes, s60, cnt, sd
 
 
 def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
@@ -1164,9 +1172,103 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
       100-TB path."""
     import math
 
+    lcm = math.lcm(*range(1, max_hops + 1))
+    kind, payload = _bounded_bfs_plan(
+        edges, src, dst, max_hops, num_buckets, state,
+        max_driver_nodes, max_driver_edges, lcm, "bounded_harmonic")
+    if kind == "driver":
+        nodes, s60, _cnt, _sd = payload
+        h = pc.round(
+            pc.divide(pc.cast(pa.array(s60), pa.float64()),
+                      float(lcm)), ndigits=ndigits,
+            round_mode="half_towards_infinity")
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes), "harmonic": h}))
+    visited = payload
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        s = np.where(d > 0, lcm // np.maximum(d, 1), 0).astype(np.int64)
+        return pa.table({"node": t["root"], "s": pa.array(s)})
+
+    total = visited.map_batches(score, batch_format="pyarrow") \
+        .groupby("node").sum("s")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["node", "s"])
+        h = pc.round(pc.divide(pc.cast(t["s"], pa.float64()),
+                               float(lcm)), ndigits=ndigits,
+                     round_mode="half_towards_infinity")
+        return pa.table({"node": t["node"], "harmonic": h})
+
+    return total.map_batches(finish, batch_format="pyarrow")
+
+
+def bounded_closeness(edges: ray.data.Dataset, src: str = "src",
+                      dst: str = "dst", max_hops: int = 6,
+                      num_buckets: int = 16, ndigits: int = 6,
+                      state: str = "auto",
+                      max_driver_nodes: int = 10_000,
+                      max_driver_edges: int = 1_000_000
+                      ) -> ray.data.Dataset:
+    """EXACT closeness centrality within ``max_hops`` (directed):
+    closeness(u) = reached / sum of true shortest distances, over nodes
+    v != u reachable in d <= max_hops hops; 0 when nothing is reached.
+    Both numerator and denominator accumulate as integers, so partial
+    order can never move a float bit and the recursive-CTE oracle is
+    bit-exact after the shared double division + half-away round. The
+    exact verify-stage twin of :func:`effective_closeness` (HyperBall),
+    same plan A/B convention as :func:`bounded_harmonic` (shared
+    machinery: `_bounded_bfs_plan`)."""
+    kind, payload = _bounded_bfs_plan(
+        edges, src, dst, max_hops, num_buckets, state,
+        max_driver_nodes, max_driver_edges, 1, "bounded_closeness")
+    if kind == "driver":
+        nodes, _s, cnt, sd = payload
+        with np.errstate(divide="ignore", invalid="ignore"):
+            clos = np.where(sd > 0, cnt / np.maximum(sd, 1), 0.0)
+        c = pc.round(pa.array(clos), ndigits=ndigits,
+                     round_mode="half_towards_infinity")
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes), "closeness": c}))
+    visited = payload
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t["root"],
+            "c": pa.array((d > 0).astype(np.int64)),
+            "s": pa.array(d)})
+
+    from ray.data.aggregate import Sum
+    total = visited.map_batches(score, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("c", alias_name="c"),
+                                   Sum("s", alias_name="s"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["c"], pa.float64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(t["s"], pa.float64()).to_numpy(zero_copy_only=False)
+        clos = np.where(s > 0, c / np.maximum(s, 1.0), 0.0)
+        out = pc.round(pa.array(clos), ndigits=ndigits,
+                       round_mode="half_towards_infinity")
+        return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                         "closeness": out})
+
+    return total.map_batches(finish, batch_format="pyarrow")
+
+
+def _bounded_bfs_plan(edges: ray.data.Dataset, src: str, dst: str,
+                      max_hops: int, num_buckets: int, state: str,
+                      max_driver_nodes: int, max_driver_edges: int,
+                      lcm: int, opname: str):
+    """Shared plan selection + BFS core for the exact bounded
+    centralities. Returns ``('driver', (nodes, s_lcm, cnt, sd))`` from
+    the dense driver BFS (:func:`_harmonic_driver`) when the subgraph
+    fits the documented bounds, else ``('pairs', visited)`` where
+    ``visited`` is the distributed Dataset(root, node, dist) of all
+    shortest-path facts within ``max_hops``."""
     from kgeng.ops.join import hash_join
 
-    lcm = math.lcm(*range(1, max_hops + 1))
     proj = edges.select_columns([src, dst])
 
     if state != "distributed":
@@ -1180,21 +1282,15 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
                 if len(se) else np.zeros(0, np.int64)
             if (len(nodes) <= max_driver_nodes
                     and len(nodes) * max(n_edges, 1) <= 2_000_000_000):
-                nodes, s60 = _harmonic_driver(se, de, max_hops, lcm)
-                h = pc.round(
-                    pc.divide(pc.cast(pa.array(s60), pa.float64()),
-                              float(lcm)), ndigits=ndigits,
-                    round_mode="half_towards_infinity")
-                return ray.data.from_arrow(pa.table({
-                    "node": pa.array(nodes), "harmonic": h}))
+                return "driver", _harmonic_driver(se, de, max_hops, lcm)
             if state == "driver":
                 raise ValueError(
-                    f"bounded_harmonic plan A bounds exceeded "
+                    f"{opname} plan A bounds exceeded "
                     f"({len(nodes)} nodes, {n_edges} edges): use "
                     f"state='distributed'")
         elif state == "driver":
             raise ValueError(
-                f"bounded_harmonic plan A bounds exceeded "
+                f"{opname} plan A bounds exceeded "
                 f"({n_edges} edges > {max_driver_edges}): use "
                 f"state='distributed'")
 
@@ -1207,7 +1303,7 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
         # silently (same hazard line_graph guards loudly)
         if len(ids) and (ids.max() >= (1 << 53) or ids.min() < 0):
             raise ValueError(
-                "bounded_harmonic requires node ids in [0, 2^53): "
+                f"{opname} requires node ids in [0, 2^53): "
                 "larger ids corrupt in the join's float64 transit — "
                 "remap ids first")
         return pa.table({"root": pa.array(ids), "node": pa.array(ids),
@@ -1261,22 +1357,7 @@ def bounded_harmonic(edges: ray.data.Dataset, src: str = "src",
         frontier = visited.filter(
             expr=f"dist == {t_round}")
 
-    def score(t: pa.Table) -> pa.Table:
-        d = t["dist"].to_numpy(zero_copy_only=False)
-        s = np.where(d > 0, lcm // np.maximum(d, 1), 0).astype(np.int64)
-        return pa.table({"node": t["root"], "s": pa.array(s)})
-
-    total = visited.map_batches(score, batch_format="pyarrow") \
-        .groupby("node").sum("s")
-
-    def finish(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["node", "s"])
-        h = pc.round(pc.divide(pc.cast(t["s"], pa.float64()),
-                               float(lcm)), ndigits=ndigits,
-                     round_mode="half_towards_infinity")
-        return pa.table({"node": t["node"], "harmonic": h})
-
-    return total.map_batches(finish, batch_format="pyarrow")
+    return "pairs", visited
 
 
 # ------------------------------------------------------------ triangles

@@ -1974,6 +1974,49 @@ def harmonic_oracle_sql(max_hops: int = 6) -> str:
     """
 
 
+def lineitem_closeness_exact(sf_dir: str):
+    """EXACT 6-hop closeness centrality ((reached-1)/sum of true
+    shortest distances) over the shared mixed-orientation subgraph —
+    the oracle-checked exact twin of the HyperBall
+    `lineitem_closeness` sketch (which stays rows-only by nature).
+    Integer numerator and denominator keep the recursive-CTE oracle
+    bit-exact (ops/graph.py:bounded_closeness)."""
+    from kgeng.ops.graph import bounded_closeness
+
+    return bounded_closeness(_mixed_subgraph_edges(sf_dir), max_hops=6)
+
+
+def closeness_oracle_sql(max_hops: int = 6) -> str:
+    """Depth-limited recursive-CTE oracle for bounded_closeness — the
+    same walk as :func:`harmonic_oracle_sql`, scoring count/sum(d)
+    (both integers; the double division + half-away round is the one
+    float step on either side)."""
+    return f"""
+        WITH RECURSIVE base AS ({MIXED_SUBGRAPH_SQL}),
+        edges AS (SELECT DISTINCT src, dst FROM base),
+        nodes AS (SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+        walk(root, node, d) AS (
+          SELECT src, dst, 1 FROM edges
+          UNION
+          SELECT w.root, e.dst, w.d + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.d < {max_hops}
+        ),
+        best AS (
+          SELECT root, node, min(d) AS d FROM walk
+          WHERE node <> root GROUP BY 1, 2),
+        tot AS (
+          SELECT root, count(*) AS c, sum(d) AS s FROM best GROUP BY 1)
+        SELECT n.node,
+               CASE WHEN t.s IS NULL OR t.s = 0 THEN 0.0
+                    ELSE round(CAST(t.c AS DOUBLE) / t.s, 6)
+               END AS closeness
+        FROM nodes n LEFT JOIN tot t ON t.root = n.node
+    """
+
+
 def revenue_cube(sf_dir: str):
     """GROUP BY CUBE(priority, returnflag) — all four grouping sets.
     Only the finest (priority, flag) level touches the fact table

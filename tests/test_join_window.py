@@ -946,6 +946,55 @@ def test_bounded_harmonic_matches_bfs_reference():
         assert len(got_map) == len(nodes)
 
 
+def test_bounded_closeness_matches_bfs_reference():
+    """3-way: plan A (dense driver BFS) == plan B (distributed pair
+    rounds) == python BFS, for the exact bounded closeness — both
+    integer numerator and denominator, so equality is exact."""
+    from collections import deque
+
+    import numpy as np
+
+    from kgeng.ops.graph import bounded_closeness
+
+    rng = np.random.default_rng(13)
+    n = 40
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    src = [a for a, _ in edges]
+    dst = [b for _, b in edges]
+    H = 4
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want = {}
+    nodes = sorted({*src, *dst})
+    for u in nodes:
+        dist = {u: 0}
+        q = deque([u])
+        while q:
+            x = q.popleft()
+            if dist[x] >= H:
+                continue
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        c = len(dist) - 1
+        s = sum(dist.values())
+        want[u] = round(c / s, 6) if s > 0 else 0.0
+
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    for state in ("driver", "distributed"):
+        got = bounded_closeness(ds, max_hops=H, state=state).to_pandas()
+        got_map = dict(zip(got["node"], got["closeness"]))
+        assert got_map == want, state
+        assert len(got_map) == len(nodes)
+
+
 def test_bounded_harmonic_early_exit_on_converged_bfs():
     # path graph shorter than max_hops: frontier empties early and the
     # loop must break instead of running dead rounds
