@@ -64,40 +64,53 @@ def top_k_per_group(ds: ray.data.Dataset, key: str, value: str, k: int,
 def grouped_quantiles(ds: ray.data.Dataset, key: str, value: str,
                       quantiles: list[float],
                       round_to: int = 6,
-                      method: str = "cont") -> ray.data.Dataset:
+                      method: str = "cont",
+                      num_buckets: int = 64) -> ray.data.Dataset:
     """Exact per-group quantiles: one row per (key, q). Group count
     must be low — each group's values are gathered into one task.
     ``method="cont"`` is linear interpolation (SQL ``quantile_cont``,
     rounded to ``round_to`` on both sides); ``method="disc"`` is the
     smallest data value whose CDF reaches q (SQL ``quantile_disc`` —
-    an actual data point, returned UNrounded so equality is exact)."""
+    an actual data point, returned UNrounded so equality is exact).
+
+    Shuffle shape: ONE coarse-bucket shuffle (keys hash into
+    ``num_buckets`` groups) + a per-key numpy pass inside each bucket —
+    grouping by the real key would make every key its own map_groups
+    task, and on a skewed key the hot group's task both straggles and
+    carries per-task overhead for thousands of tiny siblings."""
     if method not in ("cont", "disc"):
         raise ValueError(f"method must be cont|disc, got {method!r}")
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[value].to_numpy(dtype=np.float64))
-        if method == "cont":
-            qs = [round(float(np.quantile(vals, q, method="linear")),
-                        round_to) for q in quantiles]
-        else:
-            from fractions import Fraction
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction
 
-            n = vals.size
-            # exact decimal ceil: binary-float q*n rounds UP for many
-            # q (0.07 * 100 = 7.000000000000001 -> ceil 8), which would
-            # be off by one vs SQL quantile_disc's exact index. The
-            # shortest-repr Fraction recovers the decimal the caller
-            # (and the SQL literal) wrote.
-            qs = []
-            for q in quantiles:
-                fq = Fraction(str(q)) * n
-                idx = fq.numerator // fq.denominator \
-                    + (1 if fq.numerator % fq.denominator else 0)
-                qs.append(float(vals[max(idx - 1, 0)]))
-        return pd.DataFrame({key: [g[key].iloc[0]] * len(quantiles),
-                             "q": quantiles, "quantile_value": qs})
+        keys_out, q_out, v_out = [], [], []
+        for kval, sub in g.groupby(key, sort=False, dropna=False):
+            vals = np.sort(sub[value].to_numpy(dtype=np.float64))
+            if method == "cont":
+                qs = [round(float(np.quantile(vals, q, method="linear")),
+                            round_to) for q in quantiles]
+            else:
+                n = vals.size
+                # exact decimal ceil: binary-float q*n rounds UP for
+                # many q (0.07 * 100 = 7.000000000000001 -> ceil 8),
+                # off by one vs SQL quantile_disc's exact index. The
+                # shortest-repr Fraction recovers the decimal the
+                # caller (and the SQL literal) wrote.
+                qs = []
+                for q in quantiles:
+                    fq = Fraction(str(q)) * n
+                    idx = fq.numerator // fq.denominator \
+                        + (1 if fq.numerator % fq.denominator else 0)
+                    qs.append(float(vals[max(idx - 1, 0)]))
+            keys_out.extend([kval] * len(quantiles))
+            q_out.extend(quantiles)
+            v_out.extend(qs)
+        return pd.DataFrame({key: keys_out, "q": q_out,
+                             "quantile_value": v_out})
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    return _bucket(ds, key, num_buckets).groupby("__bucket") \
+        .map_groups(per_bucket, batch_format="pandas")
 
 
 def _group_count_capped(ds: ray.data.Dataset, key: str, cap: int) -> int:
@@ -291,18 +304,25 @@ def grouped_percent_rank(ds: ray.data.Dataset, key: str, value: str,
 
 
 def grouped_mad(ds: ray.data.Dataset, key: str, value: str,
-                round_to: int = 6) -> ray.data.Dataset:
+                round_to: int = 6,
+                num_buckets: int = 64) -> ray.data.Dataset:
     """Median absolute deviation per group (robust spread — the
     outlier-resistant sibling of grouped_stats' stddev): median of
     |x - median(x)| with linear interpolation, matching DuckDB
-    ``mad()``. Same contract as :func:`grouped_quantiles`: group count
-    must be low, each group's values gather into one task."""
+    ``mad()``. Same contract and shuffle shape as
+    :func:`grouped_quantiles`: low group count, each group's values
+    gather into one task, ONE coarse-bucket shuffle with a per-key
+    numpy pass per bucket (not one map_groups task per key)."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g[value].to_numpy(dtype=np.float64)
-        med = float(np.quantile(vals, 0.5, method="linear"))
-        mad = round(float(np.quantile(np.abs(vals - med), 0.5,
-                                      method="linear")), round_to)
-        return pd.DataFrame({key: [g[key].iloc[0]], "mad": [mad]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys_out, mad_out = [], []
+        for kval, sub in g.groupby(key, sort=False, dropna=False):
+            vals = sub[value].to_numpy(dtype=np.float64)
+            med = float(np.quantile(vals, 0.5, method="linear"))
+            mad_out.append(round(float(np.quantile(
+                np.abs(vals - med), 0.5, method="linear")), round_to))
+            keys_out.append(kval)
+        return pd.DataFrame({key: keys_out, "mad": mad_out})
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    return _bucket(ds, key, num_buckets).groupby("__bucket") \
+        .map_groups(per_bucket, batch_format="pandas")

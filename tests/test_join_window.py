@@ -169,6 +169,40 @@ def test_grouped_quantiles_matches_numpy():
             assert row["quantile_value"].iloc[0] == want
 
 
+def test_grouped_quantiles_and_mad_skewed_key():
+    """Skewed key distribution (one hot key holding ~90% of rows, many
+    tiny keys, spread over many partitions): the coarse-bucket plan
+    must return exact per-key results — a hot key co-locates into one
+    bucket but never splits."""
+    import numpy as np
+
+    from kgeng.ops.rank import grouped_mad, grouped_quantiles
+
+    rng = np.random.default_rng(31)
+    hot = np.full(18_000, 0, np.int64)
+    cold = rng.integers(1, 101, 2_000)
+    g = np.concatenate([hot, cold])
+    v = rng.random(len(g)) * 1000
+    order = rng.permutation(len(g))
+    g, v = g[order], v[order]
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(16)
+
+    got = grouped_quantiles(ds, "g", "v", [0.25, 0.75]).to_pandas()
+    assert len(got) == 2 * len(np.unique(g))
+    gm = grouped_mad(ds, "g", "v").to_pandas()
+    assert len(gm) == len(np.unique(g))
+    for key in (0, int(cold[0])):
+        vals = v[g == key]
+        for q in (0.25, 0.75):
+            want = round(float(np.quantile(vals, q, method="linear")), 6)
+            row = got[(got["g"] == key) & (got["q"] == q)]
+            assert row["quantile_value"].iloc[0] == want, (key, q)
+        med = float(np.quantile(vals, 0.5, method="linear"))
+        want_mad = round(float(np.quantile(np.abs(vals - med), 0.5,
+                                           method="linear")), 6)
+        assert gm[gm["g"] == key]["mad"].iloc[0] == want_mad, key
+
+
 def test_sessionize_random_matches_reference():
     """Randomized events across many users: the coarse-bucketed
     sessionizer must match a straightforward per-key reference."""
