@@ -34,3 +34,22 @@ class _DropSchemaHashNoise(_logging.Filter):
 _logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
     _DropSchemaHashNoise())
+
+
+class _DropEmptySchemaBundleNoise(_logging.Filter):
+    """Ray's streaming executor warns 'Operator produced a RefBundle
+    with a different schema ... new schema: .' whenever a sort/groupby
+    emits a zero-row, zero-column partition next to full-schema ones —
+    routine for bucketed map_groups plans (every iterative plan B here)
+    and benign (downstream concat skips empties). Dropped ONLY when the
+    new schema is empty; genuine schema drift still surfaces."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: ." in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state").addFilter(
+    _DropEmptySchemaBundleNoise())

@@ -619,11 +619,46 @@ def _hits_distributed(edges: ray.data.Dataset, src: str, dst: str,
         batch_format="pyarrow")
 
 
+def _hll_init_regs(nodes: np.ndarray, p: int) -> np.ndarray:
+    """Initial HyperBall register matrix: each node's ball contains
+    itself — one splitmix64 hash per node sets a single register.
+    Shared by both effective_closeness plans (identical hashes ->
+    identical sketches -> bit-identical estimates)."""
+    from kgeng.ops.agg import _splitmix64
+
+    n, m = len(nodes), 1 << p
+    h = _splitmix64(nodes.astype(np.uint64))
+    idx0 = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
+    bitlen = np.frexp(w.astype(np.float64))[1]
+    rank = (np.uint8(64 - p + 1) - bitlen.astype(np.uint8))
+    rank[w == 0] = np.uint8(64 - p + 1)
+    regs = np.zeros((n, m), np.uint8)
+    if n:
+        regs[np.arange(n), idx0] = rank
+    return regs
+
+
+def _hll_estimate(r: np.ndarray, m: int) -> np.ndarray:
+    """HyperLogLog cardinality estimate per row of a (k, m) uint8
+    register matrix, with the standard small-range linear-counting
+    correction — pure float64 numpy, so both plans agree bit-for-bit
+    on identical registers."""
+    alpha = (0.673 if m == 16 else 0.697 if m == 32 else
+             0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m))
+    est = alpha * m * m / np.power(2.0, -r.astype(np.float64)).sum(axis=1)
+    zeros = (r == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1))
+    return np.where(small, lin, est)
+
+
 def effective_closeness(edges: ray.data.Dataset, src: str = "src",
                         dst: str = "dst", p: int = 6,
                         max_rounds: int = 32, ndigits: int = 6,
-                        max_driver_nodes: int = 50_000_000
-                        ) -> ray.data.Dataset:
+                        max_driver_nodes: int = 50_000_000,
+                        state: str = "auto") -> ray.data.Dataset:
     """Approximate closeness centrality ('effectivecloseness' in the
     reference's Pregel list, arguments.py:187) via the HyperBall method
     (Boldi & Vigna 2013): every node carries a 2^p-register HyperLogLog
@@ -639,54 +674,45 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     broadcasts via ray.put and merges on the driver (node-count bounded
     like the other plan-A vectors). Rounds stop when no register moves.
 
-    EXPLICIT scale cutover: the driver matrix is N x 2^p bytes (3.2 GB
-    at the default p=6 and the 50M-node default bound) — beyond
-    ``max_driver_nodes`` this raises instead of silently swelling the
-    driver. The scale-out paths: lower ``p`` (each -1 halves memory at
-    ~1.04x error), or run per-component/per-partition on a node-id
-    split and union (HyperBall registers union exactly, so a node-space
-    partition is a correct decomposition when each part carries its
-    reachable ball's edges).
+    Scale cutover: the plan-A driver matrix is N x 2^p bytes (3.2 GB
+    at the default p=6 and the 50M-node default bound). Past
+    ``max_driver_nodes``, ``state='auto'`` falls back to plan B
+    (:func:`_effective_closeness_distributed`): registers live as a
+    binary column on a Dataset and each round is one candidate shuffle
+    + one bucketed segment-max merge — node-count unbounded.
+    ``state='driver'`` keeps the old loud raise; ``state='distributed'``
+    forces plan B. Both plans share ``_hll_init_regs`` /
+    ``_hll_estimate`` and elementwise register max is order-invariant,
+    so they agree bit-for-bit.
     """
+    if state == "distributed":
+        return _effective_closeness_distributed(
+            edges, src, dst, p, max_rounds, ndigits)
+    m = 1 << p
     # ONE materialized copy: src-sorted blocks (disjoint source ranges
     # per block) keep each round's per-block output N-bounded in total.
     # The node cutover fires before index staging (inside _IndexedEdges).
     by_src = edges.sort(src).materialize()
-    idx = _IndexedEdges(
-        by_src, None, src, dst, max_nodes=max_driver_nodes,
-        max_nodes_hint=(f"effective_closeness max_driver_nodes="
-                        f"{max_driver_nodes}: the driver register "
-                        f"matrix is n x 2^p bytes. Lower p, raise the "
-                        "bound on a bigger driver, or partition the "
-                        "node space and union the per-part results "
-                        "(registers union exactly)."))
+    try:
+        idx = _IndexedEdges(
+            by_src, None, src, dst, max_nodes=max_driver_nodes,
+            max_nodes_hint=(f"effective_closeness max_driver_nodes="
+                            f"{max_driver_nodes}: the driver register "
+                            f"matrix is n x 2^p bytes. Lower p, raise "
+                            "the bound on a bigger driver, or use "
+                            "state='distributed' (plan B keeps the "
+                            "registers as a Dataset column)."))
+    except ValueError:
+        if state != "auto":
+            raise
+        return _effective_closeness_distributed(
+            by_src, src, dst, p, max_rounds, ndigits)
     nodes, n = idx.nodes, idx.n
-    m = 1 << p
 
-    # init: each node's ball contains itself
-    from kgeng.ops.agg import _splitmix64
-    h = _splitmix64(nodes.astype(np.uint64))
-    idx0 = (h >> np.uint64(64 - p)).astype(np.int64)
-    w = h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1))
-    bitlen = np.frexp(w.astype(np.float64))[1]
-    rank = (np.uint8(64 - p + 1) - bitlen.astype(np.uint8))
-    rank[w == 0] = np.uint8(64 - p + 1)
-    regs = np.zeros((n, m), np.uint8)
-    regs[np.arange(n), idx0] = rank
+    # init: each node's ball contains itself (shared with plan B)
+    regs = _hll_init_regs(nodes, p)
 
-    alpha = (0.673 if m == 16 else 0.697 if m == 32 else
-             0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m))
-
-    def estimate(r: np.ndarray) -> np.ndarray:
-        est = alpha * m * m / np.power(2.0, -r.astype(np.float64)) \
-            .sum(axis=1)
-        zeros = (r == 0).sum(axis=1)
-        small = (est <= 2.5 * m) & (zeros > 0)
-        with np.errstate(divide="ignore"):
-            lin = m * np.log(m / np.maximum(zeros, 1))
-        return np.where(small, lin, est)
-
-    prev_est = estimate(regs)
+    prev_est = _hll_estimate(regs, m)
     sum_dist = np.zeros(n, np.float64)
     # raw-task HyperBall rounds over the indexed src-sorted blocks
     # (_IndexedEdges.ball): each block still emits only its own
@@ -696,7 +722,7 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
         if np.array_equal(new_regs, regs):
             break
         regs = new_regs
-        est = estimate(regs)
+        est = _hll_estimate(regs, m)
         sum_dist += d * np.maximum(est - prev_est, 0.0)
         prev_est = est
 
@@ -706,6 +732,186 @@ def effective_closeness(edges: ray.data.Dataset, src: str = "src",
     clos = _round9(clos, ndigits)
     return ray.data.from_arrow(pa.table({
         "node": pa.array(nodes), "closeness": pa.array(clos)}))
+
+
+def _pack_regs(regs: np.ndarray) -> pa.Array:
+    """(k, m) uint8 register matrix -> fixed_size_binary(m) Arrow
+    array, one zero-copy buffer (no per-row bytes objects)."""
+    k, m = regs.shape
+    buf = pa.py_buffer(np.ascontiguousarray(regs).tobytes())
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(m), k, [None, buf])
+
+
+def _unpack_regs(col, m: int) -> np.ndarray:
+    """fixed_size_binary(m) column -> (k, m) uint8 matrix. Only called
+    on all-valid slices; honors the array offset after filters."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    data = np.frombuffer(a.buffers()[1], np.uint8)
+    off = a.offset * m
+    return data[off:off + len(a) * m].reshape(len(a), m)
+
+
+def _effective_closeness_distributed(
+        edges: ray.data.Dataset, src: str, dst: str, p: int,
+        max_rounds: int, ndigits: int,
+        num_buckets: int = 32) -> ray.data.Dataset:
+    """Plan B HyperBall closeness: the register matrix never touches
+    the driver. State is Dataset(node, regs fixed_size_binary(2^p),
+    est, sum_dist); each round is two bucketed shuffles — (1) state
+    registers co-locate with the edges keyed by destination and emit
+    one candidate register per edge source, (2) candidates co-locate
+    with the standing state and merge by segmented elementwise max
+    (order-invariant, so results are bit-identical to plan A's
+    driver merge; both plans share ``_hll_init_regs`` /
+    ``_hll_estimate``). Only the per-round changed-node COUNT (a
+    scalar sum over the materialized state) reaches the driver.
+    Node-count unbounded; memory per task is one bucket's slice."""
+    from kgeng.ops.agg import _splitmix64
+
+    m = 1 << p
+    B = num_buckets
+    empty = pa.table({
+        "bucket": pa.array([], pa.int64()),
+        "is_state": pa.array([], pa.int8()),
+        "node": pa.array([], pa.int64()),
+        "peer": pa.array([], pa.int64()),
+        "regs": pa.array([], pa.binary(m)),
+        "est": pa.array([], pa.float64()),
+        "sum_dist": pa.array([], pa.float64()),
+        "changed": pa.array([], pa.int64())})
+
+    def bkt(ids: np.ndarray) -> pa.Array:
+        return pa.array((_splitmix64(ids.astype(np.uint64))
+                         % np.uint64(B)).astype(np.int64))
+
+    def rows(bucket, is_state, node, peer, regs, est, sum_dist,
+             changed) -> pa.Table:
+        n = len(node)
+        return pa.table({
+            "bucket": bucket,
+            "is_state": pa.array(np.full(n, is_state, np.int8)),
+            "node": pa.array(node),
+            "peer": (pa.array(peer) if peer is not None
+                     else pa.array(np.zeros(n, np.int64))),
+            "regs": regs if regs is not None else pa.nulls(
+                n, pa.binary(m)),
+            "est": (pa.array(est) if est is not None
+                    else pa.array(np.zeros(n))),
+            "sum_dist": (pa.array(sum_dist) if sum_dist is not None
+                         else pa.array(np.zeros(n))),
+            "changed": (pa.array(changed) if changed is not None
+                        else pa.array(np.zeros(n, np.int64)))})
+
+    # edges as stage-1 rows, bucketed by DESTINATION (the register
+    # provider): materialized once, re-shuffled per round (same shape
+    # as the sibling plan Bs' per-round edge joins)
+    def eproj(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[dst], pa.int64()).to_numpy(zero_copy_only=False)
+        return rows(bkt(v), 0, v, u, None, None, None, None)
+
+    erows = edges.map_batches(eproj, batch_format="pyarrow") \
+        .materialize()
+
+    nodes = _nodes_dataset(
+        erows.map_batches(lambda t: pa.table(
+            {"a": t["node"], "b": t["peer"]}), batch_format="pyarrow"),
+        "a", "b")
+    if nodes.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "closeness": pa.array([], pa.float64())}))
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["node"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        regs = _hll_init_regs(ids, p)
+        return rows(bkt(ids), 1, ids, None, _pack_regs(regs),
+                    _hll_estimate(regs, m), None, None)
+
+    state = nodes.map_batches(init, batch_format="pyarrow") \
+        .materialize()
+
+    def provide(t: pa.Table) -> pa.Table:
+        """Stage 1 group (one v-bucket): emit each edge's destination
+        registers re-addressed to its source node."""
+        sm = pc.equal(t["is_state"], 1)
+        st = t.filter(sm)
+        ed = t.filter(pc.invert(sm))
+        if len(ed) == 0 or len(st) == 0:
+            return empty
+        v_nodes = st["node"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v_nodes, kind="stable")
+        v_sorted = v_nodes[order]
+        regs = _unpack_regs(st["regs"], m)[order]
+        ev = ed["node"].to_numpy(zero_copy_only=False)
+        eu = ed["peer"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v_sorted, ev)
+        # every destination is an endpoint, hence present in state
+        cand = regs[pos]
+        return rows(bkt(eu), 0, eu, None, _pack_regs(cand),
+                    None, None, None)
+
+    def merge(d: int):
+        def _merge(t: pa.Table, _d=d) -> pa.Table:
+            """Stage 2 group (one node-bucket): segmented elementwise
+            max of self + candidate registers, then the HyperBall
+            distance-sum update for round _d."""
+            sm = pc.equal(t["is_state"], 1)
+            st = t.filter(sm)
+            if len(st) == 0:
+                return empty
+            ca = t.filter(pc.invert(sm))
+            s_nodes = st["node"].to_numpy(zero_copy_only=False)
+            order = np.argsort(s_nodes, kind="stable")
+            s_sorted = s_nodes[order]
+            s_regs = _unpack_regs(st["regs"], m)[order]
+            est = st["est"].to_numpy(zero_copy_only=False)[order]
+            sd = st["sum_dist"].to_numpy(zero_copy_only=False)[order]
+            k = len(s_sorted)
+            if len(ca):
+                c_regs = _unpack_regs(ca["regs"], m)
+                pos = np.searchsorted(
+                    s_sorted,
+                    ca["node"].to_numpy(zero_copy_only=False))
+                all_pos = np.concatenate([np.arange(k), pos])
+                all_regs = np.vstack([s_regs, c_regs])
+                o2 = np.argsort(all_pos, kind="stable")
+                ap = all_pos[o2]
+                starts = np.flatnonzero(
+                    np.r_[True, ap[1:] != ap[:-1]])
+                new = np.maximum.reduceat(all_regs[o2], starts, axis=0)
+            else:
+                new = s_regs
+            chg = (new != s_regs).any(axis=1)
+            est_new = _hll_estimate(new, m)
+            sd = sd + _d * np.maximum(est_new - est, 0.0)
+            return rows(bkt(s_sorted), 1, s_sorted, None,
+                        _pack_regs(new), est_new, sd,
+                        chg.astype(np.int64))
+        return _merge
+
+    for d in range(1, max_rounds + 1):
+        cand = erows.union(state).groupby("bucket").map_groups(
+            provide, batch_format="pyarrow")
+        state = cand.union(state).groupby("bucket").map_groups(
+            merge(d), batch_format="pyarrow") \
+            .repartition(B).materialize()
+        if not state.sum("changed"):
+            break
+
+    def fin(t: pa.Table) -> pa.Table:
+        est = t["est"].to_numpy(zero_copy_only=False)
+        sd = t["sum_dist"].to_numpy(zero_copy_only=False)
+        reached = np.maximum(est - 1.0, 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            clos = np.where(sd > 0, reached / sd, 0.0)
+        return pa.table({
+            "node": pc.cast(t["node"], pa.int64()),
+            "closeness": pa.array(_round9(clos, ndigits))})
+
+    return state.map_batches(fin, batch_format="pyarrow")
 
 
 def bellman_ford_rounds(edges: ray.data.Dataset, source: int,

@@ -586,6 +586,14 @@ def test_effective_closeness_tracks_exact_bfs():
     got = run(4)
     assert run(7) == got
 
+    # plan B (registers as a Dataset column, bucketed segment-max
+    # merge) agrees bit-for-bit: shared init/estimate kernels and
+    # order-invariant elementwise register max
+    outb = effective_closeness(
+        ray.data.from_arrow(et).repartition(4),
+        state="distributed").to_pandas()
+    assert dict(zip(outb["node"], outb["closeness"])) == got
+
     adj = collections.defaultdict(set)
     for s, d in zip(src.tolist(), dst.tolist()):
         adj[s].add(d)
@@ -640,9 +648,10 @@ def test_bellman_ford_rounds_matches_reference():
         assert dict(zip(outb["node"], outb["dist"])) == ref, rounds
 
 
-def test_effective_closeness_node_cutover_raises():
-    """Beyond max_driver_nodes the plan-A register matrix must refuse
-    loudly (documented bound), not silently swell the driver."""
+def test_effective_closeness_node_cutover_falls_back():
+    """Beyond max_driver_nodes, state='auto' must fall back to the
+    distributed plan (same answers), while state='driver' keeps the
+    loud refusal (documented bound)."""
     import numpy as np
     import pytest
 
@@ -650,8 +659,14 @@ def test_effective_closeness_node_cutover_raises():
 
     et = pa.table({"src": np.arange(10, dtype=np.int64),
                    "dst": np.arange(1, 11, dtype=np.int64)})
+    full = effective_closeness(ray.data.from_arrow(et)).to_pandas()
+    auto = effective_closeness(
+        ray.data.from_arrow(et), max_driver_nodes=5).to_pandas()
+    assert dict(zip(auto["node"], auto["closeness"])) == \
+        dict(zip(full["node"], full["closeness"]))
     with pytest.raises(ValueError, match="max_driver_nodes"):
-        effective_closeness(ray.data.from_arrow(et), max_driver_nodes=5)
+        effective_closeness(ray.data.from_arrow(et), max_driver_nodes=5,
+                            state="driver")
 
 
 def test_approx_quantiles_degenerate_group_exact():
