@@ -23,6 +23,7 @@ import ray
 
 from kgeng.config import BlockConfig
 from kgeng.ops.block import jaccard
+from kgeng.ops.mat import mat
 
 
 class UnionFind:
@@ -148,9 +149,9 @@ def label_propagation_components(pairs: ray.data.Dataset,
         nbr_lab = hash_join(adj, lab_as_nbr, "nbr").map_batches(
             lambda t: pa.table({"node": t["node"], "label": t["lab"]}),
             batch_format="pyarrow")
-        labels = _rename(nbr_lab.union(labels)
-                         .groupby("node").min("label")) \
-            .repartition(n_blocks).materialize()
+        labels = mat(_rename(nbr_lab.union(labels)
+                             .groupby("node").min("label"))
+                     .repartition(n_blocks))
         cur = fingerprint(labels)
         if cur == prev:
             break

@@ -41,6 +41,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from kgeng.ops.mat import mat
+
 
 def _round9(x, ndigits: int) -> np.ndarray:
     # numpy round is banker's; DuckDB round() is half-away-from-zero.
@@ -333,8 +335,7 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
             out["dang"] = np.where(has, 0.0, out["r"].to_numpy())
             return out[["node", "c", "dang"]]
 
-        rc = rd.map_batches(contrib_row, batch_format="pandas") \
-            .materialize()
+        rc = mat(rd.map_batches(contrib_row, batch_format="pandas"))
         dangling = rc.sum("dang") / n
 
         flow = hash_join(
@@ -373,8 +374,8 @@ def _pagerank_distributed(edges: ray.data.Dataset, src: str, dst: str,
             return out
 
         # cap block growth (iterative loops otherwise double per round)
-        ranks = joined.map_batches(finish, batch_format="pandas") \
-            .repartition(8).materialize()
+        ranks = mat(joined.map_batches(finish, batch_format="pandas")
+                    .repartition(8))
 
     return ranks.map_batches(
         lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
@@ -590,8 +591,8 @@ def _hits_distributed(edges: ray.data.Dataset, src: str, dst: str,
             return pa.table({"node": t["node"], "v": pa.array(v)})
 
         # repartition: iterative flows otherwise double block count
-        return vec.map_batches(fin, batch_format="pyarrow") \
-            .repartition(8).materialize()
+        return mat(vec.map_batches(fin, batch_format="pyarrow")
+                   .repartition(8))
 
     h0 = _round9(np.array([1.0 / np.sqrt(n)]), ndigits)[0]
     hub = nodes.map_batches(
@@ -895,9 +896,9 @@ def _effective_closeness_distributed(
     for d in range(1, max_rounds + 1):
         cand = erows.union(state).groupby("bucket").map_groups(
             provide, batch_format="pyarrow")
-        state = cand.union(state).groupby("bucket").map_groups(
-            merge(d), batch_format="pyarrow") \
-            .repartition(B).materialize()
+        state = mat(cand.union(state).groupby("bucket").map_groups(
+            merge(d), batch_format="pyarrow")
+            .repartition(B))
         if not state.sum("changed"):
             break
 
@@ -1003,7 +1004,7 @@ def _bellman_ford_distributed(edges: ray.data.Dataset, source: int,
                 "dist": pc.add(pc.cast(t["dist"], pa.int64()),
                                pc.cast(t["w"], pa.int64()))}),
             batch_format="pyarrow")
-        dist = dist.union(cand).groupby("node").min("dist") \
+        dist = mat(dist.union(cand).groupby("node").min("dist")
             .map_batches(
                 lambda t: pa.table({
                     "node": pc.cast(t[t.column_names[0]], pa.int64()),
@@ -1011,8 +1012,8 @@ def _bellman_ford_distributed(edges: ray.data.Dataset, source: int,
                 if t.num_columns >= 2 else
                 pa.table({"node": pa.array([], pa.int64()),
                           "dist": pa.array([], pa.int64())}),
-                batch_format="pyarrow") \
-            .repartition(8).materialize()
+                batch_format="pyarrow")
+            .repartition(8))
         cur = (dist.count(), int(dist.sum("dist") or 0))
         if cur == prev:
             break
@@ -1117,7 +1118,8 @@ def _active_deg_block(idx, active: np.ndarray):
 
 
 def scc(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
-        max_driver_nodes: int = 50_000_000) -> ray.data.Dataset:
+        max_driver_nodes: int = 50_000_000,
+        state: str = "auto") -> ray.data.Dataset:
     """Strongly connected components ('scc' in the reference's Pregel
     list, arguments.py:187) via the Pregel-style forward-backward
     COLORING algorithm (Orzan): repeat — TRIM (peel active nodes with
@@ -1132,11 +1134,26 @@ def scc(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     ~5 n-vectors, guarded by ``max_driver_nodes``). Returns
     Dataset(node, scc_id) where scc_id = min node id in the component
     (so the result is partition- and order-invariant by construction).
-    """
-    idx = _IndexedEdges(
-        _bounded_blocks(edges), None, src, dst,
-        max_nodes=max_driver_nodes,
-        max_nodes_hint="scc plan A holds ~5 n-vectors on the driver.")
+
+    Scale cutover: past ``max_driver_nodes`` (or with
+    ``state='distributed'``) it falls back to plan B
+    (:func:`_scc_distributed`) — the same trim / min-label /
+    backward-reach phases as Dataset join rounds, node-count unbounded.
+    Every phase is a set operation or an integer min (order-invariant),
+    so the two plans agree bit-for-bit. ``state='driver'`` keeps the
+    loud raise."""
+    if state == "distributed":
+        return _scc_distributed(edges, src, dst)
+    try:
+        idx = _IndexedEdges(
+            _bounded_blocks(edges), None, src, dst,
+            max_nodes=max_driver_nodes,
+            max_nodes_hint=("scc plan A holds ~5 n-vectors on the "
+                            "driver; use state='distributed'."))
+    except ValueError:
+        if state != "auto":
+            raise
+        return _scc_distributed(edges, src, dst)
     nodes, n = idx.nodes, idx.n
     scc_id = np.full(n, -1, np.int64)
     active = np.ones(n, bool)
@@ -1194,6 +1211,219 @@ def scc(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
         "node": pa.array(nodes), "scc_id": pa.array(scc_id)}))
 
 
+def _distinct_col(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Distinct int64 values of one column, as Dataset(node)."""
+    def pick(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:  # zero-column empty partition
+            return pa.table({"node": pa.array([], pa.int64())})
+        return pa.table({"node": pc.cast(t["node"], pa.int64())})
+
+    return ds.map_batches(
+        lambda t: pa.table({"node": pc.cast(t[col], pa.int64())}),
+        batch_format="pyarrow").groupby("node").count() \
+        .map_batches(pick, batch_format="pyarrow")
+
+
+def _ren(ds: ray.data.Dataset, mapping: dict[str, str],
+         keep: list[str]) -> ray.data.Dataset:
+    """Project+rename helper for the join rounds below: emits ``keep``
+    output columns, each sourced from ``mapping.get(name, name)``."""
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({k: pc.cast(t[mapping.get(k, k)], pa.int64())
+                         for k in keep})
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _ijoin(left, right, key, how, left_cols, right_cols, **kw):
+    """hash_join specialized for the all-int64 iterative plan-B rounds:
+    explicit column NAMES and DTYPES so hash_join never schema-fetches
+    a lazy input (on a plan with a sort/aggregate barrier that fetch
+    EXECUTES the whole join chain once per call — measured 5-10x wall
+    blowup on the scc/slpa round loops before this)."""
+    from kgeng.ops.join import hash_join
+    return hash_join(left, right, key=key, how=how,
+                     left_cols=list(left_cols),
+                     right_cols=list(right_cols),
+                     left_types={c: "int64" for c in left_cols},
+                     right_types={c: "int64" for c in right_cols}, **kw)
+
+
+def _scc_distributed(edges: ray.data.Dataset, src: str,
+                     dst: str) -> ray.data.Dataset:
+    """Plan B SCC: the same trim / forward-min-label / backward-reach
+    phases as plan A, with every n-vector living as a Dataset — only
+    per-round row COUNTS (scalars) reach the driver. Each phase is a
+    set operation (semi/anti joins) or an integer min over a
+    ``union + groupby`` (order-invariant), so the result is
+    bit-identical to plan A's. Node-count unbounded; per-task memory
+    is one hash bucket's slice. Reference bar: server-side Pregel runs
+    'scc' at any N (start_Pregel.py:28-57, arguments.py:187).
+
+    Every per-round rebuild goes through ``repartition(8)`` before
+    ``materialize()`` — each hash_join/groupby emits one block per
+    bucket, so without it the block count COMPOUNDS round over round
+    and the driver's per-bundle polling (~10 ms each) comes to dominate
+    wall time (measured: ~0.5 s/round flat with it, 10 s+/round by
+    round 50 without)."""
+    live = mat(edges.map_batches(
+        lambda t: pa.table({"s": pc.cast(t[src], pa.int64()),
+                            "d": pc.cast(t[dst], pa.int64())}),
+        batch_format="pyarrow"))
+    active = _nodes_dataset(live, "s", "d")       # materialized
+    assigned: ray.data.Dataset | None = None
+
+    def assign(part: ray.data.Dataset) -> None:
+        nonlocal assigned
+        assigned = part if assigned is None else \
+            mat(assigned.union(part).repartition(8))
+
+    while active.count() > 0:
+        # ---- trim loop: peel nodes with zero active in- OR out-degree
+        # (each is its own SCC). 'both' = nodes appearing as BOTH a
+        # source and a destination of a live edge; everything else in
+        # the active set is trivial. Pure semi/anti joins — no nulls.
+        while True:
+            both = _ijoin(_distinct_col(live, "d"),
+                             _distinct_col(live, "s"),
+                             key="node", how="semi",
+                             left_cols=["node"], right_cols=["node"])
+            trivial = mat(_ijoin(active, both, key="node",
+                                 how="anti", left_cols=["node"],
+                                 right_cols=["node"])
+                          .repartition(8))
+            if trivial.count() == 0:
+                break
+            assign(mat(trivial.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "scc_id": t["node"]}),
+                batch_format="pyarrow")))
+            active = mat(_ijoin(active, trivial, key="node",
+                                how="anti", left_cols=["node"],
+                                right_cols=["node"])
+                         .repartition(8))
+            if active.count() == 0:
+                break
+            live = _ijoin(
+                _ren(live, {"node": "s"}, ["node", "d"]), active,
+                key="node", how="semi", left_cols=["node", "d"],
+                right_cols=["node"])
+            live = mat(_ren(
+                _ijoin(_ren(live, {"node": "d", "d": "node"},
+                               ["node", "d"]),
+                          active, key="node", how="semi",
+                          left_cols=["node", "d"],
+                          right_cols=["node"]),
+                {"s": "d", "d": "node"}, ["s", "d"])
+                .repartition(8))
+        if active.count() == 0:
+            break
+
+        # ---- forward min-label coloring to fixpoint (lab init = self)
+        lab = mat(active.map_batches(
+            lambda t: pa.table({"node": t["node"], "lab": t["node"]}),
+            batch_format="pyarrow").repartition(8))
+        while True:
+            # cand[d] = min over live edges s->d of lab[s]
+            cand = _ren(
+                _ijoin(_ren(live, {"node": "s"}, ["node", "d"]),
+                          lab, key="node", how="inner",
+                          left_cols=["node", "d"],
+                          right_cols=["node", "lab"]),
+                {"node": "d"}, ["node", "lab"]) \
+                .groupby("node").min("lab")
+            cand = mat(cand.map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t["node"], pa.int64()),
+                     "m": pc.cast(t["min(lab)"], pa.int64())})
+                if "node" in t.column_names
+                else pa.table({"node": pa.array([], pa.int64()),
+                               "m": pa.array([], pa.int64())}),
+                batch_format="pyarrow").repartition(8))
+            changed = _ijoin(
+                cand, lab, key="node", how="inner",
+                left_cols=["node", "m"],
+                right_cols=["node", "lab"]).map_batches(
+                lambda t: pa.table({"chg": pc.cast(
+                    pc.less(t["m"], t["lab"]), pa.int64())}),
+                batch_format="pyarrow").sum("chg")
+            if not changed:
+                break
+            # new lab = elementwise min(lab, cand): lab covers every
+            # active node, so a union + groupby-min IS the min — and
+            # avoids int-null columns from a left join entirely
+            lab = mat(lab.union(_ren(cand, {"lab": "m"},
+                                     ["node", "lab"]))
+                .groupby("node").min("lab").map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t["node"], pa.int64()),
+                     "lab": pc.cast(t["min(lab)"], pa.int64())})
+                if "node" in t.column_names
+                else pa.table({"node": pa.array([], pa.int64()),
+                               "lab": pa.array([], pa.int64())}),
+                batch_format="pyarrow").repartition(8))
+
+        # ---- backward reachability within colors, from each root
+        reach = mat(lab.map_batches(
+            lambda t: pa.table({"node": t.filter(
+                pc.equal(t["node"], t["lab"]))["node"]}),
+            batch_format="pyarrow"))
+        while True:
+            # new reachers: live v->u with u reached and lab[v]==lab[u]
+            hit = _ijoin(
+                _ren(live, {"node": "d"}, ["s", "node"]), reach,
+                key="node", how="semi", left_cols=["s", "node"],
+                right_cols=["node"])
+            hit = _ijoin(hit, lab, key="node", how="inner",
+                            left_cols=["s", "node"],
+                            right_cols=["node", "lab"])
+            hit = _ijoin(_ren(hit, {"node": "s", "s": "node",
+                                       "labd": "lab"},
+                                 ["node", "labd"]),
+                            lab, key="node", how="inner",
+                            left_cols=["node", "labd"],
+                            right_cols=["node", "lab"])
+            # _ren normalizes the anti-join's pandas blocks back to
+            # arrow (a union of mixed block types breaks the shuffle)
+            newly = mat(_ren(_ijoin(
+                _distinct_col(hit.map_batches(
+                    lambda t: t.filter(pc.equal(t["lab"], t["labd"])),
+                    batch_format="pyarrow"), "node"),
+                reach, key="node", how="anti", left_cols=["node"],
+                right_cols=["node"]), {}, ["node"]))
+            if newly.count() == 0:
+                break
+            reach = mat(reach.union(newly).repartition(8))
+
+        # assign every reached node its color; shrink active + live
+        assign(mat(_ren(_ijoin(reach, lab, key="node", how="inner",
+                               left_cols=["node"],
+                               right_cols=["node", "lab"]),
+                        {"scc_id": "lab"}, ["node", "scc_id"])))
+        active = mat(_ijoin(active, reach, key="node",
+                            how="anti", left_cols=["node"],
+                            right_cols=["node"])
+                     .repartition(8))
+        if active.count() == 0:
+            break
+        live = _ijoin(
+            _ren(live, {"node": "s"}, ["node", "d"]), active,
+            key="node", how="semi", left_cols=["node", "d"],
+            right_cols=["node"])
+        live = mat(_ren(
+            _ijoin(_ren(live, {"node": "d", "d": "node"},
+                           ["node", "d"]),
+                      active, key="node", how="semi",
+                      left_cols=["node", "d"], right_cols=["node"]),
+            {"s": "d", "d": "node"}, ["s", "d"])
+            .repartition(8))
+
+    if assigned is None:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "scc_id": pa.array([], pa.int64())}))
+    return assigned
+
+
 @ray.remote
 def _slpa_block(idx, nodes: np.ndarray, mem: np.ndarray, r: int):
     """One SLPA speak step over a block: edge u->v delivers one label
@@ -1218,7 +1448,8 @@ def _slpa_block(idx, nodes: np.ndarray, mem: np.ndarray, r: int):
 
 def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
          rounds: int = 10, threshold: float = 0.2,
-         max_driver_nodes: int = 20_000_000) -> ray.data.Dataset:
+         max_driver_nodes: int = 20_000_000,
+         state: str = "auto") -> ray.data.Dataset:
     """SLPA overlapping community detection ('slpa' in the reference's
     Pregel list, arguments.py:187-188), deterministic variant: the
     speaker's memory slot is chosen by a hash of (round, speaker id,
@@ -1233,13 +1464,30 @@ def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     Returns Dataset(node, primary_label, n_communities, communities)
     where communities are the labels (node ids) held in >= threshold
     of memory, sorted, '|'-joined. The n x (rounds+1) driver memory
-    matrix is guarded by ``max_driver_nodes`` (1.8 GB at the defaults)."""
-    idx = _IndexedEdges(
-        _bounded_blocks(edges), None, src, dst,
-        max_nodes=max_driver_nodes,
-        max_nodes_hint=(f"slpa plan A holds an n x {rounds + 1} int64 "
-                        "memory matrix on the driver; lower rounds or "
-                        "raise the bound on a bigger driver."))
+    matrix is guarded by ``max_driver_nodes`` (1.8 GB at the defaults).
+
+    Scale cutover: past ``max_driver_nodes`` (or with
+    ``state='distributed'``) it falls back to plan B
+    (:func:`_slpa_distributed`): the memory matrix lives as wide int64
+    columns on a Dataset, each speak round is one edge-memory join +
+    one (listener, label) count shuffle + one bucketed argmax pass —
+    node-count unbounded. The slot hash, counts and (count desc, label
+    asc) tiebreaks are identical, so the plans agree bit-for-bit.
+    ``state='driver'`` keeps the loud raise."""
+    if state == "distributed":
+        return _slpa_distributed(edges, src, dst, rounds, threshold)
+    try:
+        idx = _IndexedEdges(
+            _bounded_blocks(edges), None, src, dst,
+            max_nodes=max_driver_nodes,
+            max_nodes_hint=(f"slpa plan A holds an n x {rounds + 1} "
+                            "int64 memory matrix on the driver; lower "
+                            "rounds, raise the bound, or use "
+                            "state='distributed'."))
+    except ValueError:
+        if state != "auto":
+            raise
+        return _slpa_distributed(edges, src, dst, rounds, threshold)
     nodes, n = idx.nodes, idx.n
     mem = np.zeros((n, rounds + 1), np.int64)
     mem[:, 0] = np.arange(n)
@@ -1297,6 +1545,149 @@ def slpa(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
         "n_communities": pa.array(ncom),
         "communities": pa.array(coms, pa.string()),
     }))
+
+
+def _slpa_post_block(t: pa.Table, rounds: int,
+                     threshold: float) -> pa.Table:
+    """Row-local SLPA post-processing over one memory block: per node,
+    count each label's occurrences across the rounds+1 memory slots,
+    pick the (count desc, label asc) winner, threshold-filter the
+    community set. Shared count/tiebreak logic with plan A's driver
+    pass (labels are node ids here, positions there — nodes[] is
+    sorted, so the orders coincide)."""
+    n, R = len(t), rounds + 1
+    node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.stack([t[f"m{i}"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) for i in range(R)], axis=1)
+    rows = np.repeat(np.arange(n, dtype=np.int64), R)
+    labs = M.reshape(-1)
+    order = np.lexsort((labs, rows))
+    rs, ls = rows[order], labs[order]
+    newrun = np.ones(len(rs), bool)
+    newrun[1:] = (rs[1:] != rs[:-1]) | (ls[1:] != ls[:-1])
+    starts = np.flatnonzero(newrun)
+    cnt = np.diff(np.append(starts, len(rs)))
+    ri, li = rs[starts], ls[starts]
+    o2 = np.lexsort((li, -cnt, ri))
+    ri2, li2 = ri[o2], li[o2]
+    first = np.ones(len(ri2), bool)
+    first[1:] = ri2[1:] != ri2[:-1]
+    prim = np.empty(n, np.int64)
+    prim[ri2[first]] = li2[first]
+    need = int(np.ceil(threshold * R))
+    keep = cnt >= need
+    kr, kl = ri[keep], li[keep]
+    o3 = np.lexsort((kl, kr))
+    kr, kl = kr[o3], kl[o3]
+    ncom = np.bincount(kr, minlength=n).astype(np.int64)
+    bounds = np.searchsorted(kr, np.arange(n + 1))
+    coms = ["|".join(map(str, kl[bounds[i]:bounds[i + 1]]))
+            for i in range(n)]
+    return pa.table({
+        "node": pa.array(node),
+        "primary_label": pa.array(prim),
+        "n_communities": pa.array(ncom),
+        "communities": pa.array(coms, pa.string())})
+
+
+def _slpa_distributed(edges: ray.data.Dataset, src: str, dst: str,
+                      rounds: int, threshold: float,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Plan B SLPA: the n x (rounds+1) label memory lives as wide int64
+    columns on a Dataset (labels are node IDS, not positions — the
+    node array is sorted, so count/tiebreak orders match plan A's
+    position space exactly). Each round: (1) one hash join ships each
+    speaker's current memory row (<= rounds+1 int64s) to its out-edges
+    and picks the slot by the SAME (round, speaker id, listener id)
+    splitmix64 hash as plan A's ``_slpa_block``; (2) one
+    (listener, label) groupby-count; (3) one coarse-bucketed pandas
+    argmax pass ((count desc, label asc) — identical tiebreak);
+    (4) one left join writes the new memory column (silent listeners
+    keep self). Only scalars reach the driver. Node-count unbounded.
+    Reference bar: server-side Pregel runs 'slpa' at any N
+    (start_Pregel.py:28-57, arguments.py:187-188)."""
+    from kgeng.ops.agg import _splitmix64
+    e = mat(edges.map_batches(
+        lambda t: pa.table({"s": pc.cast(t[src], pa.int64()),
+                            "d": pc.cast(t[dst], pa.int64())}),
+        batch_format="pyarrow"))
+    mem = mat(_nodes_dataset(e, "s", "d").map_batches(
+        lambda t: pa.table({"node": t["node"], "m0": t["node"]}),
+        batch_format="pyarrow").repartition(8))
+
+    for r in range(1, rounds + 1):
+        mcols = [f"m{i}" for i in range(r)]
+
+        def speak(t: pa.Table, _r=r, _mc=tuple(mcols)) -> pa.Table:
+            sid = t["node"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            did = pc.cast(t["d"], pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _splitmix64(sid.astype(np.uint64)
+                            ^ (did.astype(np.uint64)
+                               * np.uint64(0x9E3779B97F4A7C15))
+                            ^ np.uint64(_r))
+            slot = (h % np.uint64(_r)).astype(np.int64)
+            M = np.stack([t[c].to_numpy(zero_copy_only=False)
+                          .astype(np.int64) for c in _mc], axis=1)
+            lab = np.take_along_axis(M, slot[:, None], 1)[:, 0]
+            return pa.table({"node": pa.array(did),
+                             "lab": pa.array(lab)})
+
+        spoken = _ijoin(
+            _ren(e, {"node": "s"}, ["node", "d"]), mem, key="node",
+            how="inner", left_cols=["node", "d"],
+            right_cols=["node"] + mcols) \
+            .map_batches(speak, batch_format="pyarrow")
+        counts = spoken.groupby(["node", "lab"]).count()
+
+        def bkt(t: pa.Table) -> pa.Table:
+            if "node" not in t.column_names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "lab": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64()),
+                                 "__b": pa.array([], pa.int64())})
+            node = pc.cast(t["node"], pa.int64())
+            b = _splitmix64(node.to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)) \
+                % np.uint64(num_buckets)
+            return pa.table({"node": node,
+                             "lab": pc.cast(t["lab"], pa.int64()),
+                             "c": pc.cast(t["count()"], pa.int64()),
+                             "__b": pa.array(b.astype(np.int64))})
+
+        def best(df: "pd.DataFrame") -> pa.Table:
+            df = df.sort_values(["node", "c", "lab"],
+                                ascending=[True, False, True])
+            df = df.drop_duplicates("node", keep="first")
+            return pa.table({
+                "node": pa.array(df["node"].to_numpy(np.int64)),
+                "w": pa.array(df["lab"].to_numpy(np.int64))})
+
+        winners = counts.map_batches(bkt, batch_format="pyarrow") \
+            .groupby("__b").map_groups(best, batch_format="pandas")
+
+        def upd(t: pa.Table, _col=f"m{r}") -> pa.Table:
+            w = t["w"] if "w" in t.column_names \
+                else pa.nulls(len(t), pa.int64())
+            if pa.types.is_floating(w.type):
+                # unmatched rows of a pandas left merge surface as NaN
+                w = pc.if_else(pc.is_nan(w),
+                               pa.nulls(len(t), pa.float64()), w)
+            w = pc.cast(w, pa.int64())
+            out = {c: t[c] for c in t.column_names if c != "w"}
+            out[_col] = pc.coalesce(w, pc.cast(t["node"], pa.int64()))
+            return pa.table(out)
+
+        mem = mat(_ijoin(mem, winners, key="node", how="left",
+                         left_cols=["node"] + mcols,
+                         right_cols=["node", "w"])
+                  .map_batches(upd, batch_format="pyarrow")
+                  .repartition(8))
+
+    return mem.map_batches(
+        lambda t: _slpa_post_block(t, rounds, threshold),
+        batch_format="pyarrow")
 
 
 # ----------------------------------------------- bounded harmonic (exact)
@@ -1553,9 +1944,9 @@ def _bounded_bfs_plan(edges: ray.data.Dataset, src: str, dst: str,
         # map_batches rename (Dataset.rename_columns breaks on the
         # pandas blocks a groupby emits) + repartition: iterative
         # union/groupby loops otherwise double the block count per round
-        visited = merged.map_batches(
+        visited = mat(merged.map_batches(
             lambda t: t.rename_columns(["root", "node", "dist"]),
-            batch_format="pyarrow").repartition(num_buckets).materialize()
+            batch_format="pyarrow").repartition(num_buckets))
         rows = visited.count()
         if rows == prev_rows:
             break
@@ -1935,7 +2326,7 @@ def k_core(edges: ray.data.Dataset, k: int, src: str = "src",
     for _ in range(max_rounds):
         if e.count() == 0:
             break
-        degs = _undirected_degrees(e).materialize()
+        degs = mat(_undirected_degrees(e))
         bad = degs.filter(expr=f"deg < {k}")
         n_bad = bad.count()
         if n_bad == 0:
@@ -1960,7 +2351,7 @@ def k_core(edges: ray.data.Dataset, k: int, src: str = "src",
                                          == v)
                 return t.filter(pa.array(~(hit_u | hit_v)))
 
-            e = e.map_batches(drop, batch_format="pyarrow").materialize()
+            e = mat(e.map_batches(drop, batch_format="pyarrow"))
         else:
             keep = degs.filter(expr=f"deg >= {k}") \
                 .select_columns(["node"])
@@ -1969,12 +2360,12 @@ def k_core(edges: ray.data.Dataset, k: int, src: str = "src",
                     lambda t: t.rename_columns(["u"]),
                     batch_format="pyarrow"),
                 key="u", how="semi", num_buckets=num_buckets)
-            e = hash_join(
+            e = mat(hash_join(
                 e1, keep.map_batches(
                     lambda t: t.rename_columns(["v"]),
                     batch_format="pyarrow"),
                 key="v", how="semi",
-                num_buckets=num_buckets).materialize()
+                num_buckets=num_buckets))
     else:
         raise RuntimeError(
             f"k_core did not converge within {max_rounds} rounds "

@@ -91,7 +91,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
               suffix: str = "_r", salt: int = 1,
               max_bucket_rows: int | None = None,
               left_cols: list[str] | None = None,
-              right_cols: list[str] | None = None) -> ray.data.Dataset:
+              right_cols: list[str] | None = None,
+              left_types: dict | None = None,
+              right_types: dict | None = None) -> ray.data.Dataset:
     """Hash-partitioned equi-join of two Datasets on ``key``.
 
     Column collisions on the right side get ``suffix``. ``how`` is any
@@ -110,6 +112,13 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     salt as ceil(left_count / max_bucket_rows) (counts the left side
     first), guaranteeing no merge group holds more than ~max_bucket_rows
     left rows even if every row shares one key.
+
+    ``left_types``/``right_types`` (col -> 'int64'|'float64') skip the
+    dtype-stabilizing schema fetch — on a LAZY input, ``.schema()``
+    EXECUTES the plan up to a limit (a full run for any plan containing
+    a sort/aggregate barrier), so iterative callers that join every
+    round must pass them (with ``left_cols``/``right_cols``, which skip
+    the name fetch the same way) or pay each join's cost twice.
     """
     if max_bucket_rows is not None:
         n_left = left.count()
@@ -185,10 +194,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     # intersect with the projected column lists: a lazy plan's
     # base_schema can report PRE-projection columns, and reindex would
     # then manufacture an all-NaN column that astype(int64) rejects
-    ltypes = {c: t for c, t in _numeric_dtypes(left).items()
-              if c in lcols}
-    rtypes = {c: t for c, t in _numeric_dtypes(right).items()
-              if c in rcols}
+    ltypes = dict(left_types) if left_types is not None else \
+        {c: t for c, t in _numeric_dtypes(left).items() if c in lcols}
+    rtypes = dict(right_types) if right_types is not None else \
+        {c: t for c, t in _numeric_dtypes(right).items() if c in rcols}
     int_right = [c for c, t in rtypes.items()
                  if t == "int64" and c != key]
     # full outer: unmatched right rows null the LEFT side too, so left

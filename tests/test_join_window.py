@@ -932,6 +932,80 @@ def test_slpa_partition_invariant_and_overlapping():
     assert a.loc[a["node"] == 4, "n_communities"].iloc[0] >= 2
 
 
+def test_scc_distributed_matches_plan_a_and_cutover():
+    """Plan B SCC (Dataset join rounds) must agree bit-for-bit with
+    plan A (every phase is a set op or an integer min), the auto
+    cutover must fall back to it, and state='driver' must keep the
+    loud raise."""
+    import numpy as np
+    import pytest
+
+    from kgeng.ops.graph import scc
+
+    rng = np.random.default_rng(61)
+    src = rng.integers(0, 40, 150).astype(np.int64).tolist()
+    dst = rng.integers(0, 40, 150).astype(np.int64).tolist()
+    src += [50, 51, 52, 60, 61]
+    dst += [51, 52, 50, 61, 60]
+    et = pa.table({"src": pa.array(src, pa.int64()),
+                   "dst": pa.array(dst, pa.int64())})
+
+    plan_a = scc(ray.data.from_arrow(et).repartition(4)).to_pandas()
+    plan_b = scc(ray.data.from_arrow(et).repartition(4),
+                 state="distributed").to_pandas()
+    assert dict(zip(plan_b["node"], plan_b["scc_id"])) == \
+        dict(zip(plan_a["node"], plan_a["scc_id"]))
+    auto = scc(ray.data.from_arrow(et).repartition(4),
+               max_driver_nodes=5).to_pandas()
+    assert dict(zip(auto["node"], auto["scc_id"])) == \
+        dict(zip(plan_a["node"], plan_a["scc_id"]))
+    with pytest.raises(ValueError, match="driver bound"):
+        scc(ray.data.from_arrow(et), max_driver_nodes=5,
+            state="driver")
+
+
+def test_slpa_distributed_matches_plan_a_and_cutover():
+    """Plan B SLPA (wide-column memory Dataset) must agree bit-for-bit
+    with plan A — same slot hash, same counts, same (count desc, label
+    asc) tiebreaks — including the overlapping communities string; the
+    auto cutover must fall back; state='driver' keeps the raise."""
+    import numpy as np
+    import pytest
+
+    from kgeng.ops.graph import slpa
+
+    # two 5-cliques sharing node 4, plus random noise edges
+    src, dst = [], []
+    for grp in (range(0, 5), range(4, 9)):
+        for a in grp:
+            for b in grp:
+                if a != b:
+                    src.append(a)
+                    dst.append(b)
+    rng = np.random.default_rng(17)
+    src += rng.integers(0, 20, 40).astype(np.int64).tolist()
+    dst += rng.integers(0, 20, 40).astype(np.int64).tolist()
+    et = pa.table({"src": pa.array(src, pa.int64()),
+                   "dst": pa.array(dst, pa.int64())})
+
+    def norm(df):
+        return df.sort_values("node").reset_index(drop=True)
+
+    plan_a = norm(slpa(ray.data.from_arrow(et).repartition(4),
+                       rounds=7, threshold=0.2).to_pandas())
+    plan_b = norm(slpa(ray.data.from_arrow(et).repartition(4),
+                       rounds=7, threshold=0.2,
+                       state="distributed").to_pandas())
+    pd.testing.assert_frame_equal(plan_a, plan_b)
+    auto = norm(slpa(ray.data.from_arrow(et).repartition(4),
+                     rounds=7, threshold=0.2,
+                     max_driver_nodes=5).to_pandas())
+    pd.testing.assert_frame_equal(plan_a, auto)
+    with pytest.raises(ValueError, match="driver bound"):
+        slpa(ray.data.from_arrow(et), rounds=7, max_driver_nodes=5,
+             state="driver")
+
+
 def test_line_graph_exact_above_2_53_packing():
     """Packed line-node ids exceed 2^53; the halves-through-the-join
     path must keep them exact (a packed int64 pushed through the
