@@ -25,6 +25,114 @@ from kgeng import queries as Q  # noqa: E402
 from kgeng.synth.corpus import corpus_dir_for  # noqa: E402
 
 
+def _sql_vec(v) -> str:
+    """A DOUBLE[] literal with shortest-round-trip reprs: DuckDB parses
+    each decimal back to the bit-identical float64."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _lsh_oracle_sql(num_planes: int = 4, num_tables: int = 16,
+                    dim: int = 64, seed: int = 99, k: int = 5,
+                    n_queries: int = 4) -> str:
+    """Independent SQL recomputation of ``lsh_topk``'s ann_topk_lsh
+    entry: the seeded hyperplanes are embedded as literals (they depend
+    only on the seed, never the data); signatures, bucket-candidate
+    pruning, and in-candidate cosine top-k are all recomputed in SQL.
+    Sign bits use RAW dot products — normalization is a positive
+    per-row scale, so sign(normalized . plane) == sign(raw . plane)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal(
+        (num_tables, num_planes, dim))
+    rows = ",\n              ".join(
+        f"({tb}, {p}, {_sql_vec(planes[tb, p])})"
+        for tb in range(num_tables) for p in range(num_planes))
+    return f"""
+        WITH planes(tb, p, vec) AS (VALUES
+              {rows}),
+        sig AS (
+          SELECT e.vec_id, pl.tb,
+                 sum(CASE WHEN list_dot_product(
+                         CAST(e.embedding AS DOUBLE[]), pl.vec) > 0
+                     THEN (1::BIGINT << pl.p) ELSE 0 END) AS s
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.tb),
+        q AS (SELECT vec_id AS query_id
+              FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+        cand AS (
+          SELECT DISTINCT qs.vec_id AS query_id, s.vec_id
+          FROM sig qs
+          JOIN q ON q.query_id = qs.vec_id
+          JOIN sig s ON s.tb = qs.tb AND s.s = qs.s)
+        SELECT c.query_id, c.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(qe.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        QUALIFY row_number() OVER (
+          PARTITION BY c.query_id
+          ORDER BY round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(qe.embedding AS DOUBLE[])), 6) DESC,
+                   c.vec_id) <= {k}
+    """
+
+
+def _ivf_oracle_sql(nprobe: int = 6, k: int = 5,
+                    n_queries: int = 4) -> str:
+    """Independent SQL recomputation of the explicit-codebook
+    ``ann_topk_ivf`` entry: the codebook (seeded, data-independent —
+    kgeng.queries.ann_ivf_codebook) is embedded as literals; cell
+    assignment (argmax dot, tie -> lowest cell), nprobe probe-set
+    ranking, and in-cell cosine top-k are recomputed in SQL. Raw dots
+    rank identically to the kernel's normalized dots (positive per-row
+    scale)."""
+    cents = Q.ann_ivf_codebook()
+    rows = ",\n              ".join(
+        f"({ci}, {_sql_vec(cents[ci])})" for ci in range(len(cents)))
+    return f"""
+        WITH cents(ci, vec) AS (VALUES
+              {rows}),
+        cell AS (
+          SELECT vec_id, ci FROM (
+            SELECT e.vec_id, c.ci,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(
+                        CAST(e.embedding AS DOUBLE[]), c.vec) DESC,
+                        c.ci) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id
+              FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+        qcell AS (
+          SELECT query_id, ci FROM (
+            SELECT q.query_id, c.ci,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_dot_product(
+                        CAST(qe.embedding AS DOUBLE[]), c.vec) DESC,
+                        c.ci) AS rn
+            FROM q JOIN embeddings qe ON qe.vec_id = q.query_id
+                   CROSS JOIN cents c)
+          WHERE rn <= {nprobe})
+        SELECT qc.query_id, cl.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(qe.embedding AS DOUBLE[])), 6) AS sim
+        FROM qcell qc
+        JOIN cell cl ON cl.ci = qc.ci
+        JOIN embeddings e ON e.vec_id = cl.vec_id
+        JOIN embeddings qe ON qe.vec_id = qc.query_id
+        QUALIFY row_number() OVER (
+          PARTITION BY qc.query_id
+          ORDER BY round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(qe.embedding AS DOUBLE[])), 6) DESC,
+                   cl.vec_id) <= {k}
+    """
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: synthesize the
     interleaved corpus, run extract -> link -> block -> canonicalize ->
@@ -896,6 +1004,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(q.embedding AS DOUBLE[])), 6) DESC,
                        e.vec_id) <= 5
         """,
+        "ann_topk_lsh": _lsh_oracle_sql(),
+        "ann_topk_ivf": _ivf_oracle_sql(),
         # compat path: golden written by the pure-Python oracle
         "compat_edge_list_edges": f"""
             SELECT "_from", "_to", weight
@@ -1221,7 +1331,7 @@ def oracle_sql() -> dict[str, str]:
                    min(props), max(props) FROM events
         """,
         # rows-only (non-SQL-expressible): doc_fingerprints,
-        # minhash_dedup_docs, simhash_docs, ann_topk_lsh, media_features,
+        # simhash_docs, media_features,
         # kg_mention_stats, corpus_top_terms_approx (sketch estimate;
         # exact-regime parity + error-bound pytests instead),
         # parts_k_core (iterative peeling, data-dependent round count;

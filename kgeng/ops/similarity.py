@@ -233,11 +233,23 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
              k: int = 10, emb_col: str = "embedding", id_col: str = "vec_id",
              num_cells: int = 16, nprobe: int = 4,
              sample_size: int = 2048, seed: int = 5,
-             round_to: int = 6) -> ray.data.Dataset:
+             round_to: int = 6,
+             centroids: np.ndarray | None = None) -> ray.data.Dataset:
     """IVF (inverted-file) approximate top-k — the other scale path next to
     ``lsh_topk``: coarse k-means cells built once from a driver-side sample
     and broadcast; each block scores a query only against its vectors in
-    the query's ``nprobe`` nearest cells. Recall < 1 by construction."""
+    the query's ``nprobe`` nearest cells. Recall < 1 by construction.
+
+    ``centroids`` (optional, (cells, dim)) supplies an explicit codebook
+    — the production IVF shape where cells are trained offline — and
+    skips the sample + k-means pass entirely. Cell assignment ranks by
+    raw dot product (argmax is scale-invariant for unit-norm inputs),
+    which also makes the explicit-codebook path SQL-expressible: the
+    ``ann_topk_ivf`` registry oracle embeds the codebook as literals."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        return _ivf_score(ds, queries, query_ids, cents, k, emb_col,
+                          id_col, nprobe, round_to)
     # deterministic pseudo-random sample: lowest pandas-hash ids, NOT
     # the first N rows — a sorted/clustered corpus prefix would place
     # every centroid in one region and collapse recall
@@ -258,6 +270,17 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
     sample = _normalize(np.asarray(
         [r[emb_col] for r in sample_rows], dtype=np.float64))
     cents = _kmeans(sample, num_cells, seed=seed)
+    return _ivf_score(ds, queries, query_ids, cents, k, emb_col,
+                      id_col, nprobe, round_to)
+
+
+def _ivf_score(ds: ray.data.Dataset, queries: np.ndarray,
+               query_ids: list, cents: np.ndarray, k: int,
+               emb_col: str, id_col: str, nprobe: int,
+               round_to: int) -> ray.data.Dataset:
+    """Shared IVF scoring pass: broadcast (queries, centroids, probe
+    cells) once, score each block's vectors only against queries whose
+    probe set contains the vector's cell."""
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     state_ref = ray.put((qn, list(query_ids), cents, q_cells))

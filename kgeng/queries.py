@@ -1850,11 +1850,27 @@ def custs_without_big_orders(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def ann_ivf_codebook(num_cells: int = 16, dim: int = 64,
+                     seed: int = 55) -> "np.ndarray":
+    """The fixed IVF codebook for the ``ann_topk_ivf`` registry entry:
+    seeded random unit centroids, shared verbatim (as SQL literals) by
+    the DuckDB oracle so cell assignment + nprobe pruning + in-cell
+    cosine top-k are all independently recomputable in SQL. The
+    data-trained (k-means) path stays the default for ``ivf_topk``."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((num_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 def ann_topk_ivf(sf_dir: str):
-    """IVF-cell approximate ANN — the second scale path (rows-only)."""
+    """IVF-cell approximate ANN — the second scale path. This registry
+    entry uses the explicit (production-style, trained-offline) codebook
+    from :func:`ann_ivf_codebook` so the DuckDB oracle can verify it
+    end-to-end; k-means-trained cells are covered by recall tests."""
     emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     q, qids = _load_queries(sf_dir)
-    return sim_ops.ivf_topk(emb, q, qids, k=5, num_cells=16, nprobe=6)
+    return sim_ops.ivf_topk(emb, q, qids, k=5, num_cells=16, nprobe=6,
+                            centroids=ann_ivf_codebook())
 
 
 def doc_length_histogram(sf_dir: str):
