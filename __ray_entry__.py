@@ -448,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
         "lang_id_pred": Q.lang_id_oracle_sql(),
+        "doc_fingerprints": Q.fingerprint_oracle_sql(k=4, window=8),
         "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
         "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
@@ -1330,7 +1331,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT props), NULL, NULL, NULL, NULL,
                    min(props), max(props) FROM events
         """,
-        # rows-only (non-SQL-expressible): doc_fingerprints,
+        # rows-only (non-SQL-expressible):
         # simhash_docs, media_features,
         # kg_mention_stats, corpus_top_terms_approx (sketch estimate;
         # exact-regime parity + error-bound pytests instead),

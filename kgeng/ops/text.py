@@ -307,6 +307,53 @@ def redact_pii(ds: ray.data.Dataset, col: str = "text",
 # ------------------------------------------------------- decontamination
 
 _GRAM_MIX = np.uint64(0x100000001B3)
+_TOKHASH_INIT = np.uint64(0xCBF29CE484222325)
+_GRAM_MIX_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _hash_tokens(tokens) -> np.ndarray:
+    """SQL-expressible 64-bit string hash, vectorized: fold
+    ``h = h*P + codepoint (mod 2^64)`` over each string's characters
+    from the FNV-64 offset basis (P = the FNV-64 prime, odd). Exactly
+    reproducible in DuckDB as ``list_reduce`` over ``unicode(s[i])``
+    with HUGEINT arithmetic — the reason ``pd.util.hash_array``
+    (SipHash with a private key) was replaced: the doc_fingerprints
+    oracle must recompute the hash in SQL.
+
+    Vectorization: tokens are length-sorted and processed in 64k
+    chunks; each chunk packs into a ``(n, maxlen)`` uint32 codepoint
+    matrix (numpy ``U`` layout, zero-padded), ONE fused column fold
+    treats padding as real codepoint-0 chars, then a single multiply
+    by ``P^-pad`` (P odd => invertible mod 2^64) strips the padding
+    algebraically — no per-token mask inside the loop. Embedded NULs
+    hash as codepoint 0, same as SQL's ``unicode``."""
+    n = len(tokens)
+    out = np.empty(n, np.uint64)
+    if n == 0:
+        return out
+    toks = np.asarray(tokens, dtype=object)
+    lens = np.fromiter(map(len, toks), np.int64, n)
+    order = np.argsort(lens, kind="stable")
+    for s in range(0, n, 1 << 16):
+        idx = order[s:s + (1 << 16)]
+        sub = np.asarray(toks[idx].tolist(), dtype="U")
+        m = len(idx)
+        ml = sub.dtype.itemsize // 4
+        if ml == 0:                      # all-empty chunk
+            out[idx] = _TOKHASH_INIT
+            continue
+        cps = sub.view(np.uint32).reshape(m, ml).astype(np.uint64)
+        h = np.full(m, _TOKHASH_INIT, np.uint64)
+        for j in range(ml):
+            h *= _GRAM_MIX
+            h += cps[:, j]
+        pinv = np.empty(ml + 1, np.uint64)
+        pinv[0] = 1
+        np.multiply.accumulate(
+            np.full(ml, _GRAM_MIX_INV, np.uint64), out=pinv[1:])
+        h *= pinv[ml - lens[idx]]
+        out[idx] = h
+    return out
 
 
 def token_gram_hashes(texts: list[str | None], n: int = 8
@@ -316,13 +363,11 @@ def token_gram_hashes(texts: list[str | None], n: int = 8
     delimiting doc d's windows. Docs with fewer than ``n`` tokens emit
     ZERO windows (unlike the minhash shingler, which pads — here the
     semantics must match SQL's generate_series gram expansion exactly).
-    Same vectorized shape as dedup.word_shingle_hashes: one C-level
-    token-hash pass, sliding polynomial over the flat array, cross-doc
-    windows discarded. 64-bit width keeps the corpus-x-benchmark
-    collision expectation ~1e-11 (32 bits would make oracle-visible
-    false flags likely)."""
-    import pandas as pd
-
+    Same vectorized shape as dedup.word_shingle_hashes: one vectorized
+    token-hash pass (:func:`_hash_tokens`, SQL-reproducible), sliding
+    polynomial over the flat array, cross-doc windows discarded.
+    64-bit width keeps the corpus-x-benchmark collision expectation
+    ~1e-11 (32 bits would make oracle-visible false flags likely)."""
     tok_lists = [(x or "").split() for x in texts]
     n_docs = len(tok_lists)
     lens = np.fromiter(map(len, tok_lists), np.int64, n_docs)
@@ -338,7 +383,7 @@ def token_gram_hashes(texts: list[str | None], n: int = 8
     for toks in tok_lists:
         flat[pos:pos + len(toks)] = toks
         pos += len(toks)
-    th = pd.util.hash_array(flat)                   # uint64, C-level
+    th = _hash_tokens(flat)                         # uint64, vectorized
     tok_starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=tok_starts[1:])
     W = L - n + 1
@@ -389,14 +434,17 @@ def contamination_flags(ds: ray.data.Dataset, bench_texts: list[str],
 
 # --------------------------------------------------------- fingerprinting
 
-def _fmix64(x: np.ndarray) -> np.ndarray:
-    """Murmur3 64-bit finalizer (vectorized, wrapping uint64)."""
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SQL-expressible output finalizer (xorshift-multiply-xorshift
+    with the xorshift* multiplier, which is < 2^62 so the DuckDB
+    oracle's ``(x * c) % 2^64`` stays inside HUGEINT/int128 without a
+    split mulmod). Replaces the Murmur3 fmix64 used before round 5 —
+    Murmur's constants are >= 2^63 and would overflow int128 when
+    multiplied by a 64-bit value."""
     x = x.astype(np.uint64, copy=True)
     x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(33)
+    x *= np.uint64(0x2545F4914F6CDD1D)
+    x ^= x >> np.uint64(29)
     return x
 
 
@@ -405,17 +453,18 @@ def _doc_fingerprint(text: str, k: int = 4, window: int = 8) -> int:
     (kept as the parity oracle for the vectorized batch kernel): min of
     each sliding window of token k-gram polynomial hashes, XOR of the
     distinct window mins (order/multiplicity-invariant, so the batch
-    kernel can fold with reduceat), murmur-finalized, masked to 63
-    bits (int64-safe for Ray shuffle boundaries)."""
-    import pandas as pd
-
+    kernel can fold with reduceat), xorshift-multiply finalized,
+    masked to 63 bits (int64-safe for Ray shuffle boundaries). Every
+    primitive (charwise token hash, gram polynomial, window min, XOR
+    fold, finalizer) is reproducible in DuckDB SQL — see
+    ``kgeng.queries.fingerprint_oracle_sql``."""
     toks = text.split()
     M = (1 << 64) - 1
     if len(toks) < k:
-        acc = int(pd.util.hash_array(
+        acc = int(_hash_tokens(
             np.array([" ".join(toks)], object))[0])
     else:
-        th = pd.util.hash_array(np.array(toks, object))
+        th = _hash_tokens(np.array(toks, object))
         grams = []
         for i in range(len(toks) - k + 1):
             g = int(th[i])
@@ -430,7 +479,7 @@ def _doc_fingerprint(text: str, k: int = 4, window: int = 8) -> int:
         acc = 0
         for m in mins:
             acc ^= m
-    return int(_fmix64(np.array([acc], np.uint64))[0]) & ((1 << 63) - 1)
+    return int(_mix64(np.array([acc], np.uint64))[0]) & ((1 << 63) - 1)
 
 
 def doc_fingerprints_batch(texts: list, k: int = 4, window: int = 8
@@ -442,8 +491,6 @@ def doc_fingerprints_batch(texts: list, k: int = 4, window: int = 8
     arithmetic, per-doc dedup via lexsort + first-in-run, and an
     order-invariant XOR fold via bitwise_xor.reduceat. Short docs
     (< k tokens) hash their joined tokens. Returns int64 (63-bit)."""
-    import pandas as pd
-
     flat, bounds = token_gram_hashes(texts, k)
     n = len(texts)
     nw = np.diff(bounds)
@@ -453,7 +500,7 @@ def doc_fingerprints_batch(texts: list, k: int = 4, window: int = 8
     if short.any():
         joined = np.array([" ".join((texts[i] or "").split())
                            for i in np.where(short)[0]], object)
-        res[short] = pd.util.hash_array(joined)
+        res[short] = _hash_tokens(joined)
 
     nonempty = np.where(nw > 0)[0]
     if len(nonempty):
@@ -486,7 +533,7 @@ def doc_fingerprints_batch(texts: list, k: int = 4, window: int = 8
             starts_idx = np.flatnonzero(seg)
             res[dr[starts_idx]] = np.bitwise_xor.reduceat(v, starts_idx)
 
-    return (_fmix64(res) & np.uint64((1 << 63) - 1)).astype(np.int64)
+    return (_mix64(res) & np.uint64((1 << 63) - 1)).astype(np.int64)
 
 
 def add_fingerprint(ds: ray.data.Dataset, col: str = "text",

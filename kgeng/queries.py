@@ -1946,6 +1946,92 @@ def lang_id_oracle_sql() -> str:
     """
 
 
+def fingerprint_oracle_sql(k: int = 4, window: int = 8) -> str:
+    """DuckDB oracle for the winnowing document fingerprint
+    (ops/text.py:doc_fingerprints_batch), recomputing every hash
+    primitive in SQL — possible since round 5 swapped the token hash
+    from pandas' keyed SipHash to a charwise polynomial and the
+    finalizer from Murmur3 fmix64 to an xorshift* mix whose constants
+    stay inside int128 under HUGEINT arithmetic:
+
+    - token hash: fold ``h = (h*P + unicode(char)) mod 2^64`` from the
+      FNV offset basis (``list_reduce`` with a prepended init);
+    - gram hash: the same polynomial over ``k`` consecutive token
+      hashes (unrolled — k is a compile-time constant);
+    - winnowing: min of each ``window``-wide slice of the gram list,
+      XOR of the DISTINCT window mins (BIGINT two's-complement hop for
+      ``xor``), single global min when #grams <= window, joined-token
+      charwise hash when #tokens < k;
+    - finalize: ``x ^= x>>33; x *= 0x2545F4914F6CDD1D; x ^= x>>29``,
+      masked to 63 bits.
+
+    All mod-2^64 products fit int128 directly: both multipliers are
+    < 2^62 and operands < 2^64."""
+    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
+    P = "1099511628211"                             # FNV-64 prime, 2^40ish
+    INIT = "CAST('14695981039346656037' AS HUGEINT)"  # FNV offset basis
+    PF = "CAST('2685821657736338717' AS HUGEINT)"   # xorshift* mult < 2^62
+
+    def tokhash(s: str) -> str:
+        return (f"list_reduce(list_prepend({INIT}, "
+                f"list_transform(generate_series(1, length({s})), "
+                f"i -> CAST(unicode(({s})[i]) AS HUGEINT))), "
+                f"(a, c) -> (a * {P} + c) % {M})")
+
+    def h2b(x: str) -> str:   # HUGEINT in [0,2^64) -> BIGINT (2's comp)
+        return (f"CAST(CASE WHEN ({x}) >= 9223372036854775808 "
+                f"THEN ({x}) - {M} ELSE ({x}) END AS BIGINT)")
+
+    def b2h(x: str) -> str:   # BIGINT -> HUGEINT in [0,2^64)
+        return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {M} "
+                f"ELSE CAST(({x}) AS HUGEINT) END)")
+
+    def xshift(x: str, s: int) -> str:   # x ^ (x >> s), HUGEINT domain
+        return b2h(f"xor({h2b(x)}, {h2b(f'({x}) // {1 << s}')})")
+
+    def finalize(x: str) -> str:         # 63-bit masked mix
+        e = xshift(x, 33)
+        e = f"(({e}) * {PF}) % {M}"
+        e = xshift(e, 29)
+        return f"CAST(({e}) % 9223372036854775808 AS BIGINT)"
+
+    gram = "h[i]"
+    for j in range(1, k):
+        gram = f"(({gram}) * {P} + h[i+{j}]) % {M}"
+    w1 = window - 1
+    mins = (f"list_distinct(list_transform("
+            f"generate_series(1, len(gs) - {w1}), "
+            f"i -> list_min(gs[i:i+{w1}])))")
+    xorfold = b2h(f"list_reduce(list_transform({mins}, "
+                  f"v -> {h2b('v')}), (a, b) -> xor(a, b))")
+    return f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+          FROM documents),
+        th AS (
+          SELECT doc_id, toks,
+                 list_transform(toks, t -> {tokhash('t')}) AS h
+          FROM docs),
+        grams AS (
+          SELECT doc_id, toks,
+                 list_transform(
+                   generate_series(1, greatest(len(h) - {k - 1}, 0)),
+                   i -> {gram}) AS gs
+          FROM th),
+        acc AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN len(toks) < {k}
+                     THEN {tokhash("array_to_string(toks, ' ')")}
+                   WHEN len(gs) <= {window} THEN list_min(gs)
+                   ELSE {xorfold}
+                 END AS a
+          FROM grams)
+        SELECT doc_id, {finalize('a')} AS fingerprint FROM acc
+    """
+
+
 def lineitem_harmonic(sf_dir: str):
     """EXACT 6-hop harmonic centrality over the shared mixed-orientation
     subgraph — the exact verify-stage twin of the HyperBall
