@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_fuzzy_match": Q.parts_fuzzy_match,
         "minhash_dedup_docs": Q.minhash_dedup_docs,
         "doc_fingerprints": Q.doc_fingerprints,
+        "simhash_docs": Q.simhash_docs,
         "docs_weighted_sample": Q.docs_weighted_sample,
         "docs_packed_2k": Q.docs_packed_2k,
         "lineitem_closeness": Q.lineitem_closeness,
@@ -268,7 +269,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "docs_above_median_quality": Q.docs_above_median_quality,
         "doc_length_histogram": Q.doc_length_histogram,
-        "simhash_docs": Q.simhash_docs,
     }
 
 
@@ -449,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_hits": Q.hits_oracle_sql(iters=3),
         "lang_id_pred": Q.lang_id_oracle_sql(),
         "doc_fingerprints": Q.fingerprint_oracle_sql(k=4, window=8),
+        "simhash_docs": Q.simhash_oracle_sql(),
         "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
         "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
@@ -1119,6 +1120,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1
         """,
+        "docs_duplicated_spans": """
+            -- independent reconstruction over span STRINGS (the engine
+            -- counts 63-bit rolling hashes; identical up to hash
+            -- collisions, expectation ~ windows^2 / 2^63 ~ 1e-9 here)
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS tk
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(tk) - 15, 0)),
+                       i -> array_to_string(tk[i:i+15], ' ')) AS spans
+              FROM docs),
+            flat AS (SELECT doc_id, unnest(spans) AS s FROM w),
+            dup AS (SELECT s FROM flat GROUP BY s HAVING count(*) >= 2),
+            hits AS (SELECT f.doc_id, count(*) AS nd
+                     FROM flat f JOIN dup d ON d.s = f.s GROUP BY 1)
+            SELECT w.doc_id,
+                   CAST(len(w.spans) AS BIGINT) AS n_spans,
+                   CAST(coalesce(h.nd, 0) AS BIGINT) AS n_dup_spans,
+                   round(CAST(coalesce(h.nd, 0) AS DOUBLE)
+                         / greatest(len(w.spans), 1), 6) AS dup_fraction
+            FROM w LEFT JOIN hits h ON h.doc_id = w.doc_id
+        """,
         "parts_frequent_pairs": """
             WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                         FROM lineitem)
@@ -1332,7 +1358,7 @@ def oracle_sql() -> dict[str, str]:
                    min(props), max(props) FROM events
         """,
         # rows-only (non-SQL-expressible):
-        # simhash_docs, media_features,
+        # media_features,
         # kg_mention_stats, corpus_top_terms_approx (sketch estimate;
         # exact-regime parity + error-bound pytests instead),
         # parts_k_core (iterative peeling, data-dependent round count;
@@ -1341,7 +1367,6 @@ def oracle_sql() -> dict[str, str]:
         # embedding_kmeans (iterative; reference parity test + pin),
         # embedding_semantic_dup_pairs (kmeans blocking; precision/
         # recall test vs the exact all-pairs + pin),
-        # docs_duplicated_spans (hash-approximate; injected-paragraph
-        # test + pin), docs_curation_pipeline (7-stage composition;
+        # docs_curation_pipeline (7-stage composition;
         # invariants test + pin)
     }

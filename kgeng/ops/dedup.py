@@ -374,9 +374,12 @@ def simhash_batch(texts: list[str], num_bits: int = 64) -> np.ndarray:
     """Batched simhash: one (tokens, bits) matrix per BATCH with a
     segmented ``reduceat`` per-doc bit-sum and matrix bit-packing —
     replaces the per-doc per-bit Python loop (verdict r02 'What's wrong'
-    #2) with three numpy passes. Signatures are bit-identical to the
-    scalar formulation (same crc32 token hash, same mix, same
-    majority-bit rule)."""
+    #2) with three numpy passes. Token hashes are the SQL-expressible
+    charwise polynomial + xorshift* mix from ops/text.py (round 5:
+    crc32 has no DuckDB equivalent; these do, so simhash_docs gained a
+    DuckDB oracle that recomputes the signature bit-for-bit)."""
+    from kgeng.ops.text import _hash_tokens, _mix64
+
     n_docs = len(texts)
     out = np.zeros(n_docs, dtype=np.uint64)
     tok_lists = [(t or "").split() for t in texts]
@@ -384,11 +387,12 @@ def simhash_batch(texts: list[str], num_bits: int = 64) -> np.ndarray:
     L = int(lens.sum())
     if L == 0:
         return out
-    hs = np.fromiter(
-        (zlib.crc32(w.encode()) for toks in tok_lists for w in toks),
-        dtype=np.uint64, count=L)
-    # re-mix crc32 into 64 bits
-    hs = (hs * np.uint64(0x9E3779B97F4A7C15)) ^ (hs >> np.uint64(7))
+    flat = np.empty(L, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    hs = _mix64(_hash_tokens(flat))
     # (tokens, 64) bit matrix straight from the uint64 bytes — C-level,
     # no (tokens, 64) uint64 broadcast intermediate
     bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1,

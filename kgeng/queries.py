@@ -1946,6 +1946,49 @@ def lang_id_oracle_sql() -> str:
     """
 
 
+# --- shared SQL-hash primitives: DuckDB expressions that recompute the
+# engine's SQL-expressible hashes (ops/text.py _hash_tokens / _mix64)
+# with HUGEINT mod-2^64 arithmetic. Both multipliers are < 2^62, so
+# every product of a 64-bit operand fits int128 directly.
+_SQL_M64 = "CAST('18446744073709551616' AS HUGEINT)"      # 2^64
+_SQL_FNV_P = "1099511628211"                               # FNV-64 prime
+_SQL_FNV_INIT = "CAST('14695981039346656037' AS HUGEINT)"  # FNV offset
+_SQL_MIX_P = "CAST('2685821657736338717' AS HUGEINT)"      # xorshift* mult
+
+
+def _sql_tokhash(s: str) -> str:
+    """Charwise polynomial fold = ops/text.py:_hash_tokens."""
+    return (f"list_reduce(list_prepend({_SQL_FNV_INIT}, "
+            f"list_transform(generate_series(1, length({s})), "
+            f"i -> CAST(unicode(({s})[i]) AS HUGEINT))), "
+            f"(a, c) -> (a * {_SQL_FNV_P} + c) % {_SQL_M64})")
+
+
+def _sql_h2b(x: str) -> str:
+    """HUGEINT in [0, 2^64) -> BIGINT (two's complement)."""
+    return (f"CAST(CASE WHEN ({x}) >= 9223372036854775808 "
+            f"THEN ({x}) - {_SQL_M64} ELSE ({x}) END AS BIGINT)")
+
+
+def _sql_b2h(x: str) -> str:
+    """BIGINT -> HUGEINT in [0, 2^64)."""
+    return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + "
+            f"{_SQL_M64} ELSE CAST(({x}) AS HUGEINT) END)")
+
+
+def _sql_xshift(x: str, s: int) -> str:
+    """``x ^ (x >> s)`` in the HUGEINT domain (BIGINT hop for xor)."""
+    return _sql_b2h(
+        f"xor({_sql_h2b(x)}, {_sql_h2b(f'({x}) // {1 << s}')})")
+
+
+def _sql_mix64(x: str) -> str:
+    """Finalizer = ops/text.py:_mix64 (value stays HUGEINT in [0,2^64))."""
+    e = _sql_xshift(x, 33)
+    e = f"(({e}) * {_SQL_MIX_P}) % {_SQL_M64}"
+    return _sql_xshift(e, 29)
+
+
 def fingerprint_oracle_sql(k: int = 4, window: int = 8) -> str:
     """DuckDB oracle for the winnowing document fingerprint
     (ops/text.py:doc_fingerprints_batch), recomputing every hash
@@ -1967,33 +2010,11 @@ def fingerprint_oracle_sql(k: int = 4, window: int = 8) -> str:
 
     All mod-2^64 products fit int128 directly: both multipliers are
     < 2^62 and operands < 2^64."""
-    M = "CAST('18446744073709551616' AS HUGEINT)"   # 2^64
-    P = "1099511628211"                             # FNV-64 prime, 2^40ish
-    INIT = "CAST('14695981039346656037' AS HUGEINT)"  # FNV offset basis
-    PF = "CAST('2685821657736338717' AS HUGEINT)"   # xorshift* mult < 2^62
-
-    def tokhash(s: str) -> str:
-        return (f"list_reduce(list_prepend({INIT}, "
-                f"list_transform(generate_series(1, length({s})), "
-                f"i -> CAST(unicode(({s})[i]) AS HUGEINT))), "
-                f"(a, c) -> (a * {P} + c) % {M})")
-
-    def h2b(x: str) -> str:   # HUGEINT in [0,2^64) -> BIGINT (2's comp)
-        return (f"CAST(CASE WHEN ({x}) >= 9223372036854775808 "
-                f"THEN ({x}) - {M} ELSE ({x}) END AS BIGINT)")
-
-    def b2h(x: str) -> str:   # BIGINT -> HUGEINT in [0,2^64)
-        return (f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {M} "
-                f"ELSE CAST(({x}) AS HUGEINT) END)")
-
-    def xshift(x: str, s: int) -> str:   # x ^ (x >> s), HUGEINT domain
-        return b2h(f"xor({h2b(x)}, {h2b(f'({x}) // {1 << s}')})")
+    M, P = _SQL_M64, _SQL_FNV_P
+    tokhash, h2b, b2h = _sql_tokhash, _sql_h2b, _sql_b2h
 
     def finalize(x: str) -> str:         # 63-bit masked mix
-        e = xshift(x, 33)
-        e = f"(({e}) * {PF}) % {M}"
-        e = xshift(e, 29)
-        return f"CAST(({e}) % 9223372036854775808 AS BIGINT)"
+        return f"CAST(({_sql_mix64(x)}) % 9223372036854775808 AS BIGINT)"
 
     gram = "h[i]"
     for j in range(1, k):
@@ -2029,6 +2050,44 @@ def fingerprint_oracle_sql(k: int = 4, window: int = 8) -> str:
                  END AS a
           FROM grams)
         SELECT doc_id, {finalize('a')} AS fingerprint FROM acc
+    """
+
+
+def simhash_oracle_sql() -> str:
+    """DuckDB oracle for the 64-bit simhash signature
+    (ops/dedup.py:simhash_batch), bit-for-bit: per token, the charwise
+    polynomial hash + xorshift* mix (hashed once per DISTINCT token,
+    then joined back); per (doc, bit), the ones-count over the doc's
+    tokens (multiset — duplicate tokens count each occurrence); the
+    majority rule ``2*ones - n_tokens > 0`` sets the bit; the 64-bit
+    word converts to two's-complement BIGINT exactly like the engine's
+    ``as_int64``. Empty docs sign to 0. Bit extraction uses
+    ``power(2, b)`` — exact for powers of two in a double."""
+    hv = _sql_mix64(_sql_tokhash("t"))
+    return f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '\\S+') AS tk
+          FROM documents),
+        tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS t FROM docs),
+        dt AS (SELECT DISTINCT t FROM tok),
+        th AS (SELECT t, {hv} AS hv FROM dt),
+        bits AS (
+          SELECT tok.doc_id, tok.n, r.b,
+                 sum(CAST((th.hv // CAST(power(2, r.b) AS HUGEINT)) % 2
+                          AS BIGINT)) AS ones
+          FROM tok JOIN th ON th.t = tok.t
+          CROSS JOIN range(64) r(b)
+          GROUP BY 1, 2, 3),
+        sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN 2 * ones - n > 0
+                          THEN CAST(power(2, b) AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END) AS s
+          FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce({_sql_h2b('sig.s')}, 0) AS simhash
+        FROM docs d LEFT JOIN sig ON sig.doc_id = d.doc_id
     """
 
 
@@ -2655,8 +2714,9 @@ def docs_duplicated_spans(sf_dir: str):
     (ops/dedup.duplicated_spans): 16-token rolling windows whose hash
     occurs >= 2 times corpus-wide are duplicated spans; output is the
     per-doc span counts + fraction — the filter column for span-level
-    dedup policies. Rows-only (hash-approximate); crafted
-    injected-paragraph test + pin."""
+    dedup policies. DuckDB oracle reconstructs the counts over span
+    STRINGS (identical up to 63-bit hash collisions); crafted
+    injected-paragraph test + pin stay as local defense."""
     from kgeng.ops.dedup import duplicated_spans
 
     return duplicated_spans(

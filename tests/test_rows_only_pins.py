@@ -56,7 +56,9 @@ PINS = {
     # doc_fingerprints gained a DuckDB oracle in round 5 (the token
     # hash became SQL-expressible); the pin stays as local defense.
     "doc_fingerprints": "380da954b0e936db",
-    "simhash_docs": "e215856a24e7316b",
+    # simhash gained a DuckDB oracle in round 5 (crc32 token hash ->
+    # the SQL-expressible charwise polynomial + xorshift* mix).
+    "simhash_docs": "cbb29e689d5ebd5f",
     "lang_id_pred": "1ded3a4dfe803e38",
     "kg_mention_stats": "20f1e8e46729725b",
     "media_frame_samples": "6d4e240461cd4761",
