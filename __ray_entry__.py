@@ -450,6 +450,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_pred": Q.lang_id_oracle_sql(),
         "doc_fingerprints": Q.fingerprint_oracle_sql(k=4, window=8),
         "simhash_docs": Q.simhash_oracle_sql(),
+        "docs_packed_2k": Q.packed_oracle_sql(budget=2048,
+                                              num_buckets=64),
         "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
         "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),

@@ -273,11 +273,12 @@ def docs_above_median_quality(sf_dir: str):
 
 
 def docs_packed_2k(sf_dir: str):
-    """Token-budget sequence packing (rows-only: packing has no SQL
-    form): pack every document into 2048-token training sequences with
-    deterministic best-fit-decreasing; invariants (fill <= budget,
-    oversized docs isolated, partition invariance) are pinned in
-    tests/test_training_ops.py."""
+    """Token-budget sequence packing: pack every document into
+    2048-token training sequences with deterministic
+    best-fit-decreasing. The DuckDB oracle replays the per-bucket
+    sequential fold as a recursive CTE (packed_oracle_sql); invariants
+    (fill <= budget, oversized docs isolated, partition invariance)
+    stay pinned in tests/test_training_ops.py."""
     from kgeng.ops.sample import pack_sequences
 
     ds = text_ops.add_token_count(
@@ -2050,6 +2051,73 @@ def fingerprint_oracle_sql(k: int = 4, window: int = 8) -> str:
                  END AS a
           FROM grams)
         SELECT doc_id, {finalize('a')} AS fingerprint FROM acc
+    """
+
+
+def packed_oracle_sql(budget: int = 2048, num_buckets: int = 64) -> str:
+    """DuckDB oracle for best-fit-decreasing sequence packing
+    (ops/sample.py:pack_sequences), bit-for-bit: packing is a
+    per-bucket sequential fold, so the oracle replays it as a
+    recursive CTE — one iteration per in-bucket row (all buckets
+    advance in parallel), carrying the open-capacity list as a sorted
+    ``STRUCT(rem, seq)[]``. ``list_filter(caps, rem >= c)[1]`` on the
+    sorted list IS the engine's ``bisect_left(caps, (c,))`` (smallest
+    fitting remainder, lowest seq id on ties). Buckets come from the
+    same Knuth multiplicative hash; seq ids are ``bucket * 2^32 +
+    local``; seq_fill joins back as the per-sequence token sum."""
+    empty = "CAST([] AS STRUCT(rem BIGINT, seq BIGINT)[])"
+    newrem = (f"(CASE WHEN fit IS NULL THEN {budget} - c "
+              f"ELSE fit.rem - c END)")
+    return f"""
+        WITH RECURSIVE rows_ AS (
+          SELECT doc_id,
+                 CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
+                       % {_SQL_M64}) // 8 % {num_buckets}
+                      AS BIGINT) AS bucket,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                                             '\\S+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents),
+        base AS (
+          SELECT bucket,
+                 list(doc_id ORDER BY n_tokens DESC, doc_id) AS ids,
+                 list(n_tokens ORDER BY n_tokens DESC, doc_id) AS cs,
+                 count(*) AS n
+          FROM rows_ GROUP BY bucket),
+        st AS (
+          SELECT bucket, ids, cs, n, 0 AS i,
+                 {empty} AS caps,
+                 CAST(0 AS BIGINT) AS nseq,
+                 CAST([] AS BIGINT[]) AS assign
+          FROM base
+          UNION ALL
+          SELECT bucket, ids, cs, n, i + 1,
+                 list_sort(list_concat(
+                   CASE WHEN fit IS NULL THEN caps
+                        ELSE list_filter(caps, x -> x.seq <> fit.seq)
+                   END,
+                   CASE WHEN {newrem} > 0
+                        THEN [{{'rem': {newrem},
+                               'seq': CASE WHEN fit IS NULL THEN nseq
+                                           ELSE fit.seq END}}]
+                        ELSE {empty} END)),
+                 nseq + CASE WHEN fit IS NULL THEN 1 ELSE 0 END,
+                 list_append(assign, CASE WHEN fit IS NULL THEN nseq
+                                          ELSE fit.seq END)
+          FROM (SELECT *, cs[i+1] AS c,
+                       list_filter(caps, x -> x.rem >= cs[i+1])[1]
+                           AS fit
+                FROM st WHERE i < n)),
+        fin AS (SELECT bucket, ids, cs, assign FROM st WHERE i = n),
+        ex AS (SELECT bucket, unnest(ids) AS doc_id,
+                      unnest(cs) AS n_tokens, unnest(assign) AS a
+               FROM fin),
+        agg AS (SELECT bucket, a, sum(n_tokens) AS fill
+                FROM ex GROUP BY 1, 2)
+        SELECT e.doc_id, e.n_tokens,
+               CAST(e.bucket * 4294967296 + e.a AS BIGINT) AS seq_id,
+               CAST(g.fill AS BIGINT) AS seq_fill
+        FROM ex e JOIN agg g ON g.bucket = e.bucket AND g.a = e.a
     """
 
 
