@@ -452,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": Q.simhash_oracle_sql(),
         "docs_packed_2k": Q.packed_oracle_sql(budget=2048,
                                               num_buckets=64),
+        "lineitem_slpa": Q.slpa_oracle_sql(rounds=10, threshold=0.2),
         "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
         "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),

@@ -1120,8 +1120,9 @@ def lineitem_scc(sf_dir: str):
 def lineitem_slpa(sf_dir: str):
     """Native SLPA overlapping-community detection ('slpa' in the
     reference's Pregel list) over the symmetric bulk-order subgraph —
-    deterministic seeded speaker choice, so the output is pinned
-    (rows-only: community detection has no SQL analogue)."""
+    deterministic seeded speaker choice, so the full speak/listen loop
+    is replayable in SQL (slpa_oracle_sql, unrolled rounds) and the
+    output stays pinned as local defense."""
     from kgeng.ops.graph import slpa
     from kgeng.pipeline import distinct
 
@@ -1990,6 +1991,25 @@ def _sql_mix64(x: str) -> str:
     return _sql_xshift(e, 29)
 
 
+def _sql_mulmod(x: str, c: int) -> str:
+    """``(x * c) mod 2^64`` for a constant c that may exceed 2^63 (the
+    direct product would overflow int128): split x into 32-bit halves —
+    ``(lo*c + ((hi*c) % 2^32) * 2^32) % 2^64`` keeps every intermediate
+    under 2^97."""
+    return (f"(((({x}) % 4294967296) * CAST('{c}' AS HUGEINT) + "
+            f"(((({x}) // 4294967296) * CAST('{c}' AS HUGEINT)) "
+            f"% 4294967296) * 4294967296) % {_SQL_M64})")
+
+
+def _sql_splitmix64(x: str) -> str:
+    """Vectorized splitmix64 finalizer = ops/agg.py:_splitmix64, in the
+    HUGEINT-in-[0,2^64) domain."""
+    z = f"((({x}) + CAST('11400714819323198485' AS HUGEINT)) % {_SQL_M64})"
+    z = _sql_mulmod(_sql_xshift(z, 30), 0xBF58476D1CE4E5B9)
+    z = _sql_mulmod(_sql_xshift(z, 27), 0x94D049BB133111EB)
+    return _sql_xshift(z, 31)
+
+
 def fingerprint_oracle_sql(k: int = 4, window: int = 8) -> str:
     """DuckDB oracle for the winnowing document fingerprint
     (ops/text.py:doc_fingerprints_batch), recomputing every hash
@@ -2118,6 +2138,101 @@ def packed_oracle_sql(budget: int = 2048, num_buckets: int = 64) -> str:
                CAST(e.bucket * 4294967296 + e.a AS BIGINT) AS seq_id,
                CAST(g.fill AS BIGINT) AS seq_fill
         FROM ex e JOIN agg g ON g.bucket = e.bucket AND g.a = e.a
+    """
+
+
+def slpa_oracle_sql(rounds: int = 10, threshold: float = 0.2) -> str:
+    """DuckDB oracle for deterministic SLPA (ops/graph.py:slpa) over
+    the symmetric bulk-order subgraph, bit-for-bit: the speak/listen
+    loop unrolls into one CTE pair per round (like the pagerank
+    oracle), with each node's label memory carried as a growing BIGINT
+    list. The speaker's slot hash — ``splitmix64(u ^ (v*phi) ^ r) %
+    r`` over node IDS — is recomputed exactly with HUGEINT split
+    mulmod (splitmix64's multipliers exceed 2^63) and BIGINT xor hops;
+    the listener adopts the (count desc, label asc) winner, silent
+    listeners keep self. Post-processing counts labels across the
+    rounds+1 memory slots, thresholds at ceil(threshold*(rounds+1)),
+    and maps label positions back to node ids, '|'-joining the
+    community set sorted by id."""
+    import math
+
+    def speak_from(r: int) -> str:
+        """FROM clause computing each edge's speaker slot for round r:
+        the splitmix64 pipeline is staged through NAMED columns in a
+        nested-subquery chain — inlining the full expression would
+        duplicate each stage ~4x per enclosing stage and the SQL text
+        grows 4^7 (a 674 MB statement on the first attempt)."""
+        vmix = _sql_h2b(_sql_mulmod("CAST(e.did AS HUGEINT)",
+                                    0x9E3779B97F4A7C15))
+        stages = [
+            ("x0", _sql_b2h(f"xor(xor(CAST(e.sid AS BIGINT), {vmix}), "
+                            f"{r})")),
+            ("z1", f"((x0 + CAST('11400714819323198485' AS HUGEINT)) "
+                   f"% {_SQL_M64})"),
+            ("y1", _sql_xshift("z1", 30)),
+            ("z2", _sql_mulmod("y1", 0xBF58476D1CE4E5B9)),
+            ("y2", _sql_xshift("z2", 27)),
+            ("z3", _sql_mulmod("y2", 0x94D049BB133111EB)),
+            ("h", _sql_xshift("z3", 31)),
+        ]
+        q = (f"(SELECT e.dpos AS li, m.labs AS labs, {stages[0][1]} AS x0"
+             f" FROM edges e JOIN m{r - 1} m ON m.pos = e.spos)")
+        for name, expr in stages[1:]:
+            q = f"(SELECT li, labs, {expr} AS {name} FROM {q})"
+        return (f"(SELECT li, labs[CAST(h % {r} AS BIGINT) + 1] AS lab "
+                f"FROM {q})")
+
+    ctes = [f"""
+        WITH eo AS (
+          SELECT DISTINCT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d
+          FROM lineitem WHERE l_quantity > 45),
+        base AS (SELECT s AS src, d AS dst FROM eo
+                 UNION SELECT d, s FROM eo),
+        nodes AS (
+          SELECT node, row_number() OVER (ORDER BY node) - 1 AS pos
+          FROM (SELECT DISTINCT src AS node FROM base)),
+        edges AS (
+          SELECT ns.pos AS spos, nd.pos AS dpos,
+                 b.src AS sid, b.dst AS did
+          FROM base b
+          JOIN nodes ns ON ns.node = b.src
+          JOIN nodes nd ON nd.node = b.dst),
+        m0 AS (SELECT pos, [pos] AS labs FROM nodes)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        recv{r} AS (SELECT li, lab FROM {speak_from(r)}),
+        best{r} AS (
+          SELECT li, lab FROM (
+            SELECT li, lab, count(*) AS c FROM recv{r} GROUP BY 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY li
+                                     ORDER BY c DESC, lab) = 1),
+        -- MATERIALIZED: m{r - 1} is referenced twice (speak + carry);
+        -- inlining would re-expand every earlier round exponentially
+        m{r} AS MATERIALIZED (
+          SELECT m.pos, list_append(m.labs, coalesce(b.lab, m.pos))
+                     AS labs
+          FROM m{r - 1} m LEFT JOIN best{r} b ON b.li = m.pos)""")
+    need = int(math.ceil(threshold * (rounds + 1)))
+    ctes.append(f"""
+        flat AS (SELECT pos, unnest(labs) AS lab FROM m{rounds}),
+        cnts AS (SELECT pos, lab, count(*) AS c FROM flat GROUP BY 1, 2),
+        prim AS (SELECT pos, lab FROM cnts
+                 QUALIFY row_number() OVER (PARTITION BY pos
+                                            ORDER BY c DESC, lab) = 1),
+        comm AS (
+          SELECT c.pos, count(*) AS ncom,
+                 string_agg(CAST(ln.node AS VARCHAR), '|'
+                            ORDER BY ln.node) AS coms
+          FROM cnts c JOIN nodes ln ON ln.pos = c.lab
+          WHERE c.c >= {need} GROUP BY 1)""")
+    return ",".join(ctes) + """
+        SELECT n.node, pn.node AS primary_label,
+               coalesce(cm.ncom, 0) AS n_communities,
+               coalesce(cm.coms, '') AS communities
+        FROM nodes n
+        JOIN prim p ON p.pos = n.pos
+        JOIN nodes pn ON pn.pos = p.lab
+        LEFT JOIN comm cm ON cm.pos = n.pos
     """
 
 
