@@ -453,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_packed_2k": Q.packed_oracle_sql(budget=2048,
                                               num_buckets=64),
         "lineitem_slpa": Q.slpa_oracle_sql(rounds=10, threshold=0.2),
+        "parts_k_core": Q.kcore_oracle_sql(k=60),
         "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
         "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),

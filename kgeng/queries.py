@@ -2141,6 +2141,53 @@ def packed_oracle_sql(budget: int = 2048, num_buckets: int = 64) -> str:
     """
 
 
+def kcore_oracle_sql(k: int = 60) -> str:
+    """Independent DuckDB oracle for the k-core (ops/graph.py:k_core):
+    coreness is algorithm-canonical, so the oracle peels without
+    replaying the engine — a recursive CTE carries the alive node set
+    as a sorted list, each step keeps nodes whose in-subgraph degree
+    is >= k, and the UNION (distinct) recursion self-terminates at the
+    fixpoint (the unchanged row dedups away). The smallest alive list
+    is the core; degrees join back from the surviving edge set."""
+    return f"""
+        WITH RECURSIVE op AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        st AS (
+          SELECT (SELECT list(node ORDER BY node) FROM
+                    (SELECT u AS node FROM e UNION SELECT v FROM e))
+                     AS alive
+          UNION
+          SELECT coalesce(
+            (SELECT list(node ORDER BY node) FROM (
+               SELECT node, count(*) AS c FROM (
+                 SELECT u AS node FROM e
+                 WHERE list_contains(s.alive, u)
+                   AND list_contains(s.alive, v)
+                 UNION ALL
+                 SELECT v FROM e
+                 WHERE list_contains(s.alive, u)
+                   AND list_contains(s.alive, v))
+               GROUP BY node HAVING count(*) >= {k})),
+            CAST([] AS BIGINT[]))
+          FROM st s),
+        fin AS (SELECT alive FROM st ORDER BY len(alive) ASC LIMIT 1),
+        al AS (SELECT unnest(alive) AS node FROM fin)
+        SELECT node, CAST(c AS BIGINT) AS deg FROM (
+          SELECT node, count(*) AS c FROM (
+            SELECT u AS node FROM e
+            WHERE u IN (SELECT node FROM al)
+              AND v IN (SELECT node FROM al)
+            UNION ALL
+            SELECT v FROM e
+            WHERE u IN (SELECT node FROM al)
+              AND v IN (SELECT node FROM al))
+          GROUP BY node)
+    """
+
+
 def slpa_oracle_sql(rounds: int = 10, threshold: float = 0.2) -> str:
     """DuckDB oracle for deterministic SLPA (ops/graph.py:slpa) over
     the symmetric bulk-order subgraph, bit-for-bit: the speak/listen
@@ -2597,9 +2644,9 @@ def parts_k_core(sf_dir: str):
     peels):
     distributed iterative peeling — per-round degree groupby + doomed-
     set edge filter (broadcast under the cutover, anti-join plan B
-    above it). Iterative with a data-dependent round count, so no SQL
-    oracle; pinned by the pytest peeling reference and both-plans
-    parity."""
+    above it). Coreness is algorithm-canonical, so the DuckDB oracle
+    (kcore_oracle_sql) peels independently to the same fixpoint; the
+    pytest peeling reference and both-plans parity stay as defense."""
     from kgeng.ops.graph import k_core
 
     return k_core(_co_purchase_edges(sf_dir), k=60)
