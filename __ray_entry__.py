@@ -454,6 +454,8 @@ def oracle_sql() -> dict[str, str]:
                                               num_buckets=64),
         "lineitem_slpa": Q.slpa_oracle_sql(rounds=10, threshold=0.2),
         "parts_k_core": Q.kcore_oracle_sql(k=60),
+        "docs_fuzzy_decontamination": Q.fuzzy_decon_oracle_sql(
+            threshold=0.5),
         "lineitem_harmonic": Q.harmonic_oracle_sql(max_hops=6),
         "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),

@@ -77,7 +77,9 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
-_EMPTY_SHINGLE = np.uint64(zlib.crc32(b"")) & np.uint64(0xFFFFFFFF)
+# empty docs emit one sentinel shingle; 0 (not crc32(b'')) since round 5
+# so the fuzzy-decontamination oracle can state it as a SQL literal
+_EMPTY_SHINGLE = np.uint64(0)
 
 
 def word_shingle_hashes(texts: list[str | None], n: int = 3
@@ -91,12 +93,16 @@ def word_shingle_hashes(texts: list[str | None], n: int = 3
     exact Mersenne-61 mulmod).
 
     Replaces the per-doc Python ``set(crc32(' '.join(...)))`` loop
-    (verdict r02 'What's wrong' #1): tokens are hashed in ONE C-level
-    pass (``pd.util.hash_array``, deterministic across processes) and
+    (verdict r02 'What's wrong' #1): tokens are hashed in ONE vectorized
+    pass (ops/text.py:_hash_tokens — the SQL-expressible charwise
+    polynomial, swapped in round 5 so the fuzzy-decontamination oracle
+    can recompute the whole shingle->minhash->band chain in DuckDB) and
     n-gram windows combine token hashes with a vectorized polynomial
     over the flat token-hash array. Shingles are emitted as a MULTISET —
     sound for minhash because the min over a multiset equals the min
     over its set."""
+    from kgeng.ops.text import _hash_tokens
+
     tok_lists = [(x or "").split() for x in texts]
     n_docs = len(tok_lists)
     lens = np.fromiter(map(len, tok_lists), np.int64, n_docs)
@@ -114,7 +120,7 @@ def word_shingle_hashes(texts: list[str | None], n: int = 3
     for toks in tok_lists:
         flat[pos:pos + len(toks)] = toks
         pos += len(toks)
-    th = pd.util.hash_array(flat)                       # uint64, C-level
+    th = _hash_tokens(flat)                             # uint64, vectorized
     tok_starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=tok_starts[1:])
 

@@ -2141,6 +2141,136 @@ def packed_oracle_sql(budget: int = 2048, num_buckets: int = 64) -> str:
     """
 
 
+def fuzzy_decon_oracle_sql(threshold: float = 0.5, num_perm: int = 128,
+                           num_bands: int = 32, ngram: int = 3) -> str:
+    """DuckDB oracle for fuzzy benchmark decontamination
+    (ops/dedup.py:minhash_decontaminate), recomputing the FULL chain —
+    token hash, 32-bit window shingles, exact Mersenne-61 minhash
+    (the 128 seeded (a, b) permutation constants are embedded as a
+    VALUES table from the same _perm_tables call the engine makes),
+    the per-band xor-fold, the 6+57-bit truncated packed band key,
+    band-collision candidates, and the exact distinct-shingle Jaccard
+    verify. Possible since round 5's SQL-expressible token hash; every
+    mod-2^64 step uses the shared HUGEINT helpers (split mulmod for
+    the golden-ratio multiplier, BIGINT hops for xor)."""
+    from kgeng.ops.block import _perm_tables
+
+    a_t, b_t = _perm_tables(num_perm, seed=13)
+    rows = num_perm // num_bands
+    perms = ", ".join(f"({p}, CAST('{int(a_t[p])}' AS HUGEINT), "
+                      f"CAST('{int(b_t[p])}' AS HUGEINT))"
+                      for p in range(num_perm))
+    MIX = 0x9E3779B97F4A7C15
+    m61 = "2305843009213693951"
+
+    # window-shingle fold (ngram fixed at 3): staged columns g1 -> g3
+    g2 = f"(({_sql_mulmod('g1', MIX)}) + ths[i+1]) % {_SQL_M64}"
+    g3 = f"(({_sql_mulmod('g2', MIX)}) + ths[i+2]) % {_SQL_M64}"
+    assert ngram == 3, "oracle fold is unrolled for ngram=3"
+    # short-doc fold from 0: L=1 -> th1; L=2 -> (th1*MIX + th2) mod 2^64
+    short2 = f"(({_sql_mulmod('ths[1]', MIX)}) + ths[2]) % {_SQL_M64}"
+
+    # band fold acc_{r+1} = (acc_r * MIX mod 2^64) xor sig_r, acc_0 = 0
+    def bstep(prev: str, sig: str) -> str:
+        return _sql_b2h(f"xor({_sql_h2b(_sql_mulmod(prev, MIX))}, "
+                        f"CAST({sig} AS BIGINT))")
+
+    scols = ", ".join(
+        f"min(CASE WHEN p % {rows} = {r} THEN v END) AS s{r}"
+        for r in range(rows))
+    # staged fold: each level carries the sig columns later levels need
+    fold_q = "SELECT side, id, band, CAST(s0 AS HUGEINT) AS a0, " + \
+        ", ".join(f"s{r}" for r in range(1, rows)) + " FROM bs"
+    for r in range(1, rows):
+        carry = ", ".join(f"s{j}" for j in range(r + 1, rows))
+        fold_q = (f"SELECT side, id, band, "
+                  f"{bstep(f'a{r-1}', f's{r}')} AS a{r}"
+                  + (", " + carry if carry else "")
+                  + f" FROM ({fold_q} )")
+
+    return f"""
+        WITH perms(p, a, b) AS (VALUES {perms}),
+        d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        sided AS (
+          SELECT 'c' AS side, doc_id AS id,
+                 regexp_extract_all(text, '\\S+') AS toks
+          FROM d0
+          UNION ALL
+          SELECT 'b', doc_id,
+                 regexp_extract_all(
+                   text || ' appended benchmark marker tokens', '\\S+')
+          FROM d0 WHERE doc_id % 50 = 0),
+        toku AS (SELECT DISTINCT tok FROM
+                   (SELECT unnest(toks) AS tok FROM sided)),
+        th AS (SELECT tok, {_sql_tokhash('tok')} AS hv FROM toku),
+        posr AS (SELECT side, id,
+                        unnest(generate_series(1, len(toks))) AS i, toks
+                 FROM sided),
+        ph AS (SELECT p.side, p.id, p.i, t.hv
+               FROM (SELECT side, id, i, toks[i] AS tok FROM posr) p
+               JOIN th t USING (tok)),
+        tl0 AS (SELECT side, id, list(hv ORDER BY i) AS ths
+                FROM ph GROUP BY 1, 2),
+        tl AS (SELECT s.side, s.id, len(s.toks) AS L,
+                      coalesce(t.ths, CAST([] AS HUGEINT[])) AS ths
+               FROM sided s LEFT JOIN tl0 t
+                 ON t.side = s.side AND t.id = s.id),
+        wrows AS (SELECT side, id,
+                         unnest(generate_series(1, L - {ngram - 1}))
+                             AS i, ths
+                  FROM tl WHERE L >= {ngram}),
+        wst AS (SELECT side, id, {g3} AS g3 FROM
+                  (SELECT side, id, i, ths, {g2} AS g2 FROM
+                    (SELECT side, id, i, ths, ths[i] AS g1 FROM wrows))),
+        shing AS (
+          SELECT side, id, g3 % 4294967296 AS sh FROM wst
+          UNION ALL
+          SELECT side, id,
+                 (CASE WHEN L = 1 THEN ths[1] ELSE {short2} END)
+                     % 4294967296
+          FROM tl WHERE L >= 1 AND L < {ngram}
+          UNION ALL
+          SELECT side, id, CAST(0 AS HUGEINT) FROM tl WHERE L = 0),
+        sdist AS (SELECT DISTINCT side, id, sh FROM shing),
+        sig AS (SELECT side, id, p.p,
+                       min((p.a * sd.sh + p.b) % {m61}) AS v
+                FROM sdist sd CROSS JOIN perms p GROUP BY 1, 2, 3),
+        bs AS (SELECT side, id, p // {rows} AS band, {scols}
+               FROM sig GROUP BY 1, 2, 3),
+        pk AS (SELECT side, id,
+                      band * 144115188075855872
+                      + (CAST(a{rows - 1} % 9223372036854775808
+                              AS BIGINT) // 64) AS key
+               FROM ({fold_q} )),
+        cand AS (SELECT DISTINCT c.id AS doc, b.id AS bid
+                 FROM pk c JOIN pk b ON c.key = b.key
+                 WHERE c.side = 'c' AND b.side = 'b'),
+        szs AS (SELECT side, id, count(*) AS n FROM sdist GROUP BY 1, 2),
+        inter AS (SELECT c.id AS doc, b.id AS bid, count(*) AS i
+                  FROM sdist c
+                  JOIN sdist b ON b.sh = c.sh AND b.side = 'b'
+                  JOIN cand ON cand.doc = c.id AND cand.bid = b.id
+                  WHERE c.side = 'c' GROUP BY 1, 2),
+        jacs AS (
+          SELECT cd.doc, cd.bid,
+                 CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (sc.n + sb.n - coalesce(i.i, 0)) AS jac
+          FROM cand cd
+          LEFT JOIN inter i ON i.doc = cd.doc AND i.bid = cd.bid
+          JOIN szs sc ON sc.side = 'c' AND sc.id = cd.doc
+          JOIN szs sb ON sb.side = 'b' AND sb.id = cd.bid),
+        agg AS (SELECT doc, max(jac) AS best,
+                       sum(CASE WHEN jac >= {threshold} THEN 1
+                                ELSE 0 END) AS hits
+                FROM jacs GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(a.hits, 0) > 0 AS contaminated,
+               round(coalesce(a.best, 0), 6) AS best_jaccard,
+               CAST(coalesce(a.hits, 0) AS BIGINT) AS n_bench_hits
+        FROM d0 d LEFT JOIN agg a ON a.doc = d.doc_id
+    """
+
+
 def kcore_oracle_sql(k: int = 60) -> str:
     """Independent DuckDB oracle for the k-core (ops/graph.py:k_core):
     coreness is algorithm-canonical, so the oracle peels without
@@ -2890,8 +3020,9 @@ def docs_fuzzy_decontamination(sf_dir: str):
     a synthetic 'benchmark' of every 50th doc, PERTURBED (tokens
     appended) so the exact 8-gram check alone would under-flag — band
     collisions against the broadcast bench table, exact shingle-Jaccard
-    verify, no shuffle. Rows-only (LSH banding is not SQL-expressible);
-    pinned + crafted recall test."""
+    verify, no shuffle. The DuckDB oracle (fuzzy_decon_oracle_sql)
+    recomputes the whole minhash chain bit-for-bit; pinned + crafted
+    recall test stay as local defense."""
     from kgeng.ops.dedup import minhash_decontaminate
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"]).materialize()
