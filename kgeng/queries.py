@@ -2085,20 +2085,37 @@ def packed_oracle_sql(budget: int = 2048, num_buckets: int = 64) -> str:
     fitting remainder, lowest seq id on ties). Buckets come from the
     same Knuth multiplicative hash; seq ids are ``bucket * 2^32 +
     local``; seq_fill joins back as the per-sequence token sum."""
-    empty = "CAST([] AS STRUCT(rem BIGINT, seq BIGINT)[])"
-    newrem = (f"(CASE WHEN fit IS NULL THEN {budget} - c "
-              f"ELSE fit.rem - c END)")
     return f"""
         WITH RECURSIVE rows_ AS (
-          SELECT doc_id,
-                 CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
-                       % {_SQL_M64}) // 8 % {num_buckets}
-                      AS BIGINT) AS bucket,
+          SELECT doc_id, {_sql_pack_bucket('doc_id', num_buckets)}
+                     AS bucket,
                  CAST(len(regexp_extract_all(coalesce(text, ''),
                                              '\\S+'))
                       AS BIGINT) AS n_tokens
           FROM documents),
-        base AS (
+        {_sql_pack_chain(budget)}
+        SELECT e.doc_id, e.n_tokens,
+               CAST(e.bucket * 4294967296 + e.a AS BIGINT) AS seq_id,
+               CAST(g.fill AS BIGINT) AS seq_fill
+        FROM ex e JOIN agg g ON g.bucket = e.bucket AND g.a = e.a
+    """
+
+
+def _sql_pack_bucket(idc: str, num_buckets: int) -> str:
+    """The engine's Knuth bucket hash ``((id * K) mod 2^64) >> 3 % nb``."""
+    return (f"CAST(((CAST({idc} AS HUGEINT) * 2654435761) % {_SQL_M64})"
+            f" // 8 % {num_buckets} AS BIGINT)")
+
+
+def _sql_pack_chain(budget: int) -> str:
+    """The best-fit-decreasing CTE chain (base/st/fin/ex/agg), assuming
+    a ``rows_`` CTE with (doc_id, bucket, n_tokens) is already defined
+    in the surrounding WITH RECURSIVE. Shared by packed_oracle_sql and
+    the curation-pipeline oracle."""
+    empty = "CAST([] AS STRUCT(rem BIGINT, seq BIGINT)[])"
+    newrem = (f"(CASE WHEN fit IS NULL THEN {budget} - c "
+              f"ELSE fit.rem - c END)")
+    return f"""base AS (
           SELECT bucket,
                  list(doc_id ORDER BY n_tokens DESC, doc_id) AS ids,
                  list(n_tokens ORDER BY n_tokens DESC, doc_id) AS cs,
@@ -2133,11 +2150,118 @@ def packed_oracle_sql(budget: int = 2048, num_buckets: int = 64) -> str:
                       unnest(cs) AS n_tokens, unnest(assign) AS a
                FROM fin),
         agg AS (SELECT bucket, a, sum(n_tokens) AS fill
-                FROM ex GROUP BY 1, 2)
-        SELECT e.doc_id, e.n_tokens,
-               CAST(e.bucket * 4294967296 + e.a AS BIGINT) AS seq_id,
-               CAST(g.fill AS BIGINT) AS seq_fill
-        FROM ex e JOIN agg g ON g.bucket = e.bucket AND g.a = e.a
+                FROM ex GROUP BY 1, 2)"""
+
+
+def curation_oracle_sql() -> str:
+    """DuckDB oracle for the 7-stage corpus-curation showcase
+    (queries.docs_curation_pipeline), composed from the per-stage
+    oracle fragments:
+
+    1. ``nfc_normalize`` — DuckDB builtin (same Unicode tables);
+    2. exact dedup — ``min(doc_id) GROUP BY text`` (the engine's
+       63-bit content hash is collision-free at sf scale, same
+       argument as the dedup_exact_docs oracle);
+    3. near-dup reps — independent reconstruction: EXACT word-trigram
+       Jaccard >= 0.6 over all survivor pairs + min-string-labeled
+       components (matches the engine iff banded LSH covers every
+       >= 0.6 pair here — same argument as minhash_dedup_docs, and
+       recall at 0.6 is strictly easier than the verified 0.5);
+    4. quality gate — the doc_quality formula, P25 via quantile_cont
+       rounded to 9 (grouped_quantiles' interpolation);
+    5. LM gate — the docs_lm_scores formula retrained on the stage-4
+       survivors, P10 the same way;
+    6. split — the split_assign Knuth-hash CASE;
+    7. packing — the shared best-fit-decreasing recursive chain at
+       budget 512 over the train split, LEFT-joined back so off-train
+       docs keep a null seq_id."""
+    return f"""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id, nfc_normalize(coalesce(text, '')) AS text
+          FROM documents),
+        reps AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY text),
+        s2 AS (SELECT n.doc_id, n.text FROM norm n
+               JOIN reps r USING (doc_id)),
+        toks3 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+                  FROM s2),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) < 3
+                      THEN [array_to_string(tk, ' ')]
+                      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                            for i in range(1, len(tk) - 1)]
+                 END AS gs
+          FROM toks3),
+        dg AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY 1),
+        inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+                  FROM dg a JOIN dg b ON a.g = b.g
+                                     AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        dup_pairs AS (
+          SELECT CAST(ida AS VARCHAR) AS a, CAST(idb AS VARCHAR) AS b
+          FROM inter JOIN sizes sa ON sa.doc_id = ida
+                     JOIN sizes sb ON sb.doc_id = idb
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6),
+        edges AS (SELECT a AS node, b AS nbr FROM dup_pairs
+                  UNION ALL SELECT b, a FROM dup_pairs),
+        walk(node, label) AS (
+          SELECT DISTINCT node, node FROM edges
+          UNION
+          SELECT e.node, w.label FROM edges e
+          JOIN walk w ON w.node = e.nbr),
+        comp AS (SELECT node, min(label) AS label FROM walk GROUP BY 1),
+        s3 AS (SELECT s2.doc_id, s2.text FROM s2
+               LEFT JOIN comp c ON c.node = CAST(s2.doc_id AS VARCHAR)
+               WHERE c.label IS NULL
+                  OR c.label = CAST(s2.doc_id AS VARCHAR)),
+        qual AS (
+          SELECT doc_id, text,
+                 round((na / greatest(nc, 1))
+                       * least(nt / 20.0, 1.0), 6) AS qs
+          FROM (SELECT doc_id, text,
+                       CAST(length(text) AS DOUBLE) AS nc,
+                       CAST(length(regexp_replace(text, '[^A-Za-z]',
+                                                  '', 'g'))
+                            AS DOUBLE) AS na,
+                       CAST(len(regexp_extract_all(text, '\\S+'))
+                            AS DOUBLE) AS nt
+                FROM s3)),
+        q25 AS (SELECT round(quantile_cont(qs, 0.25), 9) AS thr
+                FROM qual),
+        s4 AS (SELECT doc_id, text FROM qual
+               WHERE qs >= (SELECT thr FROM q25)),
+        ltoks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\\S+')) AS term
+                  FROM s4),
+        vocab AS (SELECT term, count(*) AS tf FROM ltoks GROUP BY 1),
+        consts AS (SELECT CAST(sum(tf) + count(*) + 1 AS DOUBLE)
+                       AS denom FROM vocab),
+        lp AS (SELECT term,
+                      CAST(round(ln((tf + 1.0) / denom)
+                                 * 1000000000) AS BIGINT) AS lpq
+               FROM vocab, consts),
+        lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      round(CAST(sum(lpq) AS DOUBLE) / 1000000000.0
+                            / count(*), 6) AS alp
+               FROM ltoks JOIN lp USING (term) GROUP BY doc_id),
+        p10 AS (SELECT round(quantile_cont(alp, 0.10), 9) AS thr
+                FROM lm),
+        spl AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN (doc_id * 2654435761) % 4294967296
+                           < 3221225472 THEN 'train'
+                      WHEN (doc_id * 2654435761) % 4294967296
+                           < 3758096384 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM lm WHERE alp >= (SELECT thr FROM p10)),
+        rows_ AS (SELECT doc_id, {_sql_pack_bucket('doc_id', 64)}
+                      AS bucket, n_tokens
+                  FROM spl WHERE split = 'train'),
+        {_sql_pack_chain(512)}
+        SELECT s.doc_id, s.split, s.n_tokens,
+               CAST(e.bucket * 4294967296 + e.a AS BIGINT) AS seq_id
+        FROM spl s LEFT JOIN ex e ON e.doc_id = s.doc_id
     """
 
 
@@ -3181,8 +3305,9 @@ def docs_curation_pipeline(sf_dir: str):
 
     Returns (doc_id, split, n_tokens, seq_id — null off-train).
     Deterministic and partition-invariant end to end (every stage is);
-    rows-only (the composition is not SQL-expressible) — pinned +
-    monotonicity/invariants pytest."""
+    the DuckDB oracle (curation_oracle_sql) composes the per-stage
+    oracle fragments and hash-matches — the pin +
+    monotonicity/invariants pytest stay as local defense."""
     from kgeng.ops.dedup import exact_dedup, minhash_dedup
     from kgeng.ops.join import hash_join
     from kgeng.ops.rank import grouped_quantiles
