@@ -345,17 +345,17 @@ class KGPipeline:
         files = _list_parquet_files(corpus_path)
         if n_shards is None:
             n_shards = self._resolve_num_shards(files)
-        shards = [files[i::n_shards] for i in range(n_shards)]
-        shards = [s for s in shards if s]
+        shards = _assign_shards_stable(files, n_shards)
 
-        # drop shard dirs orphaned by a previous layout: read_all_shards
-        # scans every shard=* dir, so a leftover from a different
-        # num_shards would duplicate records
+        # drop shard dirs orphaned by a previous layout (different
+        # num_shards, or a shard that lost its last fragment):
+        # read_all_shards scans every shard=* dir, so a leftover would
+        # duplicate records
         import shutil
 
         base = os.path.join(store.root, "records")
         if os.path.isdir(base):
-            valid = {f"shard={i:05d}" for i in range(len(shards))}
+            valid = {f"shard={i:05d}" for i, s in enumerate(shards) if s}
             for d in os.listdir(base):
                 if d.startswith("shard=") and d not in valid:
                     shutil.rmtree(os.path.join(base, d))
@@ -365,8 +365,8 @@ class KGPipeline:
         def _lin(sf):
             return {"files": sf, "gazetteer_sha1": gaz_sha}
 
-        todo = [(i, sf) for i, sf in enumerate(shards)
-                if not (resume and store.is_done(
+        todo = [(i, sf) for i, sf in enumerate(shards) if sf
+                and not (resume and store.is_done(
                     "records", shard=i, lineage=_lin(sf)))]
         # build the lazy per-shard pipelines on the MAIN thread (dataset
         # construction does eager path resolution that is not thread-safe
@@ -658,6 +658,23 @@ _FORCE_DISTRIBUTED_SURFACE_BYTES = 512 << 20
 
 def _total_bytes(files: list[str]) -> int:
     return sum(os.path.getsize(f) for f in files)
+
+
+def _assign_shards_stable(files: list[str], n_shards: int) -> list[list[str]]:
+    """Fragment-stable shard assignment: each input file maps to a shard by
+    a hash of its basename, independent of every other file. Adding or
+    removing one fragment changes only the lineage of the shard that holds
+    it, so a resume recomputes just that shard — positional round-robin
+    (``files[i::n]``) would shift every shard's file list and force a full
+    re-extract. Slots may come back empty; callers skip them. The returned
+    list is indexed by shard id (0..n_shards-1) so ``shard=<i>`` checkpoint
+    dirs stay stable across runs."""
+    import zlib
+
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for f in sorted(files):
+        shards[zlib.crc32(os.path.basename(f).encode()) % n_shards].append(f)
+    return shards
 
 
 def _driver_read_column(files: list[str], column: str) -> list[str]:

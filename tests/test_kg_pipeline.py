@@ -185,19 +185,22 @@ def test_resume_invalidated_by_shard_layout_change(tiny_corpus,
 
     p2 = KGPipeline(checkpoint_root=root, num_shards=2)
     from kgeng.checkpoint import CheckpointStore
-    from kgeng.pipeline import _list_parquet_files
+    from kgeng.pipeline import _assign_shards_stable, _list_parquet_files
     store = CheckpointStore(root, p2.cfg.config_hash())
     files = _list_parquet_files(corpus)
-    assert files[0::2] != files[0::3]  # layouts differ: test is not vacuous
-    # the old shard-0 checkpoint must fail the lineage gate
+    s3 = _assign_shards_stable(files, 3)
+    s2 = _assign_shards_stable(files, 2)
+    # pick a shard id populated under BOTH layouts whose file list differs:
+    # its old checkpoint must fail the lineage gate under the new layout
+    probe = next(i for i in range(2) if s3[i] and s2[i] and s3[i] != s2[i])
     import hashlib
     with open(gazp, "rb") as gf:
         gsha = hashlib.sha1(gf.read()).hexdigest()
-    assert store.is_done("records", shard=0,
-                         lineage={"files": files[0::3],
+    assert store.is_done("records", shard=probe,
+                         lineage={"files": s3[probe],
                                   "gazetteer_sha1": gsha})
-    assert not store.is_done("records", shard=0,
-                             lineage={"files": files[0::2],
+    assert not store.is_done("records", shard=probe,
+                             lineage={"files": s2[probe],
                                       "gazetteer_sha1": gsha})
     res2 = p2.run(corpus, gazp, resume=True)
     t2 = sorted(map(tuple, res2["triples"].to_pandas()[
@@ -207,7 +210,8 @@ def test_resume_invalidated_by_shard_layout_change(tiny_corpus,
     recs = os.path.join(root, "records")
     shard_dirs = sorted(d for d in os.listdir(recs)
                         if d.startswith("shard="))
-    assert shard_dirs == ["shard=00000", "shard=00001"]
+    expect = sorted(f"shard={i:05d}" for i, s in enumerate(s2) if s)
+    assert shard_dirs == expect
 
 
 def test_canonicalization_fixpoint(tiny_run, tiny_corpus):
