@@ -453,6 +453,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_packed_2k": Q.packed_oracle_sql(budget=2048,
                                               num_buckets=64),
         "lineitem_slpa": Q.slpa_oracle_sql(rounds=10, threshold=0.2),
+        "approx_distinct_users_by_type": Q.hll_oracle_sql(
+            table="events", key="event_type", value="user_id",
+            out="n_users_approx", p=12),
+        "price_quantiles_by_priority_approx": Q.hist_quantiles_oracle_sql(
+            table="orders", key="o_orderpriority", value="o_totalprice",
+            quantiles=(0.5, 0.9), num_bins=4096, round_to=6),
         "parts_k_core": Q.kcore_oracle_sql(k=60),
         "docs_fuzzy_decontamination": Q.fuzzy_decon_oracle_sql(
             threshold=0.5),
@@ -1371,10 +1377,16 @@ def oracle_sql() -> dict[str, str]:
         # - kg_mention_stats: detector-attribution golden would just
         #   re-implement the NER heuristic; the mention->triple chain
         #   is exactly gated by the four kg_* oracles (pin + pytest)
-        # - corpus_top_terms_approx / lineitem_closeness /
-        #   approx_distinct_users_by_type /
-        #   price_quantiles_by_priority_approx: sketch estimators whose
-        #   EXACT twins are oracled (error-bound pytests + pins)
+        # - corpus_top_terms_approx: Misra-Gries evictions depend on
+        #   block boundaries, so the estimate is partition-defined and
+        #   not SQL-replayable; its EXACT twin is oracled (error-bound
+        #   pytest + pin)
+        # - lineitem_closeness: HyperBall register replay across BFS
+        #   rounds is not practically SQL-statable; the exact bounded
+        #   twin lineitem_closeness_exact is oracled
+        #   (approx_distinct_users_by_type and
+        #   price_quantiles_by_priority_approx ARE deterministic
+        #   register/bin replays and gained full SQL oracles above)
         # - embedding_kmeans / embedding_semantic_dup_pairs: iterative
         #   float assignment — numpy matmul and a SQL fold sum in
         #   different IEEE orders, so exact replication is unsound

@@ -3417,3 +3417,110 @@ def parts_fuzzy_match(sf_dir: str):
     probes = part.map_batches(mangle, batch_format="pyarrow")
     return fuzzy_lookup(probes, part, col="p_name",
                         probe_id="p_partkey", max_dist=3)
+
+
+def hll_oracle_sql(table: str = "events", key: str = "event_type",
+                   value: str = "user_id", out: str = "n_users_approx",
+                   p: int = 12) -> str:
+    """DuckDB oracle for the HyperLogLog distinct-count sketch
+    (ops/agg.py:hll_count_distinct), replayed register-for-register:
+    the sketch is DETERMINISTIC and partition-invariant (splitmix64
+    hash, per-register max, closed-form estimate), so SQL can recompute
+    it exactly — hash every value with the HUGEINT splitmix64 helper,
+    split into (register index, low-bits word), rank = 64-p+1 minus the
+    word's bit length (``printf('%%b', w)`` gives the minimal binary
+    form), MAX(rank) per (key, register), then the Flajolet estimate
+    ``alpha*m^2 / sum(2^-reg)`` with absent registers contributing
+    2^0 = 1 each and the linear-counting branch when est <= 2.5m with
+    empty registers present (present registers are always >= 1, so
+    zeros = m - #present). Every term 2^-reg is an exact power of two
+    in float64; the checker's 9-digit rounding absorbs summation-order
+    ulps."""
+    m = 1 << p
+    w_div = 1 << (64 - p)          # hv // w_div = register index
+    max_rank = 64 - p + 1
+    hv = _sql_splitmix64(_sql_b2h(value))
+    return f"""
+        WITH h AS (
+          SELECT {key} AS k, {hv} AS hv FROM {table}
+        ), rk AS (
+          SELECT k, CAST(hv // {w_div} AS BIGINT) AS idx,
+                 CAST(hv % {w_div} AS BIGINT) AS w
+          FROM h
+        ), ranks AS (
+          SELECT k, idx,
+                 CASE WHEN w = 0 THEN {max_rank}
+                      ELSE {max_rank} - length(printf('%b', w)) END AS r
+          FROM rk
+        ), regs AS (
+          SELECT k, idx, MAX(r) AS reg FROM ranks GROUP BY k, idx
+        ), agg AS (
+          SELECT k, COUNT(*) AS n_present,
+                 SUM(POWER(2.0, -reg)) AS sum_present
+          FROM regs GROUP BY k
+        ), est AS (
+          SELECT k, {m} - n_present AS zeros,
+                 (0.7213/(1.0+1.079/{m})) * {m} * {m} /
+                   (({m} - n_present) + sum_present) AS raw
+          FROM agg
+        )
+        SELECT k AS {key},
+               CAST(ROUND(CASE WHEN raw <= 2.5*{m} AND zeros > 0
+                               THEN {m} * LN({m}.0/zeros)
+                               ELSE raw END) AS BIGINT) AS {out}
+        FROM est
+    """
+
+
+def hist_quantiles_oracle_sql(table: str = "orders",
+                              key: str = "o_orderpriority",
+                              value: str = "o_totalprice",
+                              quantiles: tuple = (0.5, 0.9),
+                              num_bins: int = 4096,
+                              round_to: int = 6) -> str:
+    """DuckDB oracle for the mergeable equi-width histogram quantile
+    sketch (ops/rank.py:approx_grouped_quantiles), replayed bin-for-bin:
+    width = (max-min)/num_bins recomputed with the identical IEEE ops,
+    bin = trunc((v-lo)/width) clipped to [0, num_bins-1] (numpy's
+    ``astype(int64)`` truncates — DuckDB ``CAST`` rounds, so ``trunc``
+    is explicit), the estimator picks the first bin whose running count
+    reaches q*total (numpy ``searchsorted(side='left')`` == first
+    ``cum >= target``), and emits lo + (bin+0.5)*width — lo exactly for
+    a degenerate all-identical group (width 0)."""
+    qlist = ", ".join(repr(q) for q in quantiles)
+    return f"""
+        WITH stats AS (
+          SELECT {key} AS k, MIN({value}) AS lo, MAX({value}) AS hi
+          FROM {table} GROUP BY 1
+        ), binned AS (
+          SELECT s.k,
+                 CASE WHEN s.hi > s.lo
+                      THEN LEAST(GREATEST(CAST(trunc(
+                             (t.{value} - s.lo) /
+                             ((s.hi - s.lo)/{num_bins})) AS BIGINT),
+                           0), {num_bins - 1})
+                      ELSE 0 END AS bin
+          FROM {table} t JOIN stats s ON t.{key} = s.k
+        ), hist AS (
+          SELECT k, bin, COUNT(*) AS cnt FROM binned GROUP BY k, bin
+        ), cum AS (
+          SELECT k, bin,
+                 SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+                 SUM(cnt) OVER (PARTITION BY k) AS total
+          FROM hist
+        ), qs AS (
+          SELECT unnest([{qlist}]) AS q
+        ), pick AS (
+          SELECT c.k, q.q, c.bin,
+                 ROW_NUMBER() OVER (PARTITION BY c.k, q.q
+                                    ORDER BY c.bin) AS rn
+          FROM cum c CROSS JOIN qs q
+          WHERE c.cum >= q.q * c.total
+        )
+        SELECT p.k AS {key}, p.q AS q,
+               ROUND(CASE WHEN s.hi > s.lo
+                          THEN s.lo + (p.bin + 0.5) * ((s.hi - s.lo)/{num_bins})
+                          ELSE s.lo END, {round_to}) AS quantile_value
+        FROM pick p JOIN stats s ON p.k = s.k
+        WHERE p.rn = 1
+    """

@@ -50,7 +50,8 @@ def _to_pandas(res):
     "events_followers_1h", "events_prev_gap", "docs_sample_by_lang",
     "docs_above_median_quality", "docs_editdist_pairs", "lang_id_pred",
     "lineitem_harmonic", "revenue_cube", "qty_price_corr_by_flag",
-    "custs_both_big_and_urgent",
+    "custs_both_big_and_urgent", "approx_distinct_users_by_type",
+    "price_quantiles_by_priority_approx",
 ])
 def test_query_matches_oracle(name, con):
     import __ray_entry__ as E
@@ -59,4 +60,37 @@ def test_query_matches_oracle(name, con):
     want = canon(con.execute(E.oracle_sql()[name]).fetchdf())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hll_oracle_matches_in_raw_estimator_branch(tmp_path):
+    """The sf tables keep every group in HLL's linear-counting regime
+    (<= 2.5m distinct); this pins the RAW Flajolet-estimate branch
+    (> 10240 distinct at p=12) against the SQL register replay on a
+    crafted table — both branches of the estimator are now
+    oracle-covered."""
+    import ray
+
+    from kgeng.ops.agg import hll_count_distinct
+    from kgeng.queries import hll_oracle_sql
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        # 'big' -> ~39k distinct (raw branch), 'small' -> 200 (linear)
+        "k": ["big"] * 60000 + ["small"] * 3000,
+        "v": np.concatenate([
+            rng.integers(0, 1 << 40, 60000),
+            rng.integers(0, 200, 3000)]).astype(np.int64),
+    })
+    pq_path = tmp_path / "t.parquet"
+    df.to_parquet(pq_path)
+
+    got = canon(hll_count_distinct(
+        ray.data.from_pandas(df).repartition(5), "k", "v",
+        out="n_approx").to_pandas())
+    sql = hll_oracle_sql(table=f"read_parquet('{pq_path}')", key="k",
+                         value="v", out="n_approx", p=12)
+    want = canon(duckdb.connect().execute(sql).fetchdf())
+    # sanity: the big group really exercises the raw branch
+    assert int(got.loc[got["k"] == "big", "n_approx"].iloc[0]) > 10240
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
