@@ -16,6 +16,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from kgeng.ops.block import _perm_tables
@@ -448,7 +449,7 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
     def chunks(t: pa.Table) -> pa.Table:
         sig_i64 = t["simhash"].to_numpy(zero_copy_only=False)
         sig = as_uint64(sig_i64)
-        ids = [str(i) for i in t[id_col].to_pylist()]
+        ids = pc.cast(t[id_col], pa.string()).combine_chunks()
         parts = []
         for c in range(4):
             chunk = ((sig >> np.uint64(16 * c))
@@ -456,7 +457,7 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, text_col: str = "text",
             parts.append(pa.table({
                 "chunk_idx": pa.array(np.full(len(sig), c, dtype=np.int32)),
                 "chunk_val": pa.array(chunk),
-                "doc_id": pa.array(ids),
+                "doc_id": ids,
                 "sig": pa.array(sig_i64, pa.int64()),
                 # coarse shuffle bucket emitted in the same pass (same
                 # trick as minhash_lsh_candidates: few shuffle groups,
