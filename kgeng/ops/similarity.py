@@ -60,7 +60,7 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
         q, qids = ray.get(q_ref)
         m = _normalize(_stack(t[emb_col]))
         sims = m @ q.T  # (n, Q)
-        ids = np.asarray(t[id_col].to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         out_q, out_v, out_s = [], [], []
         kk = min(k, len(ids))
         for qi in range(q.shape[0]):
@@ -111,7 +111,7 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: list,
     def local(t: pa.Table) -> pa.Table:
         q, qids, pl, qs = ray.get(q_ref)
         m = _normalize(_stack(t[emb_col]))
-        ids = np.asarray(t[id_col].to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         sigs = np.stack([hyperplane_signatures(m, pl[tb])
                          for tb in range(pl.shape[0])], axis=1)  # (n, T)
         out_q, out_v, out_s = [], [], []
@@ -288,7 +288,7 @@ def _ivf_score(ds: ray.data.Dataset, queries: np.ndarray,
     def local(t: pa.Table) -> pa.Table:
         q, qids, c, qc = ray.get(state_ref)
         m = _normalize(_stack(t[emb_col]))
-        ids = np.asarray(t[id_col].to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         cell = (m @ c.T).argmax(axis=1)  # nearest centroid per vector
         out_q, out_v, out_s = [], [], []
         for qi in range(q.shape[0]):
