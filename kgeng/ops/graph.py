@@ -2069,6 +2069,88 @@ def _undirected_degrees(e: ray.data.Dataset,
                      batch_format="pyarrow")
 
 
+@ray.remote
+def _tri_wedge_chunk(pe: np.ndarray, lens: np.ndarray,
+                     pivots: np.ndarray, bsl: np.ndarray):
+    """Wedge enumeration + packed-edge closure for one chunk of pivot
+    segments (fast plan A): ``bsl`` is the chunk's slice of the
+    (deg, id)-sorted neighbor array, ``pe`` the broadcast sorted packed
+    canonical edge set. Returns the chunk's (node, count) partial."""
+    fi, se = _segment_pairs(lens)
+    if fi.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    pv = np.repeat(pivots, lens)[fi]
+    vv = bsl[fi]
+    ww = bsl[se]
+    pk = (np.minimum(vv, ww) << 32) | np.maximum(vv, ww)
+    idx = np.searchsorted(pe, pk)
+    hit = (idx < pe.size) & (pe[np.minimum(idx, pe.size - 1)] == pk)
+    nn = np.concatenate([vv[hit], ww[hit], pv[hit]])
+    un, cn = np.unique(nn, return_counts=True)
+    return un, cn.astype(np.int64)
+
+
+def _triangle_counts_fanout(u: np.ndarray, v: np.ndarray,
+                            nodes: np.ndarray, deg: np.ndarray,
+                            num_buckets: int) -> ray.data.Dataset:
+    """Fast plan A (node count AND edge count both under their
+    broadcast cutovers, ids packable as (hi << 32 | lo)): the canonical
+    edge set is already driver-held for the packed closure broadcast,
+    so degrees / orientation / wedge-work chunking all run in numpy on
+    the driver; wedge enumeration + closure fan out as raw tasks
+    (pagerank-plan-A pattern, `_IndexedEdges` above) over equal-wedge-
+    work chunks of pivot segments; per-chunk (node, cnt) partials add
+    into one n-bounded accumulator. This replaces two sort shuffles
+    (``groupby(wb).map_groups`` wedge co-location and the final
+    ``groupby(node).sum``) whose fixed task overhead dominated wall
+    time at bench scale (the wedge arithmetic itself is seconds of
+    numpy). Past either cutover the shuffle plans below still run."""
+    pe = np.sort((u << 32) | v)
+    du = deg[np.searchsorted(nodes, u)]
+    dv = deg[np.searchsorted(nodes, v)]
+    ufirst = (du < dv) | ((du == dv) & (u < v))
+    a = np.where(ufirst, u, v)
+    b = np.where(ufirst, v, u)
+    db = np.where(ufirst, dv, du)
+    order = np.lexsort((b, db, a))
+    a = a[order]
+    b = b[order]
+    del du, dv, db, ufirst, order
+    segs = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    lens = np.diff(np.r_[segs, a.size])
+    pivots = a[segs]
+    wseg = lens * (lens - 1) // 2
+    total_w = int(wseg.sum())
+    if total_w == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "n_triangles": pa.array([], pa.int64())}))
+    # chunks of ~equal wedge work (wedge cost is quadratic in pivot
+    # out-degree, so equal-SEGMENT chunks would straggle); floor of
+    # ~20k wedges per task keeps tiny graphs at a handful of tasks
+    n_chunks = int(max(1, min(num_buckets * 4, total_w // 20_000 + 1,
+                              lens.size)))
+    cw = np.cumsum(wseg)
+    cuts = np.searchsorted(cw, np.arange(1, n_chunks)
+                           * (total_w / n_chunks))
+    bounds = np.unique(np.r_[0, cuts, lens.size])
+    eoff = np.r_[0, np.cumsum(lens)]
+    pe_ref = ray.put(pe)
+    futs = [_tri_wedge_chunk.remote(pe_ref, lens[s0:s1], pivots[s0:s1],
+                                    b[eoff[s0]:eoff[s1]])
+            for s0, s1 in zip(bounds[:-1], bounds[1:])]
+    acc = np.zeros(nodes.size, np.int64)
+    for f in futs:  # fetch one partial at a time — peak driver memory
+        un, cn = ray.get(f)  # stays accumulator + one partial
+        if un.size:
+            acc[np.searchsorted(nodes, un)] += cn
+    mask = acc > 0
+    return ray.data.from_arrow(pa.table(
+        {"node": pa.array(nodes[mask]),
+         "n_triangles": pa.array(acc[mask])}))
+
+
 def triangle_counts(edges: ray.data.Dataset, src: str = "src",
                     dst: str = "dst", num_buckets: int = 64,
                     broadcast_nodes_cutover: int = 5_000_000,
@@ -2098,7 +2180,10 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "src",
        tests its own wedges with one ``searchsorted`` — the O(m^1.5)
        wedge stream never shuffles; plan B: wedges semi-merged against
        the oriented edge set in one hash-bucket shuffle (exact
-       two-column pandas merge per bucket);
+       two-column pandas merge per bucket). When BOTH cutovers pass
+       (ids packable, nodes under the node cutover), steps 2-6 run as
+       the raw-task fast path ``_triangle_counts_fanout`` with zero
+       shuffles past canonicalization;
     6. triangle corners reduced to per-block (node, cnt) partials +
        ``groupby(node).sum``.
 
@@ -2115,6 +2200,27 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "src",
 
     e = _canonical_undirected(edges, src, dst, num_buckets) \
         .materialize()  # reused: degrees, orientation, closure
+    m_edges_probe = e.count()
+    if 0 < m_edges_probe <= broadcast_edges_cutover:
+        # fast plan A (`_triangle_counts_fanout`): the packed closure
+        # below would pull the canonical edges to the driver anyway, so
+        # when ids also pack and the node set fits its cutover, skip
+        # every shuffle past canonicalization
+        pu, pv = [], []
+        for blk in e.iter_batches(batch_size=None,
+                                  batch_format="pyarrow"):
+            pu.append(blk["u"].to_numpy(zero_copy_only=False))
+            pv.append(blk["v"].to_numpy(zero_copy_only=False))
+        uu = np.concatenate(pu)
+        vv = np.concatenate(pv)
+        del pu, pv
+        if int(uu.min()) >= 0 and int(vv.max()) < (1 << 31):
+            nd, dg = np.unique(np.concatenate([uu, vv]),
+                               return_counts=True)
+            if nd.size <= broadcast_nodes_cutover:
+                return _triangle_counts_fanout(uu, vv, nd, dg,
+                                               num_buckets)
+        del uu, vv
     # materialize degs: it feeds count + id probe + (on plan B) two
     # joins — the distributed degree groupby must not re-run per use
     degs = _undirected_degrees(e).materialize()
