@@ -239,6 +239,67 @@ def hll_count_distinct(ds: ray.data.Dataset, key: str, value: str,
         .groupby(key).map_groups(merge, batch_format="pandas")
 
 
+def small_key_aggregate(ds: ray.data.Dataset, keys: list[str],
+                        aggs: list[tuple],
+                        max_partial_rows: int = 200_000
+                        ) -> ray.data.Dataset:
+    """Partial+final grouped aggregate for BOUNDED key cardinality
+    (flags, order priorities, market segments, time buckets): one
+    vectorized Arrow ``group_by`` per block produces <= n_keys partial
+    rows, and the final combine runs on the DRIVER over the streamed
+    partials — the coordinator-final plan every distributed SQL engine
+    picks for a low-cardinality GROUP BY. The alternative (a full Ray
+    sort shuffle) schedules map+reduce task counts independent of the
+    6-row answer; at bench scale that fixed overhead IS the query wall.
+
+    ``aggs``: (col, fn, alias) with fn in {"sum", "min", "max",
+    "count", "count_all"} (col is ignored for count_all; "count"
+    counts non-null). Partials merge exactly: sum/count re-sum,
+    min/max re-min/max — so integer-cents sums stay order-invariant
+    and oracle-exact. Means: request sum + count and divide after.
+
+    Loud guard: raises if any block's partial exceeds
+    ``max_partial_rows`` — the key was not actually small-cardinality;
+    use ``groupby``/``salted_count`` instead. Driver memory is bounded
+    by n_keys x n_blocks partial rows (it holds one concatenation of
+    per-block <=n_keys-row tables, never input rows)."""
+    spec = [((c, f) if f != "count_all" else ([], f))
+            for c, f, _ in aggs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate(spec)
+        if g.num_rows > max_partial_rows:
+            raise ValueError(
+                f"small_key_aggregate: a single block produced "
+                f"{g.num_rows} groups (> {max_partial_rows}) for keys "
+                f"{keys} — this key is not small-cardinality; use "
+                f"groupby()/salted_count() instead")
+        return g
+
+    parts = list(ds.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if parts:
+        tbl = pa.concat_tables(parts, promote_options="default")
+    else:
+        tbl = partial(_arrow_schema_of(ds).empty_table())
+    merge_of = {"sum": "sum", "count": "sum", "count_all": "sum",
+                "min": "min", "max": "max"}
+    mangled = [f"{c}_{f}" if f != "count_all" else "count_all"
+               for c, f, _ in aggs]
+    fin = tbl.group_by(keys, use_threads=False).aggregate(
+        [(m, merge_of[f]) for m, (_, f, _a) in zip(mangled, aggs)])
+    cols = {k: fin[k] for k in keys}
+    for m, (_, f, alias) in zip(mangled, aggs):
+        cols[alias] = fin[f"{m}_{merge_of[f]}"]
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _arrow_schema_of(ds: ray.data.Dataset) -> pa.Schema:
+    """ray Schema -> pyarrow Schema (for empty-input shaping)."""
+    sch = ds.schema()
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
 def partial_sum(ds: ray.data.Dataset, key: str, value: str,
                 out: str = "total") -> ray.data.Dataset:
     """Partial+final SUM(value) GROUP BY key (combiner pattern): per-batch

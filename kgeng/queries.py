@@ -117,13 +117,16 @@ def q1_lineitem_agg(sf_dir: str):
             "rev_c": _cents(rev),
         })
 
-    out = ds.map_batches(add_cents, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("price_c", alias_name="price_c"),
-            Sum("rev_c", alias_name="rev_c"),
-            Count(alias_name="count_order"),
-        )
+    # 6 output groups: partial-per-block + driver final combine
+    # (agg_ops.small_key_aggregate) — a full sort shuffle here costs
+    # scheduling time independent of the 6-row answer
+    out = agg_ops.small_key_aggregate(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"),
+         ("price_c", "sum", "price_c"),
+         ("rev_c", "sum", "rev_c"),
+         (None, "count_all", "count_order")])
 
     def final(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -159,10 +162,12 @@ def orders_by_custseg(sf_dir: str):
         return pa.table({"c_mktsegment": t["c_mktsegment"],
                          "price_c": _cents(t["o_totalprice"])})
 
-    out = joined.map_batches(prep, batch_format="pyarrow") \
-        .groupby("c_mktsegment").aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="price_c"))
+    # 5 market segments (+UNKNOWN): driver-final combine beats a shuffle
+    out = agg_ops.small_key_aggregate(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [(None, "count_all", "n_orders"),
+         ("price_c", "sum", "price_c")])
 
     def final(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -188,10 +193,13 @@ def events_tumbling_window(sf_dir: str):
                          "window_start_hour": hour,
                          "value_s": _cents(t["value"], 10000.0)})
 
-    out = ds.map_batches(bucket, batch_format="pyarrow") \
-        .groupby(["event_type", "window_start_hour"]).aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_s", alias_name="value_s"))
+    # bounded keys (event types x hour buckets): partial-per-block +
+    # driver final combine, no shuffle
+    out = agg_ops.small_key_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "window_start_hour"],
+        [(None, "count_all", "n_events"),
+         ("value_s", "sum", "value_s")])
 
     def final(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -290,11 +298,13 @@ def docs_packed_2k(sf_dir: str):
 
 def doc_stats_by_lang(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
-    out = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"),
-        Min("n_chars", alias_name="min_chars"),
-        Max("n_chars", alias_name="max_chars"))
+    # ~5 languages: partial-per-block + driver final, no shuffle
+    out = agg_ops.small_key_aggregate(
+        ds, ["lang"],
+        [(None, "count_all", "n_docs"),
+         ("n_chars", "sum", "sum_chars"),
+         ("n_chars", "min", "min_chars"),
+         ("n_chars", "max", "max_chars")])
 
     def final(t: pa.Table) -> pa.Table:
         avg = pc.round(pc.divide(
@@ -1050,9 +1060,10 @@ def revenue_rollup(sf_dir: str):
                                            ([], "count_all")])
         return g.rename_columns(["prio", "rev_p", "n_p"])
 
-    per_prio = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("prio").aggregate(Sum("rev_p", alias_name="rev"),
-                                   Sum("n_p", alias_name="n_items")) \
+    per_prio = agg_ops.small_key_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["prio"],
+        [("rev_p", "sum", "rev"), ("n_p", "sum", "n_items")]) \
         .map_batches(
             lambda t: pa.table({
                 "prio": t["prio"],
@@ -1676,8 +1687,10 @@ def revenue_by_nation(sf_dir: str):
         "n_name": pc.take(nation["n_name"].combine_chunks(), nidx)})
     tagged = broadcast_join(joined, lookup, "o_custkey", how="inner")
 
-    out = tagged.groupby("n_name").aggregate(
-        Count(alias_name="n_items"), Sum("rev_c", alias_name="rev"))
+    # 25 nations: partial-per-block + driver final, no shuffle
+    out = agg_ops.small_key_aggregate(
+        tagged, ["n_name"],
+        [(None, "count_all", "n_items"), ("rev_c", "sum", "rev")])
     return out.map_batches(
         lambda t: pa.table({"n_name": t["n_name"],
                             "n_items": pc.cast(t["n_items"], pa.int64()),
@@ -1715,10 +1728,10 @@ def urgent_order_revenue(sf_dir: str):
         "o_orderkey", bloom)
     joined = hash_join(probe, urgent, key="o_orderkey", how="inner")
 
-    from ray.data.aggregate import Count as _Count
-
-    out = joined.groupby("o_orderpriority").aggregate(
-        _Count(alias_name="n_items"), Sum("rev_c", alias_name="rev"))
+    # one surviving priority: partial-per-block + driver final
+    out = agg_ops.small_key_aggregate(
+        joined, ["o_orderpriority"],
+        [(None, "count_all", "n_items"), ("rev_c", "sum", "rev")])
     return out.map_batches(
         lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
                             "n_items": t["n_items"],
@@ -1745,9 +1758,10 @@ def revenue_by_orderpriority(sf_dir: str):
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(li, orders, "o_orderkey", num_buckets=32)
-    out = joined.groupby("o_orderpriority").aggregate(
-        _Count(alias_name="n_items"),
-        _Sum("rev_c", alias_name="rev_c"))
+    # 5 priorities: partial-per-block + driver final, no shuffle
+    out = agg_ops.small_key_aggregate(
+        joined, ["o_orderpriority"],
+        [(None, "count_all", "n_items"), ("rev_c", "sum", "rev_c")])
 
     def final(t: pa.Table) -> pa.Table:
         return pa.table({

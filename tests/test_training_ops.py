@@ -1494,3 +1494,54 @@ def test_percent_rank_and_locf_cumsum_null_semantics():
                             value="vi", tiebreak="id",
                             out="rt").to_pandas().sort_values("ts")
     assert cs["rt"].tolist() == [3, 7]
+
+
+def test_small_key_aggregate_matches_groupby():
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "s": pa.array([None, "a", "b", "c"][:1] * 0 +
+                      [["x", "y", None][i % 3] for i in range(n)]),
+        "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = agg.small_key_aggregate(
+        ds, ["k", "s"],
+        [(None, "count_all", "n"),
+         ("v", "sum", "v_sum"),
+         ("v", "min", "v_min"),
+         ("v", "max", "v_max")]).to_pandas()
+    df = t.to_pandas()
+    want = (df.groupby(["k", "s"], dropna=False)
+            .agg(n=("v", "size"), v_sum=("v", "sum"),
+                 v_min=("v", "min"), v_max=("v", "max"))
+            .reset_index())
+    g = got.sort_values(["k", "s"], na_position="last") \
+        .reset_index(drop=True)
+    w = want.sort_values(["k", "s"], na_position="last") \
+        .reset_index(drop=True)
+    # null key groups must survive (SQL GROUP BY semantics)
+    assert g["s"].isna().sum() == w["s"].isna().sum() > 0
+    for c in ("n", "v_sum", "v_min", "v_max"):
+        assert g[c].astype("int64").tolist() == \
+            w[c].astype("int64").tolist(), c
+
+
+def test_small_key_aggregate_empty_and_guard():
+    t = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int64())})
+    out = agg.small_key_aggregate(
+        ray.data.from_arrow(t), ["k"],
+        [("v", "sum", "tot"), (None, "count_all", "n")])
+    # schema survives empty input (to_pandas drops cols on empty ds)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "tot", "n"}
+    # loud guard: a key that is NOT small-cardinality must raise,
+    # not silently hold the whole keyspace on the driver
+    big = pa.table({"k": pa.array(np.arange(1000), pa.int64()),
+                    "v": pa.array(np.ones(1000), pa.float64())})
+    with pytest.raises(Exception, match="not small-cardinality"):
+        agg.small_key_aggregate(
+            ray.data.from_arrow(big), ["k"],
+            [("v", "sum", "s")], max_partial_rows=10).to_pandas()
