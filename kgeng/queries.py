@@ -86,12 +86,26 @@ def _pq(sf_dir: str, name: str, columns=None,
         filter=None) -> ray.data.Dataset:
     """Column-pruned (and optionally row-filter-pushed) parquet read —
     a selective predicate passed here skips row groups at the scan
-    instead of filtering after deserialization."""
+    instead of filtering after deserialization.
+
+    Block count scales with FILE BYTES (~256 KB of compressed parquet
+    per block, clamped to [2, 64]) instead of Ray's cpu-count default:
+    the default splits a 500 KB table into 64 near-empty blocks, and
+    every downstream shuffle then schedules a 64x64 map/reduce task
+    matrix whose fixed overhead dwarfs the data. Large inputs still
+    fan out (the clamp ceiling matches the old default); at real
+    multi-file scale read_parquet's own size-based planning takes
+    over block sizing anyway."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
     kw = {"columns": columns}
     if filter is not None:
         kw["filter"] = filter
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), **kw).map_batches(
+    try:
+        nblk = max(2, min(64, os.path.getsize(path) // (256 << 10) + 1))
+        kw["override_num_blocks"] = int(nblk)
+    except OSError:
+        pass  # directories / remote paths: let Ray plan the blocks
+    return ray.data.read_parquet(path, **kw).map_batches(
         _strip_meta, batch_format="pyarrow")
 
 
