@@ -388,8 +388,8 @@ def melt(ds: ray.data.Dataset, id_cols: list[str],
 
 
 def grouped_corr(ds: ray.data.Dataset, key: str, x: str, y: str,
-                 out: str = "corr", ndigits: int = 6
-                 ) -> ray.data.Dataset:
+                 out: str = "corr", ndigits: int = 6,
+                 small_keys: bool = False) -> ray.data.Dataset:
     """Pearson correlation per group from EXACT integer moments.
 
     ``x``/``y`` must already be int64 (callers scale floats to an
@@ -433,8 +433,18 @@ def grouped_corr(ds: ray.data.Dataset, key: str, x: str, y: str,
             [key, "n_p", "sx_p", "sy_p", "sxx_p", "syy_p", "sxy_p",
              "mt_p"])
 
-    moments = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key).aggregate(
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if small_keys:
+        # bounded key cardinality (flags): driver-final combine over
+        # the streamed partials — exact (int sums / max), no shuffle
+        moments = small_key_aggregate(
+            partials, [key],
+            [("n_p", "sum", "n"), ("sx_p", "sum", "sx"),
+             ("sy_p", "sum", "sy"), ("sxx_p", "sum", "sxx"),
+             ("syy_p", "sum", "syy"), ("sxy_p", "sum", "sxy"),
+             ("mt_p", "max", "mt")])
+    else:
+        moments = partials.groupby(key).aggregate(
             Sum("n_p", alias_name="n"), Sum("sx_p", alias_name="sx"),
             Sum("sy_p", alias_name="sy"), Sum("sxx_p", alias_name="sxx"),
             Sum("syy_p", alias_name="syy"), Sum("sxy_p", alias_name="sxy"),
@@ -470,7 +480,8 @@ def grouped_corr(ds: ray.data.Dataset, key: str, x: str, y: str,
 
 
 def grouped_stats(ds: ray.data.Dataset, key: str, x: str,
-                  ndigits: int = 6) -> ray.data.Dataset:
+                  ndigits: int = 6,
+                  small_keys: bool = False) -> ray.data.Dataset:
     """Per-group count / mean / sample stddev from EXACT integer
     moments — same discipline as :func:`grouped_corr`: ``x`` must be
     int64 on an integer grid, partials (n, Sx, Sxx) sum exactly, and
@@ -495,8 +506,14 @@ def grouped_stats(ds: ray.data.Dataset, key: str, x: str,
             ("mt_p", "max")])
         return g.rename_columns([key, "n_p", "sx_p", "sxx_p", "mt_p"])
 
-    moments = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key).aggregate(
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if small_keys:
+        moments = small_key_aggregate(
+            partials, [key],
+            [("n_p", "sum", "n"), ("sx_p", "sum", "sx"),
+             ("sxx_p", "sum", "sxx"), ("mt_p", "max", "mt")])
+    else:
+        moments = partials.groupby(key).aggregate(
             Sum("n_p", alias_name="n"), Sum("sx_p", alias_name="sx"),
             Sum("sxx_p", alias_name="sxx"), Max("mt_p", alias_name="mt"))
 

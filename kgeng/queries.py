@@ -2784,7 +2784,8 @@ def qty_price_corr_by_flag(sf_dir: str):
                                   round_mode="half_towards_infinity"),
                          pa.int64())}),
         batch_format="pyarrow")
-    return grouped_corr(prep, "l_returnflag", "x", "y")
+    return grouped_corr(prep, "l_returnflag", "x", "y",
+                        small_keys=True)
 
 
 def custs_both_big_and_urgent(sf_dir: str):
@@ -2856,7 +2857,8 @@ def price_stats_by_priority(sf_dir: str):
                                   round_mode="half_towards_infinity"),
                          pa.int64())}),
         batch_format="pyarrow")
-    return grouped_stats(prep, "o_orderpriority", "x")
+    return grouped_stats(prep, "o_orderpriority", "x",
+                         small_keys=True)
 
 
 def _co_purchase_edges(sf_dir: str):
