@@ -2198,29 +2198,52 @@ def triangle_counts(edges: ray.data.Dataset, src: str = "src",
     """
     from kgeng.ops.join import hash_join
 
-    e = _canonical_undirected(edges, src, dst, num_buckets) \
-        .materialize()  # reused: degrees, orientation, closure
-    m_edges_probe = e.count()
-    if 0 < m_edges_probe <= broadcast_edges_cutover:
+    def _canon_block(t: pa.Table) -> pa.Table:
+        # per-block canonicalize (u < v, drop loops) + dedup — the same
+        # pre-reduction _canonical_undirected fuses before its shuffle
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.ones(u.size, bool)
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    proj = edges.map_batches(_canon_block,
+                             batch_format="pyarrow").materialize()
+    m_probe = proj.count()  # block-deduped upper bound on |canonical|
+    if 0 < m_probe <= broadcast_edges_cutover:
         # fast plan A (`_triangle_counts_fanout`): the packed closure
-        # below would pull the canonical edges to the driver anyway, so
-        # when ids also pack and the node set fits its cutover, skip
-        # every shuffle past canonicalization
+        # would pull the canonical edges to the driver anyway, so when
+        # ids also pack and the node set fits its cutover, the GLOBAL
+        # dedup is one np.unique over packed pairs and every shuffle
+        # disappears — the whole job is one map stage + raw tasks
         pu, pv = [], []
-        for blk in e.iter_batches(batch_size=None,
-                                  batch_format="pyarrow"):
+        for blk in proj.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
             pu.append(blk["u"].to_numpy(zero_copy_only=False))
             pv.append(blk["v"].to_numpy(zero_copy_only=False))
-        uu = np.concatenate(pu)
-        vv = np.concatenate(pv)
+        uu = np.concatenate(pu) if pu else np.zeros(0, np.int64)
+        vv = np.concatenate(pv) if pv else np.zeros(0, np.int64)
         del pu, pv
         if int(uu.min()) >= 0 and int(vv.max()) < (1 << 31):
+            pk = np.unique((uu << 32) | vv)
+            uu = pk >> 32
+            vv = pk & np.int64(0xFFFFFFFF)
+            del pk
             nd, dg = np.unique(np.concatenate([uu, vv]),
                                return_counts=True)
             if nd.size <= broadcast_nodes_cutover:
                 return _triangle_counts_fanout(uu, vv, nd, dg,
                                                num_buckets)
         del uu, vv
+
+    e = _canonical_undirected(proj, "u", "v", num_buckets) \
+        .materialize()  # reused: degrees, orientation, closure
     # materialize degs: it feeds count + id probe + (on plan B) two
     # joins — the distributed degree groupby must not re-run per use
     degs = _undirected_degrees(e).materialize()
