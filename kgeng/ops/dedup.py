@@ -183,7 +183,6 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
 
     def bands(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        ids = t[id_col].to_pylist()
         if not texts:
             return pa.table({"band_idx": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64()),
@@ -205,7 +204,13 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                 np.tile(np.arange(num_bands, dtype=np.int32), n)),
             # 63-bit int64 band keys: Ray-shuffle-safe (see exact_dedup)
             "band_hash": pa.array(bh),
-            "doc_id": pa.array(np.repeat([str(i) for i in ids], num_bands)),
+            # id stringification stays in Arrow (cast + take) — no
+            # per-row str() boxing over the corpus (same fix as the
+            # simhash banding / ANN emission paths)
+            "doc_id": pc.take(
+                pc.cast(t[id_col], pa.string()).combine_chunks(),
+                pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                   num_bands))),
             "bucket": pa.array((bh % 64).astype(np.int32)),
         })
 
