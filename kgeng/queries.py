@@ -20,7 +20,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from kgeng.ops import agg as agg_ops
 from kgeng.ops import dedup as dedup_ops
@@ -1065,8 +1064,6 @@ def revenue_rollup(sf_dir: str):
             batch_format="pyarrow"),
         key="l_orderkey", how="inner").materialize()
 
-    from ray.data.aggregate import Sum
-
     def partial(t: pa.Table) -> pa.Table:
         g = pa.table({"prio": t["prio"],
                       "rev_c": pc.cast(t["rev_c"], pa.int64())}) \
@@ -1757,8 +1754,6 @@ def revenue_by_orderpriority(sf_dir: str):
     """Large x large join: lineitem x orders via the explicit
     hash-partitioned join (ops/join.py), then grouped revenue."""
     from kgeng.ops.join import hash_join
-    from ray.data.aggregate import Count as _Count
-    from ray.data.aggregate import Sum as _Sum
 
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -2720,8 +2715,6 @@ def revenue_cube(sf_dir: str):
             batch_format="pyarrow"),
         key="l_orderkey", how="inner")
 
-    from ray.data.aggregate import Sum
-
     def partial(t: pa.Table) -> pa.Table:
         g = pa.table({"prio": t["prio"], "flag": t["flag"],
                       "rev_c": pc.cast(t["rev_c"], pa.int64())}) \
@@ -2729,11 +2722,13 @@ def revenue_cube(sf_dir: str):
                                                    ([], "count_all")])
         return g.rename_columns(["prio", "flag", "rev_p", "n_p"])
 
-    finest = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["prio", "flag"]) \
-        .aggregate(Sum("rev_p", alias_name="rev_c"),
-                   Sum("n_p", alias_name="n_items")).to_pandas()
-    finest.columns = ["prio", "flag", "rev_c", "n_items"]
+    # priorities x flags (~15 groups): driver-final combine
+    finest = agg_ops.small_key_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["prio", "flag"],
+        [("rev_p", "sum", "rev_c"),
+         ("n_p", "sum", "n_items")]).to_pandas()
+    finest = finest[["prio", "flag", "rev_c", "n_items"]]
 
     if len(finest) == 0:
         # SQL CUBE on empty input still emits the () grouping set:
