@@ -214,7 +214,12 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
             "bucket": pa.array((bh % 64).astype(np.int32)),
         })
 
-    banded = ds.map_batches(bands, batch_format="pyarrow", batch_size=4096)
+    # 1024-doc banding batches: small enough that a small corpus still
+    # fans out across the pool (map task count AND the downstream
+    # bucket-shuffle's block count both follow the batching here), big
+    # enough that the vectorized shingle/minhash kernel stays amortized;
+    # at real scale block boundaries dominate batching anyway
+    banded = ds.map_batches(bands, batch_format="pyarrow", batch_size=1024)
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_skip = [], [], []
