@@ -227,10 +227,13 @@ def events_tumbling_window(sf_dir: str):
 
 def top_orders(sf_dir: str):
     """Global sort + limit: top 100 orders by totalprice (ties broken by
-    o_orderkey)."""
+    o_orderkey) — the top-k shape (per-block prune, then a tiny global
+    sort over <= 100-per-block survivors), never an all-row sort."""
+    from kgeng.ops.rank import top_k_global
+
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(100)
+    return top_k_global(ds, ["o_totalprice", "o_orderkey"], 100,
+                        descending=[True, False])
 
 
 def distinct_event_types(sf_dir: str):
@@ -1547,8 +1550,11 @@ def corpus_top_terms(sf_dir: str):
                          "neg_tf": pc.negate(pc.cast(t["tf"],
                                                      pa.int64()))})
 
-    return stats.map_batches(negate, batch_format="pyarrow") \
-        .sort(["neg_tf", "term"]).limit(20) \
+    from kgeng.ops.rank import top_k_global
+
+    return top_k_global(
+        stats.map_batches(negate, batch_format="pyarrow"),
+        ["neg_tf", "term"], 20) \
         .map_batches(lambda t: t.select(["term", "tf"]),
                      batch_format="pyarrow")
 
