@@ -150,6 +150,34 @@ def test_top_k_per_group_matches_pandas():
         check_dtype=False)
 
 
+def test_top_k_global_matches_pandas():
+    import numpy as np
+
+    from kgeng.ops.rank import top_k_global
+
+    rng = np.random.default_rng(11)
+    n = 400
+    # ties on purpose: v drawn from a tiny set so the id tiebreak decides
+    t = pa.table({"v": rng.integers(0, 8, n), "id": np.arange(n)})
+    ds = ray.data.from_arrow(t).repartition(7)  # multi-block prune path
+    got = top_k_global(ds, ["v", "id"], 25,
+                       descending=[True, False]).to_pandas()
+    want = t.to_pandas().sort_values(["v", "id"],
+                                     ascending=[False, True]).head(25)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_top_k_global_k_exceeds_rows():
+    from kgeng.ops.rank import top_k_global
+
+    t = pa.table({"v": [3, 1, 2], "id": [0, 1, 2]})
+    got = top_k_global(ray.data.from_arrow(t), ["v"], 100,
+                       descending=[True]).to_pandas()
+    assert got["v"].tolist() == [3, 2, 1]
+
+
 def test_grouped_quantiles_matches_numpy():
     import numpy as np
 
