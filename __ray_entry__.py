@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": Q.docs_weighted_sample,
         "docs_packed_2k": Q.docs_packed_2k,
         "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
+        "corpus_cms_term_counts": Q.corpus_cms_term_counts,
         "lineitem_closeness_exact": Q.lineitem_closeness_exact,
         "lineitem_sssp": Q.lineitem_sssp,
         "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
@@ -459,6 +460,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users_by_type": Q.hll_oracle_sql(
             table="events", key="event_type", value="user_id",
             out="n_users_approx", p=12),
+        "corpus_cms_term_counts": Q.cms_oracle_sql(width=2048,
+                                                   depth=4, k=20),
         "price_quantiles_by_priority_approx": Q.hist_quantiles_oracle_sql(
             table="orders", key="o_orderpriority", value="o_totalprice",
             quantiles=(0.5, 0.9), num_bins=4096, round_to=6),

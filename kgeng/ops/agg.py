@@ -878,3 +878,95 @@ def grouped_entropy(ds: ray.data.Dataset, key: str, value: str,
                              round_mode="half_towards_infinity")})
 
     return per.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ Count-Min sketch
+
+def count_min_cells(ds: ray.data.Dataset, col: str = "text",
+                    width: int = 2048, depth: int = 4
+                    ) -> ray.data.Dataset:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005) over
+    the whitespace tokens of ``col``: one ``(d, cell, cnt)`` row per
+    non-empty sketch cell, <= ``depth * width`` rows total.
+
+    Unlike Misra-Gries (:func:`misra_gries_topk`, whose evictions
+    depend on block boundaries), CMS cells merge by EXACT integer
+    addition, so the sketch — and every point estimate read from it —
+    is independent of partitioning; that makes it the one frequency
+    sketch here that carries a full hash-match DuckDB oracle
+    (queries.cms_oracle_sql replays the whole chain in SQL).
+
+    Row-``d`` cell for a token: ``splitmix64(tokhash + d*GOLDEN) %
+    width`` — the splitmix64 output stream seeded with the
+    SQL-expressible charwise-polynomial token hash
+    (ops/text._hash_tokens); both primitives already have HUGEINT
+    twins (queries._sql_splitmix64 / _sql_tokhash).
+
+    100 TB shape: each batch ships at most ``depth x min(width,
+    batch vocabulary)`` partial rows — never the token stream — and
+    the aggregated sketch is bounded by ``depth x width`` rows
+    regardless of corpus size. Point estimate: ``est(term) = min_d
+    cells[d][h_d(term)] >= true count``, overshooting by ~N/width per
+    row in expectation (N = total token count)."""
+    from ray.data.aggregate import Sum
+
+    from kgeng.ops.text import _hash_tokens
+
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2 "
+                         f"(got {depth}, {width})")
+    # d*GOLDEN precomputed through Python ints: numpy uint64 SCALAR
+    # products warn on wraparound (arrays wrap silently)
+    steps = [np.uint64((d * 0x9E3779B97F4A7C15) % (1 << 64))
+             for d in range(depth)]
+    w = np.uint64(width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        terms = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        terms = terms[terms != ""]          # split artifacts at edges
+        ths = _hash_tokens(terms)
+        ds_, cells_, cnts_ = [], [], []
+        for d in range(depth):
+            cell = (_splitmix64(ths + steps[d]) % w).astype(np.int64)
+            cnt = np.bincount(cell, minlength=width)
+            nz = np.flatnonzero(cnt)
+            ds_.append(np.full(len(nz), d, np.int32))
+            cells_.append(nz.astype(np.int64))
+            cnts_.append(cnt[nz].astype(np.int64))
+        return pa.table({
+            "d": pa.array(np.concatenate(ds_)),
+            "cell": pa.array(np.concatenate(cells_)),
+            "cnt": pa.array(np.concatenate(cnts_))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["d", "cell"]).aggregate(Sum("cnt", alias_name="cnt"))
+    return agg.map_batches(
+        lambda t: t.select(["d", "cell", "cnt"]),
+        batch_format="pyarrow")
+
+
+def cms_point_estimates(cells: "pa.Table", terms, width: int,
+                        depth: int) -> np.ndarray:
+    """Point-estimate lookups against a materialized CMS cells table
+    (the <= depth*width-row output of :func:`count_min_cells` — small
+    by construction, so driver-side lookup is the documented shape).
+    Returns int64 estimates aligned with ``terms``."""
+    from kgeng.ops.text import _hash_tokens
+
+    lut = {}
+    dcol = cells["d"].to_numpy(zero_copy_only=False)
+    ccol = cells["cell"].to_numpy(zero_copy_only=False)
+    ncol = cells["cnt"].to_numpy(zero_copy_only=False)
+    for i in range(len(dcol)):
+        lut[(int(dcol[i]), int(ccol[i]))] = int(ncol[i])
+    ths = _hash_tokens(np.asarray(list(terms), dtype=object))
+    w = np.uint64(width)
+    est = np.full(len(ths), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        step = np.uint64((d * 0x9E3779B97F4A7C15) % (1 << 64))
+        cell = (_splitmix64(ths + step) % w).astype(np.int64)
+        for i in range(len(ths)):           # len(terms) rows: tiny
+            est[i] = min(est[i], lut.get((d, int(cell[i])), 0))
+    return est

@@ -1559,6 +1559,48 @@ def corpus_top_terms(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def corpus_cms_term_counts(sf_dir: str):
+    """Count-Min sketch point estimates for the corpus's exact top-20
+    terms (tf desc, term asc): the sketch (depth 4 x width 2048)
+    aggregates in one vocabulary-bounded pass; the probe set comes
+    from the exact counts via the top-k shape. Output
+    ``(term, tf, est)`` with ``est >= tf`` by construction. Cells
+    merge by exact integer addition, so — unlike the Misra-Gries twin
+    (corpus_top_terms_approx) — the whole chain is partition-invariant
+    and hash-matches its DuckDB replay (cms_oracle_sql)."""
+    from kgeng.ops.agg import cms_point_estimates, count_min_cells
+    from kgeng.ops.rank import top_k_global
+    from kgeng.ops.text import term_stats
+
+    width, depth, k = 2048, 4, 20
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # <= depth*width rows by construction: the documented driver-pull
+    cells = pa.Table.from_pylist(
+        count_min_cells(docs, "text", width=width, depth=depth)
+        .take_all(),
+        schema=pa.schema([("d", pa.int32()), ("cell", pa.int64()),
+                          ("cnt", pa.int64())]))
+
+    stats = term_stats(_pq(sf_dir, "documents", ["doc_id", "text"]),
+                       min_df=1)
+
+    def negate(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t["term"], "tf": t["tf"],
+                         "neg_tf": pc.negate(pc.cast(t["tf"],
+                                                     pa.int64()))})
+
+    top = pa.Table.from_pylist(
+        top_k_global(stats.map_batches(negate, batch_format="pyarrow"),
+                     ["neg_tf", "term"], k).take_all(),
+        schema=pa.schema([("term", pa.string()), ("tf", pa.int64()),
+                          ("neg_tf", pa.int64())]))
+    terms = top["term"].to_pylist()
+    est = cms_point_estimates(cells, terms, width=width, depth=depth)
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "tf": pc.cast(top["tf"], pa.int64()),
+                     "est": pa.array(est, pa.int64())})
+
+
 def docs_repetition_ratio(sf_dir: str):
     """Intra-doc repetition quality signal: 1 - distinct/total token
     trigrams per document (stateless vectorized pass, no shuffle).
@@ -2037,6 +2079,58 @@ def _sql_splitmix64(x: str) -> str:
     z = _sql_mulmod(_sql_xshift(z, 30), 0xBF58476D1CE4E5B9)
     z = _sql_mulmod(_sql_xshift(z, 27), 0x94D049BB133111EB)
     return _sql_xshift(z, 31)
+
+
+def cms_oracle_sql(width: int = 2048, depth: int = 4,
+                   k: int = 20) -> str:
+    """DuckDB replay of the full Count-Min chain
+    (ops/agg.count_min_cells + cms_point_estimates): exact token
+    counts, the charwise-polynomial token hash, the splitmix64 stream
+    cell placement ``splitmix64(th + d*GOLDEN) % width``, cell sums,
+    and the min-over-rows point estimate for the exact top-``k``
+    terms. Exactly statable because every step is integer arithmetic
+    mod 2^64 — no float summation order anywhere."""
+    # splitmix64 rounds staged as chained CTE columns (z0..z2) rather
+    # than one _sql_splitmix64 macro call: the nested xshift/mulmod
+    # macros duplicate their argument ~18x per level, so the one-shot
+    # expansion is megabytes of SQL and the planner OOMs (the HLL
+    # oracle survives it over a bare column; here the seed is itself
+    # an expression). Staged, the whole query is a few KB.
+    # z0 = (th + (d+1)*GOLDEN) mod 2^64 == the macro's z for seed
+    # th + d*GOLDEN (the macro adds one more GOLDEN itself).
+    z0 = (f"((th + (CAST(d AS HUGEINT) + 1) * "
+          f"CAST('11400714819323198485' AS HUGEINT)) % {_SQL_M64})")
+    z1 = _sql_mulmod(_sql_xshift("z0", 30), 0xBF58476D1CE4E5B9)
+    z2 = _sql_mulmod(_sql_xshift("z1", 27), 0x94D049BB133111EB)
+    cell = f"CAST(({_sql_xshift('z2', 31)}) % {width} AS BIGINT)"
+    return f"""
+        WITH tokens AS (
+          SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+          FROM documents),
+        counts AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS tf
+          FROM tokens GROUP BY 1),
+        hashed AS (
+          SELECT term, tf, {_sql_tokhash('term')} AS th FROM counts),
+        seeded AS (
+          SELECT term, tf, d, {z0} AS z0
+          FROM hashed CROSS JOIN
+               (SELECT unnest(generate_series(0, {depth - 1})) AS d)),
+        s1 AS (SELECT term, tf, d, {z1} AS z1 FROM seeded),
+        s2 AS (SELECT term, tf, d, {z2} AS z2 FROM s1),
+        placed AS (
+          SELECT term, tf, d, {cell} AS cell FROM s2),
+        cells AS (
+          SELECT d, cell, SUM(tf) AS cnt FROM placed GROUP BY 1, 2),
+        top AS (
+          SELECT term, tf FROM counts
+          ORDER BY tf DESC, term LIMIT {k})
+        SELECT t.term, t.tf, CAST(MIN(c.cnt) AS BIGINT) AS est
+        FROM top t
+        JOIN placed p ON p.term = t.term
+        JOIN cells c ON c.d = p.d AND c.cell = p.cell
+        GROUP BY 1, 2
+    """
 
 
 def fingerprint_oracle_sql(k: int = 4, window: int = 8) -> str:

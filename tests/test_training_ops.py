@@ -1545,3 +1545,61 @@ def test_small_key_aggregate_empty_and_guard():
         agg.small_key_aggregate(
             ray.data.from_arrow(big), ["k"],
             [("v", "sum", "s")], max_partial_rows=10).to_pandas()
+
+
+def test_count_min_cells_reference_mass_and_partition_invariance():
+    """CMS cells must equal a pure-numpy reference sketch EXACTLY,
+    conserve total token mass in every row d, bound each point
+    estimate below by the true count, and reproduce bit-for-bit under
+    a different partitioning (cells merge by exact int addition — the
+    property that earns this sketch a full hash-match oracle where
+    Misra-Gries stays rows-only)."""
+    from kgeng.ops.agg import (_splitmix64, cms_point_estimates,
+                               count_min_cells)
+    from kgeng.ops.text import _hash_tokens
+
+    texts = (["red green blue red red", "green green blue",
+              None, "", "solo",
+              "red blue red blue red blue"] * 7)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    width, depth = 16, 3            # tiny width: force collisions
+
+    def run(nparts):
+        rows = count_min_cells(
+            ray.data.from_arrow(t).repartition(nparts),
+            "text", width=width, depth=depth).take_all()
+        return sorted((r["d"], r["cell"], r["cnt"]) for r in rows)
+
+    got = run(1)
+
+    toks = [tok for s in texts for tok in (s or "").split()]
+    ths = _hash_tokens(np.array(toks, object))
+    ref: dict = {}
+    for d in range(depth):
+        step = np.uint64((d * 0x9E3779B97F4A7C15) % (1 << 64))
+        cell = (_splitmix64(ths + step) % np.uint64(width)).astype(int)
+        for c in cell:
+            ref[(d, int(c))] = ref.get((d, int(c)), 0) + 1
+    assert got == sorted((d, c, n) for (d, c), n in ref.items())
+
+    n_tokens = len(toks)
+    per_row = pd.DataFrame(got, columns=["d", "cell", "cnt"]) \
+        .groupby("d")["cnt"].sum()
+    assert (per_row == n_tokens).all() and len(per_row) == depth
+
+    assert run(5) == got            # partition invariance, exact
+
+    cells_t = pa.table({
+        "d": pa.array([d for d, _, _ in got], pa.int32()),
+        "cell": pa.array([c for _, c, _ in got], pa.int64()),
+        "cnt": pa.array([n for _, _, n in got], pa.int64())})
+    vocab = sorted(set(toks))
+    est = cms_point_estimates(cells_t, vocab, width=width, depth=depth)
+    true = pd.Series(toks).value_counts()
+    for term, e in zip(vocab, est):
+        assert int(e) >= int(true[term]), (term, e, true[term])
+    # width 16 over a 4-term vocab: at least the heavy terms must be
+    # exact unless every row collides — sanity that estimates aren't
+    # uniformly inflated garbage
+    assert sum(int(e) == int(true[tm]) for tm, e in zip(vocab, est)) >= 1
