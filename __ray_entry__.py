@@ -200,8 +200,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": Q.kg_triples,
         "kg_entities": Q.kg_entities,
         "kg_vertices_out": Q.kg_vertices_out,
-        "kg_edges_out": Q.kg_edges_out,
+        # parts_snm_pairs takes kg_edges_out's window slot: the driver
+        # gates only the first 50 entries, kg_edges_out is green in
+        # r01-r04, and price_quantiles_by_priority_approx (slot 50)
+        # has never been gated and must stay in-window
+        "parts_snm_pairs": Q.parts_snm_pairs,
         "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
+        "kg_edges_out": Q.kg_edges_out,
         "dedup_exact_docs": Q.dedup_exact_docs,
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "lineitem_closeness": Q.lineitem_closeness,
@@ -462,6 +467,22 @@ def oracle_sql() -> dict[str, str]:
             out="n_users_approx", p=12),
         "corpus_cms_term_counts": Q.cms_oracle_sql(width=2048,
                                                    depth=4, k=20),
+        # sorted-neighborhood: the window over (p_name, p_partkey)
+        # order stated as row_number + a rank-band self-join; sim
+        # thresholded UNROUNDED on both sides, rounded only for output
+        "parts_snm_pairs": """
+            WITH ranked AS (
+              SELECT p_partkey, p_name,
+                     row_number() OVER (
+                       ORDER BY p_name, p_partkey) AS r
+              FROM part)
+            SELECT a.p_partkey AS p_a, b.p_partkey AS p_b,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name),
+                         6) AS sim
+            FROM ranked a JOIN ranked b
+              ON b.r > a.r AND b.r <= a.r + 4
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        """,
         "price_quantiles_by_priority_approx": Q.hist_quantiles_oracle_sql(
             table="orders", key="o_orderpriority", value="o_totalprice",
             quantiles=(0.5, 0.9), num_bins=4096, round_to=6),

@@ -998,3 +998,89 @@ def duplicated_spans(ds: ray.data.Dataset, span_tokens: int = 32,
                          "dup_fraction": pa.array(frac)})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# --------------------------------------------- sorted-neighborhood (SNM)
+
+@ray.remote
+def _snm_slice(blk, k: int):
+    if not isinstance(blk, pa.Table):
+        blk = pa.Table.from_pandas(blk, preserve_index=False)
+    return blk.slice(0, k)
+
+
+@ray.remote
+def _snm_emit(blk, window: int, carry: list[str], *ctx_slices):
+    # context slices ride as *args: Ray resolves ObjectRefs only at
+    # the top level of the argument list, not nested inside a list
+    if not isinstance(blk, pa.Table):
+        blk = pa.Table.from_pandas(blk, preserve_index=False)
+    n_native = len(blk)
+    ctx = pa.concat_tables([blk.select(carry)] +
+                           [s.select(carry) for s in ctx_slices]) \
+        .combine_chunks()
+    a_idx, b_idx = [], []
+    for delta in range(1, window):
+        hi = min(n_native, len(ctx) - delta)
+        if hi > 0:
+            a_idx.append(np.arange(0, hi, dtype=np.int64))
+            b_idx.append(np.arange(delta, delta + hi, dtype=np.int64))
+    if a_idx:
+        ai = pa.array(np.concatenate(a_idx))
+        bi = pa.array(np.concatenate(b_idx))
+    else:
+        ai = bi = pa.array(np.array([], np.int64))
+    cols, names = [], []
+    for c in carry:
+        names += [f"a_{c}", f"b_{c}"]
+        cols += [ctx[c].take(ai), ctx[c].take(bi)]
+    return pa.table(dict(zip(names, cols)))
+
+
+def sorted_neighborhood_pairs(ds: ray.data.Dataset, by: list[str],
+                              window: int = 5,
+                              carry: list[str] | None = None
+                              ) -> ray.data.Dataset:
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995):
+    records are sorted by the blocking key ``by`` (make it a TOTAL
+    order — include a unique tiebreak column) and every record pairs
+    with its ``window - 1`` successors in that order. The classic ER
+    blocking strategy the hash/banding family can't express: it finds
+    neighbours by ORDER, so typos that keep the sort prefix intact
+    land adjacent regardless of how their hashes scatter.
+
+    Shape: ONE sort shuffle (the algorithm's own primitive), then pair
+    emission is a raw task per sorted block — each block pairs its own
+    rows against itself plus the first ``window - 1`` rows of the
+    FOLLOWING blocks (rank-contiguous by construction, stitched from
+    block metadata; the documented raw-task case — Dataset ops can't
+    see peer blocks). No second shuffle, and the work per task is
+    bounded by block size regardless of key skew: bucketing by RANK is
+    skew-immune where every hash/group blocking is not. Emits each
+    pair exactly once (owned by the block holding its left row) as
+    ``a_<c>, b_<c>`` for each carried column."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2 (got {window})")
+    carry = list(carry) if carry is not None else list(ds.schema().names)
+    sorted_ds = ds.sort(by).materialize()
+    blocks = [(r, m.num_rows)
+              for bundle in sorted_ds.iter_internal_ref_bundles()
+              for r, m in bundle.blocks]
+    blocks = [(r, n) for r, n in blocks if n > 0]
+    if not blocks:
+        base = ds.schema().base_schema
+        empty = {f"{s}_{c}": pa.array([], base.field(c).type)
+                 for c in carry for s in ("a", "b")}
+        return ray.data.from_arrow(pa.table(empty))
+    need = window - 1
+    emit_refs = []
+    for i, (ref, _n) in enumerate(blocks):
+        ctx, got = [], 0
+        for j in range(i + 1, len(blocks)):
+            if got >= need:
+                break
+            take = min(need - got, blocks[j][1])
+            ctx.append(_snm_slice.remote(blocks[j][0], take))
+            got += take
+        emit_refs.append(_snm_emit.remote(ref, window, carry, *ctx))
+    return ray.data.from_arrow_refs(emit_refs)

@@ -2936,6 +2936,36 @@ def doc_pair_jw(sf_dir: str):
         pairs_batch, batch_format="pyarrow", batch_size=64)
 
 
+def parts_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) over part
+    names: one sort by (p_name, p_partkey), each record paired with its
+    4 successors, candidates verified by the bit-exact Jaro-Winkler
+    kernel and kept at sim >= 0.9 — the order-based ER blocking member
+    the hash/LSH/banding family can't express. Oracle states the same
+    window as row_number + a rank-band self-join."""
+    from kgeng.ops.dedup import (_byte_matrix, jaro_winkler_batch,
+                                 sorted_neighborhood_pairs)
+
+    part = _pq(sf_dir, "part", ["p_partkey", "p_name"])
+    cand = sorted_neighborhood_pairs(
+        part, by=["p_name", "p_partkey"], window=5,
+        carry=["p_partkey", "p_name"])
+
+    def score(t: pa.Table) -> pa.Table:
+        mat_a, la = _byte_matrix(t["a_p_name"].to_pylist())
+        mat_b, lb = _byte_matrix(t["b_p_name"].to_pylist())
+        sim = jaro_winkler_batch(mat_a, mat_b, la, lb)
+        out = pa.table({
+            "p_a": t["a_p_partkey"],
+            "p_b": t["b_p_partkey"],
+            "sim": pc.round(pa.array(sim, pa.float64()), ndigits=6,
+                            round_mode="half_towards_infinity")})
+        # threshold on the UNROUNDED similarity, like the SQL WHERE
+        return out.filter(pa.array(sim >= 0.9))
+
+    return cand.map_batches(score, batch_format="pyarrow")
+
+
 def price_stats_by_priority(sf_dir: str):
     """count / mean / sample stddev of whole-dollar order price per
     priority — exact-moments grouped statistics

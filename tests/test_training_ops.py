@@ -1603,3 +1603,41 @@ def test_count_min_cells_reference_mass_and_partition_invariance():
     # exact unless every row collides — sanity that estimates aren't
     # uniformly inflated garbage
     assert sum(int(e) == int(true[tm]) for tm, e in zip(vocab, est)) >= 1
+
+
+def test_sorted_neighborhood_pairs_reference_and_block_boundaries():
+    """SNM candidate pairs must exactly equal the single-machine
+    reference (sort, pair each row with its window-1 successors) for
+    ANY partitioning — including blocks SMALLER than the window, which
+    forces a block's context to be stitched from several following
+    blocks — and a window larger than the dataset must yield all
+    ordered pairs."""
+    from kgeng.ops.dedup import sorted_neighborhood_pairs
+
+    names = [f"item {chr(97 + i % 17)}{i % 7}{i:03d}" for i in range(61)]
+    pids = list(range(1000, 1000 + len(names)))
+    t = pa.table({"pid": pa.array(pids, pa.int64()),
+                  "name": pa.array(names, pa.string())})
+
+    order = sorted(range(len(names)), key=lambda i: (names[i], pids[i]))
+
+    def ref_pairs(window):
+        out = []
+        for i in range(len(order)):
+            for d in range(1, window):
+                if i + d < len(order):
+                    out.append((pids[order[i]], pids[order[i + d]]))
+        return sorted(out)
+
+    for nparts, window in [(1, 5), (7, 5), (40, 5), (7, 200)]:
+        got = sorted(
+            (r["a_pid"], r["b_pid"])
+            for r in sorted_neighborhood_pairs(
+                ray.data.from_arrow(t).repartition(nparts),
+                by=["name", "pid"], window=window,
+                carry=["pid"]).take_all())
+        assert got == ref_pairs(window), (nparts, window, len(got))
+
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(ray.data.from_arrow(t),
+                                  by=["name"], window=1)
