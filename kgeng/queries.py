@@ -71,14 +71,23 @@ def _feat_sum_batches(t: pa.Table) -> pa.Table:
         "feat_sum", pc.round(pa.array(sums, pa.float64()), ndigits=4))
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    """Drop schema-level metadata (zero-copy). The sf parquet files carry
-    pandas-written ``b'pandas'`` metadata whose dict payload makes
-    ``hash(schema)`` raise; every downstream wide op then logs Ray's
-    'Failed to hash the schemas (for deduplication)' once per reduce
-    task AND loses the schema-dedup early-exit in unify_schemas. Fusing
-    this O(1) strip into the read kills both."""
-    return t.replace_schema_metadata(None)
+def _clean_schema(path: str, columns=None):
+    """Footer schema with metadata stripped (pruned to ``columns``).
+    The sf parquet files carry pandas-written ``b'pandas'`` metadata
+    whose dict payload makes ``hash(schema)`` raise; blocks born with
+    it make every wide op log Ray's 'Failed to hash the schemas (for
+    deduplication)' once per reduce task AND lose the schema-dedup
+    early-exit in unify_schemas. Passing a clean ``schema=`` into
+    ``read_parquet`` kills the noise at birth — including inside the
+    read task itself, where a fused post-read strip ran too late and
+    fresh worker processes (no kgeng import yet) leaked the warning
+    past the package-level log filter."""
+    import pyarrow.parquet as _pq_mod
+
+    full = _pq_mod.read_schema(path).remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
 
 
 def _pq(sf_dir: str, name: str, columns=None,
@@ -102,10 +111,10 @@ def _pq(sf_dir: str, name: str, columns=None,
     try:
         nblk = max(2, min(64, os.path.getsize(path) // (256 << 10) + 1))
         kw["override_num_blocks"] = int(nblk)
+        kw["schema"] = _clean_schema(path, columns)
     except OSError:
         pass  # directories / remote paths: let Ray plan the blocks
-    return ray.data.read_parquet(path, **kw).map_batches(
-        _strip_meta, batch_format="pyarrow")
+    return ray.data.read_parquet(path, **kw)
 
 
 # ------------------------------------------------------- relational queries
