@@ -192,8 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
         "corpus_cms_term_counts": Q.corpus_cms_term_counts,
         "lineitem_closeness_exact": Q.lineitem_closeness_exact,
-        "lineitem_sssp": Q.lineitem_sssp,
-        "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
+        # docs_bm25 / docs_gopher_quality take the two sssp slots: the
+        # driver gates only the first 50 entries, both sssp variants
+        # are hash-green in r03, and the two new round-5 ops have never
+        # been gated
+        "docs_bm25": Q.docs_bm25,
+        "docs_gopher_quality": Q.docs_gopher_quality,
         "lineitem_scc": Q.lineitem_scc,
         "lineitem_slpa": Q.lineitem_slpa,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
@@ -207,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_snm_pairs": Q.parts_snm_pairs,
         "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
         "kg_edges_out": Q.kg_edges_out,
+        "lineitem_sssp": Q.lineitem_sssp,
+        "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
         "dedup_exact_docs": Q.dedup_exact_docs,
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "lineitem_closeness": Q.lineitem_closeness,
@@ -618,6 +624,94 @@ def oracle_sql() -> dict[str, str]:
                    round(tfm.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE)
                                      / dfm.df), 6) AS tfidf
             FROM tfm JOIN dfm ON dfm.term = tfm.term
+        """,
+        # BM25: every float input is an exact integer or one IEEE
+        # division, constants are e0-typed DOUBLEs mirroring the
+        # kernel's evaluation order; the per-doc sum over <= 4 term
+        # contributions is rounded to 6 digits (far above FP noise)
+        "docs_bm25": """
+            WITH tokens AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                         AS term
+              FROM documents),
+            qs AS (SELECT unnest(['hash', 'join', 'scan', 'window'])
+                       AS term),
+            nn AS (SELECT count(*) AS n FROM documents),
+            tot AS (SELECT count(*) AS n_tok FROM tokens),
+            dlm AS (SELECT doc_id, count(*) AS dl
+                    FROM tokens GROUP BY 1),
+            dfm AS (SELECT q.term,
+                           count(DISTINCT t.doc_id) AS df
+                    FROM qs q LEFT JOIN tokens t ON t.term = q.term
+                    GROUP BY 1),
+            tfm AS (SELECT t.doc_id, t.term, count(*) AS tf
+                    FROM tokens t JOIN qs q ON q.term = t.term
+                    GROUP BY 1, 2),
+            scored AS (
+              SELECT tfm.doc_id,
+                     ln(1e0 + ((SELECT n FROM nn) - dfm.df + 0.5e0)
+                              / (dfm.df + 0.5e0))
+                       * (tfm.tf * (1.2e0 + 1e0))
+                       / (tfm.tf + 1.2e0 *
+                          (1e0 - 0.75e0 + 0.75e0 *
+                           (CAST(dlm.dl AS DOUBLE)
+                            / (CAST((SELECT n_tok FROM tot) AS DOUBLE)
+                               / CAST((SELECT n FROM nn) AS DOUBLE)))))
+                         AS contrib
+              FROM tfm
+              JOIN dfm ON dfm.term = tfm.term
+              JOIN dlm ON dlm.doc_id = tfm.doc_id)
+            SELECT doc_id,
+                   count(*) AS n_terms_matched,
+                   round(sum(contrib), 6) AS bm25
+            FROM scored GROUP BY 1
+        """,
+        # Gopher rules: both ratios are single IEEE divisions of exact
+        # integers, so the flags replay exactly; the LEFT JOIN +
+        # greatest() mirror the kernel's zero-token row handling
+        "docs_gopher_quality": """
+            WITH tokens AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                         AS term
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     count(*) AS n_words,
+                     sum(length(term)) AS tot_len,
+                     sum(CASE WHEN regexp_matches(term, '[A-Za-z]')
+                              THEN 1 ELSE 0 END) AS n_alpha,
+                     sum(CASE WHEN term IN ('the','a','of','to','and',
+                                            'that','have','with')
+                              THEN 1 ELSE 0 END) AS stop_hits
+              FROM tokens GROUP BY 1),
+            j AS (
+              SELECT d.doc_id,
+                     coalesce(m.n_words, 0) AS n_words,
+                     CAST(coalesce(m.tot_len, 0) AS DOUBLE)
+                       / greatest(coalesce(m.n_words, 0), 1)
+                         AS mean_word_len,
+                     CAST(coalesce(m.n_alpha, 0) AS DOUBLE)
+                       / greatest(coalesce(m.n_words, 0), 1)
+                         AS alpha_frac,
+                     CAST(coalesce(m.stop_hits, 0) AS BIGINT)
+                         AS stop_hits
+              FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id)
+            SELECT doc_id, n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   stop_hits,
+                   n_words >= 50 AND n_words <= 100000
+                       AS ok_word_count,
+                   mean_word_len >= 3e0 AND mean_word_len <= 10e0
+                       AS ok_mean_word_len,
+                   alpha_frac >= 0.8e0 AS ok_alpha_frac,
+                   stop_hits >= 2 AS ok_stop_hits,
+                   (n_words >= 50 AND n_words <= 100000)
+                     AND (mean_word_len >= 3e0
+                          AND mean_word_len <= 10e0)
+                     AND alpha_frac >= 0.8e0
+                     AND stop_hits >= 2 AS keep
+            FROM j
         """,
         "docs_boilerplate_removed": """
             WITH withbp AS (

@@ -948,3 +948,205 @@ def nfc_normalize(ds: ray.data.Dataset, col: str = "text",
         return t.append_column(out, normed)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ bm25
+
+def bm25_scores(ds: ray.data.Dataset, query_terms: list[str],
+                col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75,
+                ndigits: int = 6) -> ray.data.Dataset:
+    """Okapi BM25 retrieval scores of every document against a fixed
+    query-term set — the standard ranked-retrieval / data-selection
+    scorer (e.g. importance sampling a pretraining corpus against a
+    target domain query).
+
+    score(d) = sum over matched terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    with the Lucene idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Two passes, no shuffle of the token stream:
+
+    1. corpus statistics — one ``map_batches`` partial emitting ONE row
+       per block (docs, total tokens, per-query-term document
+       frequency); the driver folds integers, so N / avgdl / df are
+       exact at any partitioning.
+    2. scoring — the (terms, df, N, avgdl) tuple broadcast once via
+       ``ray.put``; each block computes per-(doc, term) tf with a
+       C-level pandas groupby over ``pc.index_in`` hits and emits
+       (doc_id, n_terms_matched, bm25) for docs matching >= 1 term.
+
+    Determinism: every input to the float expression (tf, df, N, dl,
+    avgdl = tokens/N) is an exact integer or one IEEE division, so the
+    per-term contribution replays bit-identically in SQL; the per-doc
+    sum over <= len(query_terms) contributions is rounded to
+    ``ndigits`` well above FP noise."""
+    import pandas as pd
+    import ray as _ray
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    vocab = pa.array(query_terms, pa.string())
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        flat = toks.combine_chunks().flatten()
+        rows = pc.list_parent_indices(toks.combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_tok = int(keep.sum())
+        vi = pc.index_in(flat, value_set=vocab) \
+            .to_numpy(zero_copy_only=False)
+        hit = keep & ~np.isnan(vi)
+        # df: distinct docs per term within the block
+        pairs = np.unique(
+            np.stack([rows[hit], vi[hit].astype(np.int64)], axis=1),
+            axis=0) if hit.any() else np.empty((0, 2), np.int64)
+        dfv = np.bincount(pairs[:, 1].astype(np.int64),
+                          minlength=len(query_terms)).astype(np.int64)
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "n_tokens": pa.array([n_tok], pa.int64()),
+            "df": pa.array([dfv], pa.list_(pa.int64())),
+        })
+
+    n_docs = 0
+    n_tokens = 0
+    df = np.zeros(len(query_terms), np.int64)
+    for blk in ds.map_batches(stats, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_docs += int(pc.sum(blk["n_docs"]).as_py())
+        n_tokens += int(pc.sum(blk["n_tokens"]).as_py())
+        f = blk["df"].combine_chunks()
+        df += f.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(blk), -1).sum(axis=0)
+    if n_docs == 0:
+        raise ValueError("bm25_scores over an empty dataset")
+    avgdl = float(n_tokens) / float(n_docs)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    ref = _ray.put((vocab, idf))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, idfv = _ray.get(ref)
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        cc = toks.combine_chunks()
+        flat = cc.flatten()
+        rows = pc.list_parent_indices(cc).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.zeros(len(t), np.int64)
+        np.add.at(dl, rows[keep], 1)
+        vi = pc.index_in(flat, value_set=voc) \
+            .to_numpy(zero_copy_only=False)
+        hit = keep & ~np.isnan(vi)
+        g = pd.DataFrame({"row": rows[hit],
+                          "vi": vi[hit].astype(np.int64)})
+        c = g.groupby(["row", "vi"], sort=True).size().reset_index(
+            name="tf")
+        rowi = c["row"].to_numpy(np.int64)
+        tf = c["tf"].to_numpy(np.float64)
+        vidx = c["vi"].to_numpy(np.int64)
+        norm = 1.0 - b + b * (dl[rowi].astype(np.float64) / avgdl)
+        contrib = idfv[vidx] * (tf * (k1 + 1.0)) / (tf + k1 * norm)
+        score_v = np.zeros(len(t), np.float64)
+        np.add.at(score_v, rowi, contrib)
+        matched = np.zeros(len(t), np.int64)
+        np.add.at(matched, rowi, 1)
+        sel = matched > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)[sel]
+        s = score_v[sel]
+        scale = 10.0 ** ndigits
+        s = np.floor(np.abs(s) * scale + 0.5) / scale * np.sign(s)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_terms_matched": pa.array(matched[sel]),
+            "bm25": pa.array(s),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- gopher quality rules
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality(ds: ray.data.Dataset, col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2,
+                   ndigits: int = 6) -> ray.data.Dataset:
+    """Gopher-style composite document-quality rules (Rae et al. 2021,
+    'Scaling Language Models' Appendix A) — the standard pretraining
+    corpus filter set, restated over whitespace tokens:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - fraction of words containing an alphabetic char >= min_alpha_frac
+    - stopword occurrences >= min_stop_hits (GOPHER_STOPWORDS)
+
+    Emits per-doc metrics plus per-rule flags and the composite
+    ``keep`` — downstream filters consume the flags, audits consume the
+    metrics. Stateless single-pass vectorized kernel (Arrow regex split
+    + ``utf8_length`` / ``match_substring_regex`` / ``is_in``; the two
+    ratios are single IEEE divisions of exact integers, so the flags
+    replay exactly in SQL). No shuffle."""
+
+    stops = pa.array(list(GOPHER_STOPWORDS), pa.string())
+    scale = 10.0 ** ndigits
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        cc = toks.combine_chunks()
+        flat = cc.flatten()
+        rows = pc.list_parent_indices(cc).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        nrows = len(t)
+        n_words = np.zeros(nrows, np.int64)
+        np.add.at(n_words, rows[keep], 1)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        tot_len = np.zeros(nrows, np.int64)
+        np.add.at(tot_len, rows[keep], lens[keep])
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]") \
+            .to_numpy(zero_copy_only=False)
+        n_alpha = np.zeros(nrows, np.int64)
+        np.add.at(n_alpha, rows[keep & alpha], 1)
+        stop = pc.is_in(flat, value_set=stops) \
+            .to_numpy(zero_copy_only=False)
+        stop_hits = np.zeros(nrows, np.int64)
+        np.add.at(stop_hits, rows[keep & stop], 1)
+
+        nz = np.maximum(n_words, 1).astype(np.float64)
+        mean_len = tot_len.astype(np.float64) / nz
+        alpha_frac = n_alpha.astype(np.float64) / nz
+        ok_count = (n_words >= min_words) & (n_words <= max_words)
+        ok_len = (mean_len >= min_mean_word_len) \
+            & (mean_len <= max_mean_word_len)
+        ok_alpha = alpha_frac >= min_alpha_frac
+        ok_stop = stop_hits >= min_stop_hits
+
+        def r6(x):
+            return np.floor(np.abs(x) * scale + 0.5) / scale * np.sign(x)
+
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(r6(mean_len)),
+            "alpha_frac": pa.array(r6(alpha_frac)),
+            "stop_hits": pa.array(stop_hits),
+            "ok_word_count": pa.array(ok_count),
+            "ok_mean_word_len": pa.array(ok_len),
+            "ok_alpha_frac": pa.array(ok_alpha),
+            "ok_stop_hits": pa.array(ok_stop),
+            "keep": pa.array(ok_count & ok_len & ok_alpha & ok_stop),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

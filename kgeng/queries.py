@@ -1643,6 +1643,42 @@ def docs_tfidf_terms(sf_dir: str):
     return tfidf_terms(docs, col="text", id_col="doc_id", min_df=5)
 
 
+#: Fixed BM25 query-term set for the bench query — common corpus tokens
+#: so the scores exercise varied tf/df, duplicated verbatim in the SQL
+#: oracle.
+BM25_QUERY_TERMS = ["hash", "join", "scan", "window"]
+
+
+def docs_bm25(sf_dir: str):
+    """Okapi BM25 ranked-retrieval scores of every document against a
+    fixed query-term set (ops/text.bm25_scores): one exact-integer
+    corpus-stats pass (N, total tokens, per-term df) folded on the
+    driver, then a broadcast stateless scoring pass — the token stream
+    never shuffles. Docs matching >= 1 term are emitted with
+    (n_terms_matched, bm25)."""
+    from kgeng.ops.text import bm25_scores
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_scores(docs, BM25_QUERY_TERMS, col="text",
+                       id_col="doc_id", k1=1.2, b=0.75)
+
+
+def docs_gopher_quality(sf_dir: str):
+    """Gopher-rule composite quality filter (ops/text.gopher_quality):
+    per-doc word count, mean word length, alphabetic-word fraction and
+    stopword occurrences, each gated by the published rule thresholds,
+    plus the composite keep flag. Stateless single-pass vectorized
+    kernel; the ratios are single IEEE divisions of exact integers so
+    every flag replays exactly in SQL."""
+    from kgeng.ops.text import gopher_quality
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_quality(docs, col="text", id_col="doc_id",
+                          min_words=50, max_words=100_000,
+                          min_mean_word_len=3.0, max_mean_word_len=10.0,
+                          min_alpha_frac=0.8, min_stop_hits=2)
+
+
 def docs_boilerplate_removed(sf_dir: str):
     """CCNet-style boilerplate line removal: lines present in >= 20
     distinct documents are stripped from every document (surviving

@@ -1641,3 +1641,87 @@ def test_sorted_neighborhood_pairs_reference_and_block_boundaries():
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(ray.data.from_arrow(t),
                                   by=["name"], window=1)
+
+
+# ------------------------------------------------------------- bm25/gopher
+
+def test_bm25_matches_pure_python_reference():
+    """bm25_scores vs a from-first-principles per-doc Python replay
+    (Lucene idf, exact integer corpus stats), plus partition
+    invariance."""
+    import math
+
+    texts = ["hash join hash scan", "window window window",
+             "nothing matches here at all", "hash",
+             "join scan window hash join", None, ""]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    terms = ["hash", "join", "scan", "window"]
+    k1, b = 1.2, 0.75
+
+    toks = [(x or "").split() for x in texts]
+    n_docs = len(texts)
+    n_tokens = sum(len(tk) for tk in toks)
+    avgdl = float(n_tokens) / float(n_docs)
+    df = {q: sum(1 for tk in toks if q in tk) for q in terms}
+    want = {}
+    for i, tk in enumerate(toks):
+        s, matched = 0.0, 0
+        for q in terms:
+            tf = tk.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) \
+                / (tf + k1 * (1.0 - b + b * (len(tk) / avgdl)))
+        if matched:
+            want[i] = (matched, round(s, 6))
+
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        out = {r["doc_id"]: (r["n_terms_matched"], r["bm25"])
+               for r in text.bm25_scores(ds, terms, k1=k1, b=b)
+               .take_all()}
+        assert set(out) == set(want)
+        for i in want:
+            assert out[i][0] == want[i][0]
+            assert out[i][1] == pytest.approx(want[i][1], abs=1e-6)
+
+
+def test_bm25_guards():
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        text.bm25_scores(ds, [])
+    with pytest.raises(ValueError):
+        text.bm25_scores(ds, ["a", "a"])
+
+
+def test_gopher_quality_rules_and_zero_token_rows():
+    long_good = ("the cat sat on the mat with a hat and that was "
+                 "that have with " * 5).strip()   # >50 words, stopwordy
+    short = "tiny doc"                             # fails word count
+    no_stops = " ".join(["zz%d" % i for i in range(60)])  # no stopwords
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array([long_good, short, no_stops, None],
+                                   pa.string())})
+    out = {r["doc_id"]: r
+           for r in text.gopher_quality(
+               ray.data.from_arrow(t), min_words=50).take_all()}
+    assert len(out) == 4
+    g = out[0]
+    assert g["ok_word_count"] and g["ok_stop_hits"] and g["keep"]
+    assert g["n_words"] == len(long_good.split())
+    assert g["stop_hits"] >= 2
+    assert not out[1]["ok_word_count"] and not out[1]["keep"]
+    assert out[2]["ok_word_count"] and not out[2]["ok_stop_hits"]
+    assert not out[2]["keep"]
+    # null text: zero tokens, all metrics zero, filtered out
+    z = out[3]
+    assert z["n_words"] == 0 and z["mean_word_len"] == 0.0
+    assert z["alpha_frac"] == 0.0 and not z["keep"]
+    # mean word length replays the exact int/int division
+    assert out[0]["mean_word_len"] == pytest.approx(
+        round(sum(len(w) for w in long_good.split())
+              / len(long_good.split()), 6), abs=1e-9)
