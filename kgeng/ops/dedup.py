@@ -312,17 +312,19 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
     else:
         comp = _verify_distributed(ds, cand, text_col, id_col,
                                    threshold, ngram)
-    comp_ref = ray.put(comp)
+    # broadcast the (tiny) component map as two aligned Arrow arrays so
+    # the corpus-wide labeling pass stays fully vectorized: index_in +
+    # take + null-coalesce, no per-row dict probe
+    comp_ref = ray.put((pa.array(list(comp.keys()), pa.string()),
+                        pa.array(list(comp.values()), pa.string())))
 
     def label(t: pa.Table) -> pa.Table:
-        m = ray.get(comp_ref)
-        ids = _pc.cast(t[id_col], pa.string())
-        # the per-id dict probe is inherently Python (tiny driver map);
-        # the id stringification above stays in Arrow
-        id_list = ids.to_pylist()
+        keys, vals = ray.get(comp_ref)
+        ids = _pc.cast(t[id_col], pa.string()).combine_chunks()
+        rep = _pc.take(vals, _pc.index_in(ids, value_set=keys))
         return pa.table({
             "doc_id": ids,
-            "cluster_rep": pa.array([m.get(i, i) for i in id_list]),
+            "cluster_rep": _pc.if_else(_pc.is_null(rep), ids, rep),
         })
 
     return ds.map_batches(label, batch_format="pyarrow")
