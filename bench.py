@@ -121,6 +121,8 @@ def timed_queries() -> dict[str, float]:
         ("lineitem_pagerank", Q.lineitem_pagerank),
         ("parts_triangle_counts", Q.parts_triangle_counts),
         ("docs_lm_scores", Q.docs_lm_scores),
+        ("docs_bm25", Q.docs_bm25),
+        ("docs_gopher_quality", Q.docs_gopher_quality),
     ]:
         # best-of-REPEATS per query, same rationale as headline_kg: the
         # host window swings +/-30%, and one sample per query makes the
