@@ -25,9 +25,16 @@ def _ensure_ray(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
+        # honor RAY_ADDRESS so `ray job submit` drivers attach to the
+        # submitting cluster ("auto" inside a job runtime) instead of
+        # forcing a fresh local instance; this sandbox presets
+        # RAY_ADDRESS=local, so standalone behavior is unchanged.
+        # num_cpus only applies to a locally-started instance — an
+        # existing cluster's size is the cluster's own business.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = {"num_cpus": num_cpus} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
