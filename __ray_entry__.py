@@ -200,7 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_quality": Q.docs_gopher_quality,
         "lineitem_scc": Q.lineitem_scc,
         "lineitem_slpa": Q.lineitem_slpa,
-        "price_quantiles_by_priority": Q.price_quantiles_by_priority,
+        # docs_chunks takes price_quantiles_by_priority's slot (that
+        # entry is hash-green in r02 AND r03); never-gated entries stay
+        # in the first-50 window
+        "docs_chunks": Q.docs_chunks,
         "kg_triples": Q.kg_triples,
         "kg_entities": Q.kg_entities,
         "kg_vertices_out": Q.kg_vertices_out,
@@ -211,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_snm_pairs": Q.parts_snm_pairs,
         "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
         "kg_edges_out": Q.kg_edges_out,
+        "price_quantiles_by_priority": Q.price_quantiles_by_priority,
         "lineitem_sssp": Q.lineitem_sssp,
         "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
         "dedup_exact_docs": Q.dedup_exact_docs,
@@ -712,6 +716,33 @@ def oracle_sql() -> dict[str, str]:
                      AND alpha_frac >= 0.8e0
                      AND stop_hits >= 2 AS keep
             FROM j
+        """,
+        # chunking: pure integer arithmetic (stride 24 = 32 - 8) and a
+        # 1-based inclusive list slice joined with single spaces —
+        # exact replay of the kernel's closed-form chunk layout
+        "docs_chunks": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+              FROM documents),
+            nn AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+            cc AS (SELECT doc_id, tk, n,
+                          CASE WHEN n = 0 THEN 0
+                               ELSE 1 + greatest(0,
+                                 CAST(ceil((n - 32) / 24.0)
+                                      AS BIGINT)) END AS n_chunks
+                   FROM nn),
+            ee AS (SELECT doc_id, tk, n,
+                          unnest(range(n_chunks)) AS chunk_idx
+                   FROM cc)
+            SELECT doc_id,
+                   chunk_idx,
+                   chunk_idx * 24 AS start_tok,
+                   least(32, n - chunk_idx * 24) AS n_tok,
+                   array_to_string(
+                     tk[chunk_idx * 24 + 1
+                        : chunk_idx * 24 + least(32, n - chunk_idx * 24)],
+                     ' ') AS chunk_text
+            FROM ee
         """,
         "docs_boilerplate_removed": """
             WITH withbp AS (

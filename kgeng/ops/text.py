@@ -1150,3 +1150,87 @@ def gopher_quality(ds: ray.data.Dataset, col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ chunking
+
+def chunk_tokens(ds: ray.data.Dataset, col: str = "text",
+                 id_col: str = "doc_id", chunk_size: int = 32,
+                 overlap: int = 8) -> ray.data.Dataset:
+    """Overlapping token-window chunking — the context-window splitter
+    every RAG / pretraining pipeline runs before embedding or packing.
+
+    Chunk j of a doc with n tokens covers tokens
+    [j*stride, min(j*stride + chunk_size, n)) with
+    stride = chunk_size - overlap; the last chunk is the first one
+    whose end reaches n (no sub-overlap tail chunks), so
+    n_chunks = 1 + max(0, ceil((n - chunk_size) / stride)). Zero-token
+    docs emit no chunk. Chunk text is the single-space join of its
+    tokens (tokenization is whitespace; original spacing is not
+    preserved — stated contract, exactly replayable in SQL via
+    list slicing + array_to_string).
+
+    Single stateless vectorized pass, no shuffle: one Arrow regex
+    split, chunk starts/lengths by closed-form numpy arithmetic, the
+    token gather as one ``take`` + ``ListArray.from_arrays`` +
+    ``binary_join``. Emits (id, chunk_idx, start_tok, n_tok,
+    chunk_text)."""
+    if chunk_size < 1 or overlap < 0 or overlap >= chunk_size:
+        raise ValueError("need chunk_size >= 1 and 0 <= overlap "
+                         "< chunk_size")
+    stride = chunk_size - overlap
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        cc = toks.combine_chunks()
+        flat_all = cc.flatten()
+        keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+        rows_all = pc.list_parent_indices(cc) \
+            .to_numpy(zero_copy_only=False)
+        flat = flat_all.filter(pa.array(keep))
+        rows = rows_all[keep]
+        nrows = len(t)
+        n = np.zeros(nrows, np.int64)
+        np.add.at(n, rows, 1)
+        doc_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+
+        n_chunks = np.where(
+            n == 0, 0,
+            1 + np.maximum(0, -(-(n - chunk_size) // stride)))
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: pa.array([], t[id_col].type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string())})
+        doci = np.repeat(np.arange(nrows, dtype=np.int64), n_chunks)
+        # chunk_idx within each doc: global arange minus each doc's base
+        base = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(base,
+                                                            n_chunks)
+        start = cidx * stride
+        clen = np.minimum(chunk_size, n[doci] - start)
+        # gather indices: for chunk c, doc_start[doc] + start + 0..clen-1
+        gbase = doc_start[doci] + start
+        goff = np.concatenate(([0], np.cumsum(clen)[:-1]))
+        gtotal = int(clen.sum())
+        idx = (np.repeat(gbase, clen)
+               + np.arange(gtotal, dtype=np.int64)
+               - np.repeat(goff, clen))
+        gathered = flat.take(pa.array(idx))
+        offsets = pa.array(np.concatenate(([0], np.cumsum(clen))),
+                           pa.int32())
+        chunks = pa.ListArray.from_arrays(offsets, gathered)
+        txt = pc.binary_join(chunks, " ")
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doci)),
+            "chunk_idx": pa.array(cidx),
+            "start_tok": pa.array(start),
+            "n_tok": pa.array(clen),
+            "chunk_text": txt,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

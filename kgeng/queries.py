@@ -1679,6 +1679,19 @@ def docs_gopher_quality(sf_dir: str):
                           min_alpha_frac=0.8, min_stop_hits=2)
 
 
+def docs_chunks(sf_dir: str):
+    """Overlapping token-window chunking (ops/text.chunk_tokens):
+    32-token chunks with 8-token overlap — the RAG / context-window
+    splitter. Single stateless vectorized pass (closed-form chunk
+    arithmetic + one Arrow take/ListArray/binary_join); chunk text is
+    the single-space token join, exactly replayable in SQL."""
+    from kgeng.ops.text import chunk_tokens
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_tokens(docs, col="text", id_col="doc_id",
+                        chunk_size=32, overlap=8)
+
+
 def docs_boilerplate_removed(sf_dir: str):
     """CCNet-style boilerplate line removal: lines present in >= 20
     distinct documents are stripped from every document (surviving

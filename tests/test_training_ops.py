@@ -1725,3 +1725,47 @@ def test_gopher_quality_rules_and_zero_token_rows():
     assert out[0]["mean_word_len"] == pytest.approx(
         round(sum(len(w) for w in long_good.split())
               / len(long_good.split()), 6), abs=1e-9)
+
+
+def test_chunk_tokens_layout_reference_and_partition_invariance():
+    """chunk_tokens vs a per-doc Python replay of the closed-form
+    layout (stride windows, tail rule, single-space join), incl. a doc
+    whose last chunk ends exactly at n, a sub-chunk doc, an exactly
+    chunk_size doc, a null and an empty doc."""
+    size, ov = 4, 1
+    stride = size - ov
+    texts = ["a b c d e f g h i j",        # 10 toks: starts 0,3,6
+             "x",                          # 1 tok: one short chunk
+             "p q r s",                    # == size: exactly one chunk
+             "k l m n o",                  # 5 toks: starts 0,3
+             None, ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    want = []
+    for i, x in enumerate(texts):
+        tk = (x or "").split()
+        n = len(tk)
+        if n == 0:
+            continue
+        n_chunks = 1 + max(0, -(-(n - size) // stride))
+        for j in range(n_chunks):
+            s = j * stride
+            ln = min(size, n - s)
+            want.append((i, j, s, ln, " ".join(tk[s:s + ln])))
+
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        out = sorted(
+            (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tok"],
+             r["chunk_text"])
+            for r in text.chunk_tokens(ds, chunk_size=size,
+                                       overlap=ov).take_all())
+        assert out == sorted(want)
+
+
+def test_chunk_tokens_guards():
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    for size, ov in ((0, 0), (4, 4), (4, -1)):
+        with pytest.raises(ValueError):
+            text.chunk_tokens(ds, chunk_size=size, overlap=ov)
