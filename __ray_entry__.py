@@ -198,7 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # been gated
         "docs_bm25": Q.docs_bm25,
         "docs_gopher_quality": Q.docs_gopher_quality,
-        "lineitem_scc": Q.lineitem_scc,
+        # docs_lm2_scores takes lineitem_scc's slot (hash-green in r04)
+        "docs_lm2_scores": Q.docs_lm2_scores,
         "lineitem_slpa": Q.lineitem_slpa,
         # docs_chunks takes price_quantiles_by_priority's slot (that
         # entry is hash-green in r02 AND r03); never-gated entries stay
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_snm_pairs": Q.parts_snm_pairs,
         "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
         "kg_edges_out": Q.kg_edges_out,
+        "lineitem_scc": Q.lineitem_scc,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
         "lineitem_sssp": Q.lineitem_sssp,
         "lineitem_sssp_weighted": Q.lineitem_sssp_weighted,
@@ -716,6 +718,42 @@ def oracle_sql() -> dict[str, str]:
                      AND alpha_frac >= 0.8e0
                      AND stop_hits >= 2 AS keep
             FROM j
+        """,
+        # bigram LM: same quantize-to-int64 replay as docs_lm_scores,
+        # with the conditional denominator c(v)+V joined per context;
+        # scoring the training corpus itself means every pair is
+        # in-table (the fallback chain never fires, mirroring the
+        # kernel)
+        "docs_lm2_scores": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+              FROM documents),
+            uni AS (
+              SELECT term, count(*) AS tf
+              FROM (SELECT unnest(regexp_extract_all(text, '\\S+'))
+                        AS term FROM documents)
+              GROUP BY 1),
+            vv AS (SELECT count(*) AS v FROM uni),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 1, 0)),
+                       i -> tk[i] || ' ' || tk[i+1])) AS bigram
+              FROM toks),
+            bc AS (SELECT bigram, count(*) AS c_ab
+                   FROM pairs GROUP BY 1),
+            lp AS (
+              SELECT bc.bigram,
+                     CAST(round(ln((bc.c_ab + 1.0)
+                                   / (u.tf + (SELECT v FROM vv)))
+                                * 1000000000) AS BIGINT) AS lpq
+              FROM bc JOIN uni u
+                ON u.term = split_part(bc.bigram, ' ', 1))
+            SELECT p.doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(lp.lpq) AS DOUBLE) / 1000000000.0
+                         / count(*), 6) AS avg_logprob2
+            FROM pairs p JOIN lp USING (bigram)
+            GROUP BY 1
         """,
         # chunking: pure integer arithmetic (stride 24 = 32 - 8) and a
         # 1-based inclusive list slice joined with single spaces —

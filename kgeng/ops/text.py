@@ -1234,3 +1234,118 @@ def chunk_tokens(ds: ray.data.Dataset, col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+_BIGRAM_LM_CACHE: dict = {}
+
+
+def _bigram_lm_index(ref):
+    """Worker-local cache (same contract as ``_lm_vocab_index``): build
+    the two C-level pandas hash indexes once per worker, not per
+    batch."""
+    import pandas as pd
+
+    key = ref.hex()
+    if key not in _BIGRAM_LM_CACHE:
+        bigrams, lpq_bi, ctx, lpq_ctx, lp_g = ray.get(ref)
+        _BIGRAM_LM_CACHE.clear()  # one LM per worker: never accumulate
+        _BIGRAM_LM_CACHE[key] = (pd.Index(bigrams), lpq_bi,
+                                 pd.Index(ctx), lpq_ctx, lp_g)
+    return _BIGRAM_LM_CACHE[key]
+
+
+def bigram_lm_scores(ds: ray.data.Dataset, col: str = "text",
+                     id_col: str = "doc_id", ndigits: int = 6,
+                     max_bigrams: int = 20_000_000,
+                     train_ds: ray.data.Dataset | None = None
+                     ) -> ray.data.Dataset:
+    """Bigram language-model quality score per document — the
+    context-sensitive upgrade of :func:`lm_doc_scores` (CCNet-style LM
+    filtering): add-one-smoothed conditional log-probabilities
+    p(w|v) = (c(v,w) + 1) / (c(v) + V), scored as each doc's average
+    bigram log-prob over its n-1 adjacent pairs (docs with < 2 tokens
+    drop). c(v) is v's unigram frequency (the standard simplification),
+    V the distinct-unigram vocabulary size.
+
+    Training passes are distributed and vocabulary-bounded
+    (:func:`term_stats` + :func:`bigram_counts` partials); the bigram
+    table lands on the driver behind a loud ``max_bigrams`` guard —
+    past it, trim with a bigram min_count and let unseen pairs take
+    the per-context smoothed fallback ln(1/(c(v)+V)) that is already
+    wired (the scorer resolves bigram -> context -> global in that
+    order). Log-probs quantize to int64 at 1e9 via ``math.log`` (libm
+    — the same call DuckDB's ``ln`` makes), so the SQL oracle replays
+    every value; the scoring pass is stateless with the model
+    broadcast once and hash-indexed per worker."""
+    import math
+
+    import pandas as pd
+
+    src = train_ds if train_ds is not None else ds
+    uni = term_stats(src, col=col, id_col=id_col, min_df=1).to_pandas()
+    v_size = len(uni)
+    if v_size == 0:
+        raise ValueError("bigram_lm_scores over an empty vocabulary")
+    bi = bigram_counts(src, col=col, min_count=1).to_pandas()
+    if len(bi) > max_bigrams:
+        raise ValueError(
+            f"bigram table {len(bi)} exceeds max_bigrams "
+            f"{max_bigrams}; trim with a bigram min_count (unseen "
+            "pairs fall back to the per-context smoothed probability)")
+    ctx_tf = uni.set_index("term")["tf"]
+    bi_ctx = bi["bigram"].str.partition(" ")[0]
+    c_ab = bi["n"].to_numpy(np.int64)
+    c_v = ctx_tf.reindex(bi_ctx).to_numpy(np.int64)
+    lpq_bi = np.array(
+        [int(np.sign(x) * np.floor(np.abs(x) + 0.5)) for x in
+         (math.log((int(ab) + 1.0) / (int(v) + v_size)) * 1e9
+          for ab, v in zip(c_ab, c_v))], np.int64)
+    lpq_ctx = np.array(
+        [int(np.sign(x) * np.floor(np.abs(x) + 0.5)) for x in
+         (math.log(1.0 / (int(v) + v_size)) * 1e9
+          for v in ctx_tf.to_numpy(np.int64))], np.int64)
+    g = math.log(1.0 / v_size) * 1e9
+    lp_g = np.int64(np.sign(g) * np.floor(np.abs(g) + 0.5))
+    ref = ray.put((bi["bigram"].to_numpy(object), lpq_bi,
+                   ctx_tf.index.to_numpy(object), lpq_ctx, lp_g))
+
+    def score(t: pa.Table) -> pa.Table:
+        bi_idx, qbi, ctx_idx, qctx, qg = _bigram_lm_index(ref)
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        cc = toks.combine_chunks()
+        flat = cc.flatten()
+        rows = pc.list_parent_indices(cc).to_numpy(zero_copy_only=False)
+        s = flat.to_numpy(zero_copy_only=False)
+        keep = s != ""
+        s, rows = s[keep], rows[keep]
+        sums = np.zeros(len(t), np.int64)
+        cnts = np.zeros(len(t), np.int64)
+        if len(s) >= 2:
+            same = rows[:-1] == rows[1:]
+            a = s[:-1][same]
+            pairs = pd.Index(a) + " " + pd.Index(s[1:][same])
+            prow = rows[:-1][same]
+            idx = bi_idx.get_indexer(pairs)
+            q = np.where(idx >= 0, qbi[np.clip(idx, 0, None)],
+                         np.int64(0))
+            miss = idx < 0
+            if miss.any():
+                cidx = ctx_idx.get_indexer(pd.Index(a[miss]))
+                q[miss] = np.where(cidx >= 0,
+                                   qctx[np.clip(cidx, 0, None)], qg)
+            np.add.at(sums, prow, q)
+            np.add.at(cnts, prow, 1)
+        nz = cnts > 0
+        avg = np.zeros(len(t), np.float64)
+        avg[nz] = (sums[nz].astype(np.float64) / 1e9) \
+            / cnts[nz].astype(np.float64)
+        out = pa.table({
+            id_col: t[id_col],
+            "n_bigrams": pa.array(cnts),
+            "avg_logprob2": pc.round(pa.array(avg), ndigits=ndigits,
+                                     round_mode="half_towards_infinity"),
+        })
+        return out.filter(pa.array(nz))
+
+    return ds.map_batches(score, batch_format="pyarrow")

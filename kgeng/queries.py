@@ -1679,6 +1679,18 @@ def docs_gopher_quality(sf_dir: str):
                           min_alpha_frac=0.8, min_stop_hits=2)
 
 
+def docs_lm2_scores(sf_dir: str):
+    """Bigram-LM quality scores (ops/text.bigram_lm_scores): add-one
+    conditional log-probs p(w|v) = (c(v,w)+1)/(c(v)+V) trained on the
+    corpus itself, averaged per doc over its adjacent pairs — the
+    context-sensitive CCNet-style filter column. Quantized int64
+    log-probs broadcast once; the scoring pass never shuffles."""
+    from kgeng.ops.text import bigram_lm_scores
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_scores(docs, col="text", id_col="doc_id")
+
+
 def docs_chunks(sf_dir: str):
     """Overlapping token-window chunking (ops/text.chunk_tokens):
     32-token chunks with 8-token overlap — the RAG / context-window

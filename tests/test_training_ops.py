@@ -1769,3 +1769,76 @@ def test_chunk_tokens_guards():
     for size, ov in ((0, 0), (4, 4), (4, -1)):
         with pytest.raises(ValueError):
             text.chunk_tokens(ds, chunk_size=size, overlap=ov)
+
+
+def test_bigram_lm_scores_reference_fallbacks_and_invariance():
+    """bigram_lm_scores vs a per-doc Python replay of the add-one
+    conditional model, including the OOV fallback chain (unseen pair
+    with seen context -> ln(1/(c(v)+V)); unseen context -> ln(1/V))
+    exercised via a separate train corpus."""
+    import math
+
+    train_texts = ["a b a b c", "a b b"]
+    score_texts = ["a b",        # seen bigram
+                   "b a",        # unseen pair, seen context b
+                   "z q",        # unseen context z
+                   "a",          # single token: dropped
+                   None]
+    train = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(train_texts, pa.string())})
+    sc = pa.table({"doc_id": pa.array(range(len(score_texts)), pa.int64()),
+                   "text": pa.array(score_texts, pa.string())})
+
+    toks = [t.split() for t in train_texts]
+    uni = {}
+    for tk in toks:
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+    V = len(uni)
+    bi = {}
+    for tk in toks:
+        for x, y in zip(tk, tk[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+
+    def q(x):
+        v = x * 1e9
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    def lp(v, w):
+        if (v, w) in bi:
+            return q(math.log((bi[(v, w)] + 1.0) / (uni[v] + V)))
+        if v in uni:
+            return q(math.log(1.0 / (uni[v] + V)))
+        return q(math.log(1.0 / V))
+
+    want = {}
+    for i, x in enumerate(score_texts):
+        tk = (x or "").split()
+        if len(tk) < 2:
+            continue
+        s = sum(lp(v, w) for v, w in zip(tk, tk[1:]))
+        n = len(tk) - 1
+        want[i] = (n, round((s / 1e9) / n, 6))
+
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(sc).repartition(nb)
+        out = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob2"])
+               for r in text.bigram_lm_scores(
+                   ds, train_ds=ray.data.from_arrow(train)).take_all()}
+        assert set(out) == set(want)
+        for i in want:
+            assert out[i][0] == want[i][0]
+            assert out[i][1] == pytest.approx(want[i][1], abs=1e-9)
+
+
+def test_bigram_lm_guards():
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([""], pa.string())}))
+    with pytest.raises(ValueError):
+        text.bigram_lm_scores(empty)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a b c"], pa.string())}))
+    with pytest.raises(ValueError):
+        text.bigram_lm_scores(ds, max_bigrams=1)
