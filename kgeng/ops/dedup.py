@@ -160,6 +160,45 @@ def word_shingle_hashes(texts: list[str | None], n: int = 3
 
 # -------------------------------------------------------- MinHash-LSH dup
 
+def minhash_band_table(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 128,
+                       num_bands: int = 32, ngram: int = 3,
+                       batch_size: int = 1024) -> ray.data.Dataset:
+    """The persistable LSH band index of a corpus: one row per
+    (band_idx, band_hash, doc_id, bucket) — exactly the rows
+    :func:`minhash_lsh_candidates` shuffles. Write it to parquet once
+    per corpus epoch; :func:`minhash_dedup_incremental` then dedups a
+    new shard against the corpus WITHOUT re-banding it (the 100 TB
+    incremental-crawl path). Same seeded permutation family as every
+    minhash op (seed 13), so band hashes are comparable across runs."""
+    a_t, b_t = _perm_tables(num_perm, seed=13)
+
+    def bands(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        if not texts:
+            return pa.table({"band_idx": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        bh2, _x, _bounds = _band_hashes(texts, num_perm, num_bands,
+                                        ngram, a_t, b_t)
+        n = len(texts)
+        bh = bh2.reshape(-1)
+        return pa.table({
+            "band_idx": pa.array(
+                np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh),
+            "doc_id": pc.take(
+                pc.cast(t[id_col], pa.string()).combine_chunks(),
+                pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                   num_bands))),
+            "bucket": pa.array((bh % 64).astype(np.int32)),
+        })
+
+    return ds.map_batches(bands, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 128,
                            num_bands: int = 32, ngram: int = 3,
@@ -179,47 +218,16 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
     plan A uses a driver-side set; plan B dedups inside its own join
     stage) save a whole shuffle.
     """
-    a_t, b_t = _perm_tables(num_perm, seed=13)
-
-    def bands(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        if not texts:
-            return pa.table({"band_idx": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.string()),
-                             "bucket": pa.array([], pa.int32())})
-        # vectorized shingling (one C-level token-hash pass + windowed
-        # polynomial), then the exact mod-mersenne permutation family
-        # (plain x*a+b wraps mod 2^64), chunked cache-resident — the
-        # ONE band-hash kernel (shared with minhash_decontaminate)
-        bh2, _x, _bounds = _band_hashes(texts, num_perm, num_bands,
-                                        ngram, a_t, b_t)
-        n = len(texts)
-        bh = bh2.reshape(-1)
-        # the coarse shuffle bucket (hash-partition bands into ~64 groups;
-        # millions of tiny per-band map_groups calls would dominate) is
-        # emitted here directly — no separate bucketing stage
-        return pa.table({
-            "band_idx": pa.array(
-                np.tile(np.arange(num_bands, dtype=np.int32), n)),
-            # 63-bit int64 band keys: Ray-shuffle-safe (see exact_dedup)
-            "band_hash": pa.array(bh),
-            # id stringification stays in Arrow (cast + take) — no
-            # per-row str() boxing over the corpus (same fix as the
-            # simhash banding / ANN emission paths)
-            "doc_id": pc.take(
-                pc.cast(t[id_col], pa.string()).combine_chunks(),
-                pa.array(np.repeat(np.arange(n, dtype=np.int64),
-                                   num_bands))),
-            "bucket": pa.array((bh % 64).astype(np.int32)),
-        })
-
+    # banding delegated to the shared band-table kernel (vectorized
+    # shingling, exact mod-mersenne permutations, Arrow-only id
+    # stringification, coarse 64-way shuffle bucket emitted inline).
     # 1024-doc banding batches: small enough that a small corpus still
     # fans out across the pool (map task count AND the downstream
     # bucket-shuffle's block count both follow the batching here), big
     # enough that the vectorized shingle/minhash kernel stays amortized;
     # at real scale block boundaries dominate batching anyway
-    banded = ds.map_batches(bands, batch_format="pyarrow", batch_size=1024)
+    banded = minhash_band_table(ds, text_col, id_col, num_perm,
+                                num_bands, ngram, batch_size=1024)
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_skip = [], [], []
@@ -330,6 +338,167 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def minhash_dedup_incremental(new_ds: ray.data.Dataset,
+                              old_ds: ray.data.Dataset | None = None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.7, ngram: int = 3,
+                              num_perm: int = 128, num_bands: int = 32,
+                              max_band_group: int = 512,
+                              driver_max_pairs: int = 50_000,
+                              old_bands: ray.data.Dataset | None = None
+                              ) -> ray.data.Dataset:
+    """Incremental near-dup labeling of a NEW shard against an
+    EXISTING corpus — the daily-crawl path at 100 TB: the old corpus
+    is assumed already deduped, so old×old pairs are never generated
+    or verified; only pairs touching a new doc band-collide, verify,
+    and cluster. Returns (doc_id, cluster_rep) for NEW docs only;
+    the rep is the lexicographic-min id of the component (an old id
+    when the new doc duplicates corpus content), matching
+    :func:`minhash_dedup`'s representative rule.
+
+    Pass ``old_bands`` (a persisted :func:`minhash_band_table` of the
+    corpus, e.g. re-read from parquet) to skip re-banding the old side
+    entirely — the incremental scale win; else ``old_ds`` is banded
+    here. Ids must be globally unique across both sides (documented
+    contract). Verification follows :func:`minhash_dedup`'s plan A/B
+    cutover: broadcast texts for <= ``driver_max_pairs`` candidates,
+    else the fully distributed semi-join + per-pair hash-join verify
+    over the union corpus.
+
+    Representative rule: min by (is_new, id) — old before new, then
+    lexicographic — so ``cluster_rep != doc_id`` is exactly the "this
+    new doc duplicates something" signal, and the rep names corpus
+    content whenever corpus content is in the cluster (a plain
+    min-string rep could pick the new doc itself and hide the
+    corpus hit)."""
+    import pandas as pd
+    import ray
+
+    if old_ds is None:
+        raise ValueError("old_ds is required (candidate verification "
+                         "reads old texts even when old_bands skips "
+                         "the re-banding)")
+    if old_bands is None:
+        old_bands = minhash_band_table(old_ds, text_col, id_col,
+                                       num_perm, num_bands, ngram)
+
+    def tag(is_new: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_new", pa.array(np.full(len(t), is_new, np.int8)))
+        return f
+
+    nb = minhash_band_table(new_ds, text_col, id_col, num_perm,
+                            num_bands, ngram) \
+        .map_batches(tag(1), batch_format="pyarrow")
+    banded = nb.union(old_bands.map_batches(tag(0),
+                                            batch_format="pyarrow"))
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_skip = [], [], []
+        for _key, sub in g.groupby(["band_idx", "band_hash"]):
+            side = dict(zip(sub["doc_id"], sub["is_new"]))
+            if not any(side.values()):
+                continue               # all-old bucket: corpus is deduped
+            uids = sorted(side)
+            if len(uids) < 2:
+                continue
+            if len(uids) > max_band_group:
+                out_a.append("")
+                out_b.append("")
+                out_skip.append(len(uids))
+                continue
+            for i in range(len(uids)):
+                for j in range(i + 1, len(uids)):
+                    if not (side[uids[i]] or side[uids[j]]):
+                        continue       # old x old: never verified
+                    out_a.append(uids[i])
+                    out_b.append(uids[j])
+                    out_skip.append(0)
+        return pd.DataFrame({"a": out_a, "b": out_b,
+                             "skipped": out_skip})
+
+    pairs = banded.groupby("bucket").map_groups(emit_bucket,
+                                                batch_format="pandas")
+    cand = pairs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["a"], ""))
+        .select(["a", "b"]).group_by(["a", "b"]).aggregate([]),
+        batch_format="pyarrow").materialize()
+    n_pairs = cand.count()
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.string()),
+            text_col: pc.fill_null(t[text_col], "")})
+
+    corpus = new_ds.map_batches(project, batch_format="pyarrow")
+    if old_ds is not None:
+        corpus = corpus.union(
+            old_ds.map_batches(project, batch_format="pyarrow"))
+
+    if n_pairs <= driver_max_pairs:
+        cand_rows = {(r["a"], r["b"]) for r in cand.take_all()}
+        need = ({a for a, _ in cand_rows} | {b for _, b in cand_rows})
+        need_arr = pa.array(sorted(need), pa.string())
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t[id_col].combine_chunks()
+            mask = pc.is_in(ids, value_set=need_arr)
+            return pa.table({"id": ids.filter(mask),
+                             "txt": t[text_col].combine_chunks()
+                             .filter(mask)})
+
+        texts = {r["id"]: r["txt"]
+                 for r in corpus.map_batches(
+                     pick, batch_format="pyarrow").take_all()}
+        from kgeng.ops.canonicalize import UnionFind
+        uf = UnionFind()
+        for a, b in cand_rows:
+            if ngram_jaccard(texts[a], texts[b], ngram) >= threshold:
+                uf.union(a, b)
+        comp = {x: uf.find(x) for x in uf.parent}
+    else:
+        comp = _verify_distributed(corpus, cand, text_col, id_col,
+                                   threshold, ngram)
+
+    # re-root each component at its (is_new, id)-min member: one
+    # vectorized membership pass over the new shard marks which
+    # clustered ids are new; the remap loop is driver-side over the
+    # SAME bounded dict connected_components already materialized
+    if comp:
+        in_comp = pa.array(sorted(set(comp)), pa.string())
+
+        def mark(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t[id_col], pa.string()).combine_chunks()
+            return pa.table({"id": ids.filter(
+                pc.is_in(ids, value_set=in_comp))})
+
+        new_in = {r["id"] for r in new_ds.map_batches(
+            mark, batch_format="pyarrow").take_all()}
+        groups: dict[str, list[str]] = {}
+        for m, r in comp.items():
+            groups.setdefault(r, []).append(m)
+        for ms in groups.values():
+            best = min(ms, key=lambda x: (x in new_in, x))
+            for m in ms:
+                comp[m] = best
+
+    comp_ref = ray.put((pa.array(list(comp.keys()), pa.string()),
+                        pa.array(list(comp.values()), pa.string())))
+
+    def label(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(comp_ref)
+        ids = pc.cast(t[id_col], pa.string()).combine_chunks()
+        rep = pc.take(vals, pc.index_in(ids, value_set=keys))
+        return pa.table({
+            "doc_id": ids,
+            "cluster_rep": pc.if_else(pc.is_null(rep), ids, rep),
+        })
+
+    return new_ds.map_batches(label, batch_format="pyarrow")
+
+
 def _verify_distributed(ds: ray.data.Dataset, cand: ray.data.Dataset,
                         text_col: str, id_col: str, threshold: float,
                         ngram: int) -> dict[str, str]:
@@ -360,15 +529,28 @@ def _verify_distributed(ds: ray.data.Dataset, cand: ray.data.Dataset,
                 {"id": _pc.unique(t["id"].combine_chunks())}),
                 batch_format="pyarrow")
             .groupby("id").count().drop_columns(["count()"]))
-    # texts shrunk to candidate ids only, reused by both pair-side joins
-    sub = hash_join(txt, need, "id").materialize()
+    # texts shrunk to candidate ids only, reused by both pair-side
+    # joins. Every column here is a STRING — pass the explicit
+    # column/type lists so hash_join never schema-samples a lazy plan
+    # (a sampled EMPTY pandas block can report a reindex-manufactured
+    # float64 for a string column, and the dtype-stabilizing astype
+    # would then cast real ids to float and crash; it also saves one
+    # plan execution per join)
+    sub = hash_join(txt, need, "id", left_cols=["id", "txt"],
+                    right_cols=["id"], left_types={},
+                    right_types={}).materialize()
     ta = sub.map_batches(
         lambda t: pa.table({"a": t["id"], "txt_a": t["txt"]}),
         batch_format="pyarrow")
     tb = sub.map_batches(
         lambda t: pa.table({"b": t["id"], "txt_b": t["txt"]}),
         batch_format="pyarrow")
-    j = hash_join(hash_join(cand, ta, "a"), tb, "b")
+    j = hash_join(
+        hash_join(cand, ta, "a", left_cols=["a", "b"],
+                  right_cols=["a", "txt_a"], left_types={},
+                  right_types={}),
+        tb, "b", left_cols=["a", "b", "txt_a"],
+        right_cols=["b", "txt_b"], left_types={}, right_types={})
 
     def verify(t: pa.Table) -> pa.Table:
         a = t["a"].to_pylist()

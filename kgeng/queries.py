@@ -1679,6 +1679,33 @@ def docs_gopher_quality(sf_dir: str):
                           min_alpha_frac=0.8, min_stop_hits=2)
 
 
+def docs_incremental_dedup(sf_dir: str):
+    """Incremental near-dup labeling
+    (ops/dedup.minhash_dedup_incremental): even doc_ids play the
+    existing (already-deduped) corpus, odd doc_ids the newly crawled
+    shard. Old docs band once (the persisted band-table path), old x
+    old pairs are never generated, and only NEW docs are labeled —
+    rep = lexicographic-min id of the component (an old id when the
+    new doc duplicates corpus content). Same 0.5 trigram-Jaccard
+    threshold as minhash_dedup_docs."""
+    from kgeng.ops.dedup import minhash_dedup_incremental
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(rem: int):
+        def f(t: pa.Table) -> pa.Table:
+            sel = pc.equal(
+                pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], 2), 2)),
+                pa.scalar(rem, pa.int64()))
+            return t.filter(sel)
+        return f
+
+    old = docs.map_batches(side(0), batch_format="pyarrow")
+    new = docs.map_batches(side(1), batch_format="pyarrow")
+    return minhash_dedup_incremental(new, old, threshold=0.5)
+
+
 def docs_lm2_scores(sf_dir: str):
     """Bigram-LM quality scores (ops/text.bigram_lm_scores): add-one
     conditional log-probs p(w|v) = (c(v,w)+1)/(c(v)+V) trained on the

@@ -1842,3 +1842,56 @@ def test_bigram_lm_guards():
                   "text": pa.array(["a b c"], pa.string())}))
     with pytest.raises(ValueError):
         text.bigram_lm_scores(ds, max_bigrams=1)
+
+
+def test_minhash_dedup_incremental_semantics_and_band_table_reuse():
+    """Incremental dedup: a new doc duplicating corpus content labels
+    with the OLD id; new-new dups cluster among themselves; old-old
+    near-dups are excluded, so two new docs tied only through an
+    old-old pair stay separate. The persisted band-table path and
+    plan B (driver_max_pairs=0) must agree with the direct plan-A
+    run."""
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen astronomers catalog distant spiral galaxies")
+    base2 = base + " tonight"               # near-dup of base (old x old)
+    other = ("completely different content about submarine cable "
+             "maintenance schedules and deep sea pressure ratings "
+             "for titanium hulls")
+    old = pa.table({
+        "doc_id": pa.array(["o1", "o2", "o3"], pa.string()),
+        "text": pa.array([base, base2, other], pa.string())})
+    new = pa.table({
+        "doc_id": pa.array(["n1", "n2", "n3", "n4", "n5"], pa.string()),
+        "text": pa.array([
+            base,                       # exact dup of o1
+            other + " revised",         # near-dup of o3
+            "unique new document about alpine glacier melt rates "
+            "measured by satellite laser altimetry over two decades",
+            "shared new content peanut butter sandwich assembly "
+            "instructions for left handed chefs with extra steps",
+            "shared new content peanut butter sandwich assembly "
+            "instructions for left handed chefs with extra steps too",
+        ], pa.string())})
+    old_ds = ray.data.from_arrow(old)
+    new_ds = ray.data.from_arrow(new)
+
+    runs = {}
+    runs["plan_a"] = dedup.minhash_dedup_incremental(
+        new_ds, old_ds, threshold=0.5)
+    runs["plan_b"] = dedup.minhash_dedup_incremental(
+        new_ds, old_ds, threshold=0.5, driver_max_pairs=0)
+    bands = dedup.minhash_band_table(old_ds).materialize()
+    runs["band_table"] = dedup.minhash_dedup_incremental(
+        new_ds, old_ds, threshold=0.5, old_bands=bands)
+
+    for name, out_ds in runs.items():
+        out = {r["doc_id"]: r["cluster_rep"] for r in out_ds.take_all()}
+        assert set(out) == {"n1", "n2", "n3", "n4", "n5"}, name
+        assert out["n1"] == "o1", name           # dup of corpus doc
+        assert out["n2"] == "o3", name           # near-dup of corpus doc
+        assert out["n3"] == "n3", name           # unique
+        assert out["n4"] == out["n5"] == "n4", name  # new-new cluster
+    # o1/o2 are near-dups of each other, but no new doc links to o2 and
+    # old x old edges are excluded: n1's rep is o1, never merged via o2
+    with pytest.raises(ValueError):
+        dedup.minhash_dedup_incremental(new_ds, None)
