@@ -206,7 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in the first-50 window
         "docs_chunks": Q.docs_chunks,
         "kg_triples": Q.kg_triples,
-        "kg_entities": Q.kg_entities,
+        # lineitem_random_walks takes kg_entities' slot (hash-green in
+        # r01, r02 AND r04)
+        "lineitem_random_walks": Q.lineitem_random_walks,
         # docs_incremental_dedup takes kg_vertices_out's slot
         # (hash-green in r01, r02 AND r04)
         "docs_incremental_dedup": Q.docs_incremental_dedup,
@@ -217,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_snm_pairs": Q.parts_snm_pairs,
         "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
         "kg_edges_out": Q.kg_edges_out,
+        "kg_entities": Q.kg_entities,
         "kg_vertices_out": Q.kg_vertices_out,
         "lineitem_scc": Q.lineitem_scc,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
@@ -524,6 +527,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp c ON c.node = CAST(d.doc_id AS VARCHAR)
             WHERE d.doc_id % 2 = 1
         """,
+        "lineitem_random_walks": Q.random_walks_oracle_sql(
+            walk_len=4, wpn=2),
         "lineitem_pagerank": Q.pagerank_oracle_sql(iters=5),
         "lineitem_sssp": Q.SSSP_ORACLE,
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),

@@ -2511,3 +2511,218 @@ def k_core(edges: ray.data.Dataset, k: int, src: str = "src",
     return ray.data.from_arrow(pa.table({
         "node": pa.array([], pa.int64()),
         "deg": pa.array([], pa.int64())}))
+
+
+# --------------------------------------------------------- random walks
+
+#: Seed-mix constants for the deterministic walk step choice (the
+#: public-domain splitmix64/golden-ratio constants every other seeded
+#: op in this repo uses; duplicated into the SQL oracle verbatim).
+_WALK_G = 0x9E3779B97F4A7C15
+_WALK_B = 0xBF58476D1CE4E5B9
+
+
+def random_walks(edges: ray.data.Dataset, src: str = "src",
+                 dst: str = "dst", walk_len: int = 4,
+                 walks_per_node: int = 2,
+                 max_driver_edges: int = 50_000_000,
+                 state: str = "auto") -> ray.data.Dataset:
+    """Deterministic DeepWalk-style random-walk corpus generation — the
+    sequence-sampling step before training graph embeddings
+    (node2vec/DeepWalk) or walk-based features. The reference triggers
+    graph algorithms server-side (start_Pregel.py:28-57); walks are the
+    same per-node iterate-over-neighbors shape expressed Ray-native.
+
+    Semantics (exactly SQL-replayable — no RNG state):
+
+    - adjacency = DISTINCT (src, dst); rank(src, dst) = 0-based
+      position of dst in ascending order within src; deg(src) = count
+    - one walk per (distinct src node) x (walk index w <
+      ``walks_per_node``), emitted as rows (start, walk, step, node)
+      with step 0 = the start node
+    - step t in 1..walk_len moves from cur to the neighbor at rank
+      splitmix64((cur * G + w * B + t) mod 2^64) % deg(cur); a node
+      with no outgoing edges ends the walk early (no further rows)
+
+    Node ids must be non-negative int64 (the seed arithmetic wraps
+    identically in numpy uint64 and DuckDB HUGEINT only then; map
+    string keys through a dense-id pass first).
+
+    Plan A (<= ``max_driver_edges`` distinct edges): the CSR adjacency
+    is pulled once to the driver and every step is three vectorized
+    numpy gathers over all live walks — zero shuffles after the
+    distinct. Plan B (``state='distributed'`` or past the cutover):
+    the rank table is built with the bucketed-window pass, and each
+    step is two hash-partitioned joins (degree fetch, then the
+    (cur, choice) -> neighbor rank lookup) — edge- and walk-count
+    unbounded, bit-identical to plan A by integer construction."""
+    from kgeng.ops.agg import _splitmix64
+    from kgeng.pipeline import distinct
+
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    adj = distinct(edges.map_batches(
+        lambda t: pa.table({"src": t[src], "dst": t[dst]}),
+        batch_format="pyarrow"), ["src", "dst"]).materialize()
+    if state == "distributed":
+        return _walks_distributed(adj, walk_len, walks_per_node)
+    n_edges = adj.count()
+    if n_edges > max_driver_edges:
+        if state == "auto":
+            return _walks_distributed(adj, walk_len, walks_per_node)
+        raise ValueError(
+            f"{n_edges} distinct edges exceed the plan-A driver bound "
+            f"{max_driver_edges}; use state='distributed'")
+
+    srcs, dsts = [], []
+    for b in adj.iter_batches(batch_size=None, batch_format="pyarrow"):
+        srcs.append(b["src"].to_numpy(zero_copy_only=False))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+    srcv = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dstv = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    if len(srcv) and (srcv.min() < 0 or dstv.min() < 0):
+        raise ValueError("random_walks requires non-negative node ids")
+    order = np.lexsort((dstv, srcv))
+    srcv, dstv = srcv[order], dstv[order]
+    usrc, cnt = np.unique(srcv, return_counts=True)
+    indptr = np.concatenate(([0], np.cumsum(cnt)))
+
+    wpn = walks_per_node
+    start = np.repeat(usrc, wpn)
+    w = np.tile(np.arange(wpn, dtype=np.int64), len(usrc))
+    cur = start.copy()
+    alive = np.ones(len(start), bool)
+    out_start = [start.copy()]
+    out_w = [w.copy()]
+    out_step = [np.zeros(len(start), np.int64)]
+    out_node = [start.copy()]
+    for t in range(1, walk_len + 1):
+        pos = np.searchsorted(usrc, cur)
+        pos_c = np.clip(pos, 0, max(len(usrc) - 1, 0))
+        has = alive & (len(usrc) > 0) \
+            & (usrc[pos_c] == cur) if len(usrc) else alive & False
+        alive = has
+        if not alive.any():
+            break
+        seed = (cur.astype(np.uint64) * np.uint64(_WALK_G)
+                + w.astype(np.uint64) * np.uint64(_WALK_B)
+                + np.uint64(t))
+        h = _splitmix64(seed)
+        deg = cnt[pos_c].astype(np.uint64)
+        c = np.zeros(len(cur), np.int64)
+        c[alive] = (h[alive] % deg[alive]).astype(np.int64)
+        nxt = cur.copy()
+        nxt[alive] = dstv[indptr[pos_c[alive]] + c[alive]]
+        cur = nxt
+        out_start.append(start[alive])
+        out_w.append(w[alive])
+        out_step.append(np.full(int(alive.sum()), t, np.int64))
+        out_node.append(cur[alive])
+
+    return ray.data.from_arrow(pa.table({
+        "start": pa.array(np.concatenate(out_start)),
+        "walk": pa.array(np.concatenate(out_w)),
+        "step": pa.array(np.concatenate(out_step)),
+        "node": pa.array(np.concatenate(out_node)),
+    }))
+
+
+def _walks_distributed(adj: ray.data.Dataset, walk_len: int,
+                       wpn: int) -> ray.data.Dataset:
+    """Plan B: join-based walk rounds over the ranked adjacency."""
+    import pandas as pd
+
+    from kgeng.ops.agg import _splitmix64
+    from kgeng.ops.join import _bucket_ids, hash_join
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = _bucket_ids(t, "src", 64)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dst"], kind="mergesort")
+        rk = g.groupby("src", sort=False).cumcount()
+        return pd.DataFrame({
+            "k": g["src"].astype(str) + ":" + rk.astype(str),
+            "dst": g["dst"]})
+
+    adjr = adj.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket,
+                                        batch_format="pandas") \
+        .materialize()
+    degt = adj.groupby("src").count().map_batches(
+        lambda t: t.rename_columns(["cur", "deg"]),
+        batch_format="pyarrow").materialize()
+
+    def to_start(t: pa.Table) -> pa.Table:
+        s = t["cur"].to_numpy(zero_copy_only=False)
+        if len(s) and s.min() < 0:
+            raise ValueError(
+                "random_walks requires non-negative node ids")
+        return pa.table({
+            "start": pa.array(np.repeat(s, wpn)),
+            "walk": pa.array(np.tile(np.arange(wpn, dtype=np.int64),
+                                     len(s))),
+            "node": pa.array(np.repeat(s, wpn)),
+        })
+
+    frontier = degt.map_batches(to_start, batch_format="pyarrow") \
+        .materialize()
+    outs = [frontier.map_batches(
+        lambda t: pa.table({"start": t["start"], "walk": t["walk"],
+                            "step": pa.array(
+                                np.zeros(len(t), np.int64)),
+                            "node": t["node"]}),
+        batch_format="pyarrow")]
+    for t_step in range(1, walk_len + 1):
+        f = hash_join(
+            frontier.map_batches(
+                lambda t: pa.table({"start": t["start"],
+                                    "walk": t["walk"],
+                                    "cur": t["node"]}),
+                batch_format="pyarrow"),
+            degt, "cur",
+            left_cols=["start", "walk", "cur"],
+            right_cols=["cur", "deg"],
+            left_types={"start": "int64", "walk": "int64",
+                        "cur": "int64"},
+            right_types={"cur": "int64", "deg": "int64"})
+
+        def choose(t: pa.Table, _t=t_step) -> pa.Table:
+            curv = t["cur"].to_numpy(zero_copy_only=False)
+            wv = t["walk"].to_numpy(zero_copy_only=False)
+            degv = t["deg"].to_numpy(zero_copy_only=False)
+            seed = (curv.astype(np.uint64) * np.uint64(_WALK_G)
+                    + wv.astype(np.uint64) * np.uint64(_WALK_B)
+                    + np.uint64(_t))
+            c = (_splitmix64(seed) % degv.astype(np.uint64)) \
+                .astype(np.int64)
+            k = pc.binary_join_element_wise(
+                pc.cast(t["cur"], pa.string()),
+                pc.cast(pa.array(c), pa.string()), ":")
+            return pa.table({"start": t["start"], "walk": t["walk"],
+                             "k": k})
+
+        stepped = hash_join(
+            f.map_batches(choose, batch_format="pyarrow"), adjr, "k",
+            left_cols=["start", "walk", "k"], right_cols=["k", "dst"],
+            left_types={"start": "int64", "walk": "int64"},
+            right_types={"dst": "int64"})
+        # hash_join surfaces right-side ints as float64 (nullable-int
+        # convention); restore int64 before the value feeds the next
+        # round's key strings and the output column
+        frontier = stepped.map_batches(
+            lambda t: pa.table({"start": t["start"], "walk": t["walk"],
+                                "node": pc.cast(t["dst"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+        outs.append(frontier.map_batches(
+            lambda t, _t=t_step: pa.table({
+                "start": t["start"], "walk": t["walk"],
+                "step": pa.array(np.full(len(t), _t, np.int64)),
+                "node": t["node"]}),
+            batch_format="pyarrow"))
+
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

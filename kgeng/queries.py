@@ -1176,6 +1176,90 @@ def lineitem_slpa(sf_dir: str):
     return slpa(edges, rounds=10, threshold=0.2)
 
 
+def lineitem_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style random walks over the symmetric
+    bulk-order subgraph (ops/graph.random_walks): 2 walks of length 4
+    from every node, the step choice a splitmix64 hash of
+    (cur, walk, step) over the rank-sorted adjacency — the
+    graph-embedding training-corpus sampler, fully replayable in SQL
+    (random_walks_oracle_sql, unrolled steps)."""
+    from kgeng.ops.graph import random_walks
+    from kgeng.pipeline import distinct
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45))
+        s = t["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({
+            "src": pa.array(np.concatenate([s, p]).astype(np.int64)),
+            "dst": pa.array(np.concatenate([p, s]).astype(np.int64))})
+
+    edges = distinct(li.map_batches(pairs, batch_format="pyarrow"),
+                     ["src", "dst"])
+    return random_walks(edges, walk_len=4, walks_per_node=2)
+
+
+def random_walks_oracle_sql(walk_len: int = 4, wpn: int = 2) -> str:
+    """DuckDB replay of ops/graph.random_walks over the bulk-order
+    subgraph: ranked adjacency via ROW_NUMBER, then ``walk_len``
+    unrolled steps, each staging the splitmix64 rounds as chained CTE
+    columns (z0 -> z1 -> z2 -> choice; the one-shot macro expansion
+    OOMs the planner, same note as cms_oracle_sql) and joining the
+    (cur, choice) rank lookup. Exactly statable because the seed mix
+    and the rank choice are pure integer arithmetic mod 2^64."""
+    from kgeng.ops.graph import _WALK_B, _WALK_G
+
+    g = f"CAST('{_WALK_G}' AS HUGEINT)"
+    b = f"CAST('{_WALK_B}' AS HUGEINT)"
+    # seed + splitmix's own +G, staged: node*G may reach ~2^63 * 2^64
+    # which overflows int128 — split-multiply via _sql_mulmod
+    parts = [f"""
+        e0 AS (
+          SELECT DISTINCT l_orderkey * 2 AS src,
+                          l_partkey * 2 + 1 AS dst
+          FROM lineitem WHERE l_quantity > 45),
+        edges AS (SELECT src, dst FROM e0
+                  UNION
+                  SELECT dst, src FROM e0),
+        adj AS (SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY dst) - 1 AS rk
+                FROM edges),
+        degt AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        t0 AS (SELECT src AS start, w, src AS node
+               FROM degt CROSS JOIN
+                    (SELECT unnest(generate_series(0, {wpn - 1}))
+                         AS w) ws)"""]
+    for t in range(1, walk_len + 1):
+        p = t - 1
+        z0 = (f"(({_sql_mulmod('CAST(node AS HUGEINT)', _WALK_G)})"
+              f" + CAST(w AS HUGEINT) * {b} + {t} + {g})"
+              f" % {_SQL_M64}")
+        z1 = _sql_mulmod(_sql_xshift("z0", 30), 0xBF58476D1CE4E5B9)
+        z2 = _sql_mulmod(_sql_xshift("z1", 27), 0x94D049BB133111EB)
+        parts.append(f"""
+        t{t}a AS (
+          SELECT f.start, f.w, f.node, d.deg, {z0} AS z0
+          FROM t{p} f JOIN degt d ON d.src = f.node),
+        t{t}b AS (SELECT start, w, node, deg, {z1} AS z1 FROM t{t}a),
+        t{t}b2 AS (SELECT start, w, node, deg, {z2} AS z2 FROM t{t}b),
+        t{t}c AS (SELECT start, w, node, deg,
+                         CAST(({_sql_xshift('z2', 31)}) % deg AS BIGINT)
+                             AS c
+                  FROM t{t}b2),
+        t{t} AS (
+          SELECT s.start, s.w, a.dst AS node
+          FROM t{t}c s JOIN adj a ON a.src = s.node AND a.rk = s.c)""")
+    selects = "\n            UNION ALL\n".join(
+        f"            SELECT start, w AS walk, CAST({t} AS BIGINT) "
+        f"AS step, node FROM t{t}"
+        for t in range(walk_len + 1))
+    return "WITH " + ",".join(parts) + "\n" + selects
+
+
 def linerank_oracle_sql(iters: int = 3) -> str:
     """PageRank unrolled CTE over the line graph of the bulk-order
     subgraph — same per-round rounding as pagerank_oracle_sql; line

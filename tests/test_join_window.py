@@ -1502,3 +1502,68 @@ def test_fuzzy_lookup_exact_match_ties_and_no_match():
                         probe_id="pid", max_dist=3).to_pandas() \
         .set_index("pid")
     assert out.sort_index().equals(out2.sort_index())
+
+
+def test_random_walks_reference_plans_and_sinks():
+    """random_walks vs a pure-Python replay of the documented step
+    rule (sorted-rank adjacency, splitmix64 choice), plan A == plan B
+    == auto cutover, sink nodes end walks early, and partition
+    invariance."""
+    import numpy as np
+
+    from kgeng.ops.agg import _splitmix64
+    from kgeng.ops.graph import _WALK_B, _WALK_G, random_walks
+
+    rng = np.random.default_rng(7)
+    n = 30
+    src = rng.integers(0, n, 120).astype(np.int64)
+    dst = rng.integers(0, n, 120).astype(np.int64)
+    # make node 0 a guaranteed sink reachable from node 1
+    src, dst = np.r_[src, [1]], np.r_[dst, [0]]
+    keep = src != 0
+    src, dst = src[keep], dst[keep]
+    et = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    L, wpn = 4, 2
+
+    adj = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(v) for s, v in adj.items()}
+    want = []
+    for s in sorted(adj):
+        for w in range(wpn):
+            cur = s
+            want.append((s, w, 0, s))
+            for t in range(1, L + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                seed = np.uint64(cur) * np.uint64(_WALK_G) \
+                    + np.uint64(w) * np.uint64(_WALK_B) + np.uint64(t)
+                c = int(_splitmix64(np.array([seed], np.uint64))[0]
+                        % np.uint64(len(nbrs)))
+                cur = nbrs[c]
+                want.append((s, w, t, cur))
+    want.sort()
+
+    outs = {}
+    for name, kw in (("plan_a", {}),
+                     ("plan_b", {"state": "distributed"}),
+                     ("cutover", {"max_driver_edges": 1})):
+        ds = ray.data.from_arrow(et).repartition(3)
+        outs[name] = sorted(
+            (r["start"], r["walk"], r["step"], r["node"])
+            for r in random_walks(ds, walk_len=L, walks_per_node=wpn,
+                                  **kw).take_all())
+        assert outs[name] == want, name
+    # walks through the sink stopped early: node 0 appears as a walk
+    # node but never as a start
+    assert any(r[3] == 0 for r in want)
+    assert all(r[0] != 0 for r in want)
+
+    with pytest.raises(ValueError):
+        random_walks(ray.data.from_arrow(et), walk_len=0)
+    neg = pa.table({"src": pa.array([-1], pa.int64()),
+                    "dst": pa.array([2], pa.int64())})
+    with pytest.raises(Exception):
+        random_walks(ray.data.from_arrow(neg)).take_all()
