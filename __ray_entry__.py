@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # been gated
         "docs_bm25": Q.docs_bm25,
         "docs_gopher_quality": Q.docs_gopher_quality,
+
         # docs_lm2_scores takes lineitem_scc's slot (hash-green in r04)
         "docs_lm2_scores": Q.docs_lm2_scores,
         "lineitem_slpa": Q.lineitem_slpa,
@@ -219,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_snm_pairs": Q.parts_snm_pairs,
         "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
         "kg_edges_out": Q.kg_edges_out,
+        # docs_gopher_repetition sits just past the driver window (all
+        # 50 in-window slots hold never-gated entries or the flagship
+        # kg_triples); it is oracle-swept by scripts/check_oracles.py
+        "docs_gopher_repetition": Q.docs_gopher_repetition,
         "kg_entities": Q.kg_entities,
         "kg_vertices_out": Q.kg_vertices_out,
         "lineitem_scc": Q.lineitem_scc,
@@ -529,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_random_walks": Q.random_walks_oracle_sql(
             walk_len=4, wpn=2),
+        "docs_gopher_repetition": Q.gopher_repetition_oracle_sql(),
         "lineitem_pagerank": Q.pagerank_oracle_sql(iters=5),
         "lineitem_sssp": Q.SSSP_ORACLE,
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),

@@ -1349,3 +1349,111 @@ def bigram_lm_scores(ds: ray.data.Dataset, col: str = "text",
         return out.filter(pa.array(nz))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def gopher_repetition(ds: ray.data.Dataset, col: str = "text",
+                      id_col: str = "doc_id",
+                      top_ns: tuple = (2, 3, 4),
+                      dup_ns: tuple = (5, 8, 10),
+                      ndigits: int = 6) -> ray.data.Dataset:
+    """Gopher repetition metrics (Rae et al. 2021 Table A1, restated
+    over whitespace tokens) — the other half of the published filter
+    set next to :func:`gopher_quality`:
+
+    - ``top{n}gram_frac`` (n in ``top_ns``): characters of the most
+      frequent n-gram (count x its tokens' summed char length) over
+      the doc's total token characters; ties break to the
+      lexicographically smallest gram; 0 when the doc has < n tokens
+    - ``dup{n}gram_frac`` (n in ``dup_ns``): characters of token
+      POSITIONS covered by any n-gram occurring >= 2 times in the doc
+      (interval union — overlapping duplicate grams never double
+      count) over total token characters
+
+    Entirely batch-local (repetition is an intra-document signal): one
+    Arrow split, shifted-slice gram joins masked at row boundaries,
+    C-level pandas (row, gram) counts, and a diff-array interval union
+    for the coverage side. Both fractions are single IEEE divisions of
+    exact integers — exactly replayable in SQL. No shuffle."""
+    import pandas as pd
+
+    scale = 10.0 ** ndigits
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        cc = toks.combine_chunks()
+        flat_all = cc.flatten()
+        keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+        rows_all = pc.list_parent_indices(cc) \
+            .to_numpy(zero_copy_only=False)
+        flat = flat_all.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        rows = rows_all[keep]
+        nrows = len(t)
+        L = len(flat)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            if L else np.zeros(0, np.int64)
+        total = np.zeros(nrows, np.int64)
+        if L:
+            np.add.at(total, rows, lens)
+        tot_nz = np.maximum(total, 1).astype(np.float64)
+
+        def grams(n: int):
+            """(starts_global, gram_strings) for same-row n-grams."""
+            if L < n:
+                return (np.zeros(0, np.int64),
+                        pa.array([], pa.string()))
+            same = rows[: L - n + 1] == rows[n - 1:]
+            starts = np.flatnonzero(same)
+            if not len(starts):
+                return starts, pa.array([], pa.string())
+            parts = [flat.slice(k, L - n + 1).take(pa.array(starts))
+                     for k in range(n)]
+            return starts, pc.binary_join_element_wise(*parts, " ")
+
+        cols = {id_col: t[id_col]}
+        for n in top_ns:
+            frac = np.zeros(nrows, np.float64)
+            starts, gs = grams(n)
+            if len(starts):
+                g = pd.DataFrame({"row": rows[starts],
+                                  "gram": gs.to_pandas()})
+                cnt = g.groupby(["row", "gram"], sort=False).size() \
+                    .reset_index(name="c")
+                # per row: max count, tie -> smallest gram string
+                cnt = cnt.sort_values(["row", "c", "gram"],
+                                      ascending=[True, False, True],
+                                      kind="mergesort")
+                topg = cnt.drop_duplicates("row", keep="first")
+                ri = topg["row"].to_numpy(np.int64)
+                chars = (topg["gram"].str.len().to_numpy(np.int64)
+                         - (n - 1))
+                frac[ri] = (topg["c"].to_numpy(np.int64) * chars) \
+                    / tot_nz[ri]
+            cols[f"top{n}gram_frac"] = pa.array(
+                np.floor(np.abs(frac) * scale + 0.5) / scale)
+        for n in dup_ns:
+            frac = np.zeros(nrows, np.float64)
+            starts, gs = grams(n)
+            if len(starts):
+                g = pd.DataFrame({"row": rows[starts],
+                                  "gram": gs.to_pandas(),
+                                  "start": starts})
+                c = g.groupby(["row", "gram"], sort=False)["start"] \
+                    .transform("size")
+                dups = g.loc[c.to_numpy() >= 2, "start"] \
+                    .to_numpy(np.int64)
+                if len(dups):
+                    diff = np.zeros(L + 1, np.int64)
+                    np.add.at(diff, dups, 1)
+                    np.add.at(diff, dups + n, -1)
+                    covered = np.cumsum(diff[:-1]) > 0
+                    cov_chars = np.zeros(nrows, np.int64)
+                    np.add.at(cov_chars, rows[covered], lens[covered])
+                    frac = cov_chars / tot_nz
+            cols[f"dup{n}gram_frac"] = pa.array(
+                np.floor(np.abs(frac) * scale + 0.5) / scale)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1815,6 +1815,91 @@ def docs_chunks(sf_dir: str):
                         chunk_size=32, overlap=8)
 
 
+def docs_gopher_repetition(sf_dir: str):
+    """Gopher repetition metrics (ops/text.gopher_repetition):
+    top-2/3/4-gram char fractions and duplicate-5/8/10-gram coverage
+    fractions per doc — the published repetition filter table.
+    Batch-local single pass; both fractions are single IEEE divisions
+    of exact integers."""
+    from kgeng.ops.text import gopher_repetition
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_repetition(docs, col="text", id_col="doc_id")
+
+
+def gopher_repetition_oracle_sql(top_ns=(2, 3, 4),
+                                 dup_ns=(5, 8, 10)) -> str:
+    """DuckDB replay of ops/text.gopher_repetition: per-doc gram
+    counts from list slices, QUALIFY top pick with the same
+    (count desc, gram asc) tiebreak, and DISTINCT-position interval
+    union for the duplicate coverage — all integer until the one
+    stated division."""
+    ctes = ["""
+        toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+          FROM documents),
+        tokens AS (
+          SELECT doc_id, unnest(tk) AS tok,
+                 generate_subscripts(tk, 1) AS pos
+          FROM toks),
+        tot AS (SELECT doc_id, sum(length(tok)) AS total
+                FROM tokens GROUP BY 1)"""]
+    sel = []
+    for n in top_ns:
+        ctes.append(f"""
+        g{n} AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+                   i -> array_to_string(tk[i:i+{n - 1}], ' ')))
+                     AS gram
+          FROM toks),
+        c{n} AS (SELECT doc_id, gram, count(*) AS c
+                 FROM g{n} GROUP BY 1, 2),
+        t{n} AS (SELECT doc_id,
+                        c * (length(gram) - {n - 1}) AS chars_c
+                 FROM c{n}
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, gram) = 1)""")
+        sel.append(
+            f"round(CAST(coalesce(t{n}.chars_c, 0) AS DOUBLE)"
+            f" / greatest(coalesce(tot.total, 0), 1), 6) AS top{n}gram_frac")
+    for n in dup_ns:
+        ctes.append(f"""
+        s{n} AS (
+          SELECT doc_id, i AS s,
+                 array_to_string(tk[i:i+{n - 1}], ' ') AS gram
+          FROM (SELECT doc_id, tk,
+                       unnest(generate_series(
+                         1, greatest(len(tk) - {n - 1}, 0))) AS i
+                FROM toks) x),
+        d{n} AS (
+          SELECT doc_id, s FROM s{n}
+          QUALIFY count(*) OVER (PARTITION BY doc_id, gram) >= 2),
+        cov{n} AS (
+          SELECT DISTINCT doc_id, s + j AS pos
+          FROM d{n} CROSS JOIN
+               (SELECT unnest(generate_series(0, {n - 1})) AS j) js),
+        cc{n} AS (
+          SELECT t.doc_id, sum(length(t.tok)) AS chars
+          FROM tokens t JOIN cov{n} v
+            ON v.doc_id = t.doc_id AND v.pos = t.pos
+          GROUP BY 1)""")
+        sel.append(
+            f"round(CAST(coalesce(cc{n}.chars, 0) AS DOUBLE)"
+            f" / greatest(coalesce(tot.total, 0), 1), 6) AS dup{n}gram_frac")
+    joins = "".join(
+        f"\n        LEFT JOIN t{n} ON t{n}.doc_id = d.doc_id"
+        for n in top_ns) + "".join(
+        f"\n        LEFT JOIN cc{n} ON cc{n}.doc_id = d.doc_id"
+        for n in dup_ns)
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT d.doc_id, {', '.join(sel)}
+        FROM documents d
+        LEFT JOIN tot ON tot.doc_id = d.doc_id{joins}
+    """)
+
+
 def docs_boilerplate_removed(sf_dir: str):
     """CCNet-style boilerplate line removal: lines present in >= 20
     distinct documents are stripped from every document (surviving

@@ -1895,3 +1895,58 @@ def test_minhash_dedup_incremental_semantics_and_band_table_reuse():
     # old x old edges are excluded: n1's rep is o1, never merged via o2
     with pytest.raises(ValueError):
         dedup.minhash_dedup_incremental(new_ds, None)
+
+
+def test_gopher_repetition_reference_and_overlap_union():
+    """gopher_repetition vs a per-doc Python replay: top-n-gram ties
+    break to the smallest gram, overlapping duplicate grams union
+    their positions (never double count), short/empty/null docs read
+    0."""
+    texts = ["a b a b a b c",            # top2 'a b' x3 -> 6/7
+             "p q r s t p q r s t u v",  # dup5 'p q r s t' x2 covers 10
+             "x", "", None]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def ref(x):
+        tk = (x or "").split()
+        total = max(sum(len(w) for w in tk), 1)
+        out = {}
+        for n in (2, 3, 4):
+            grams = [" ".join(tk[i:i + n])
+                     for i in range(len(tk) - n + 1)]
+            if not grams:
+                out[f"top{n}gram_frac"] = 0.0
+                continue
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            best = min(cnt, key=lambda g: (-cnt[g], g))
+            chars = len(best) - (n - 1)
+            out[f"top{n}gram_frac"] = round(cnt[best] * chars / total, 6)
+        for n in (5, 8, 10):
+            grams = [" ".join(tk[i:i + n])
+                     for i in range(len(tk) - n + 1)]
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            covered = set()
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(i, i + n))
+            out[f"dup{n}gram_frac"] = round(
+                sum(len(tk[i]) for i in covered) / total, 6)
+        return out
+
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        got = {r["doc_id"]: r
+               for r in text.gopher_repetition(ds).take_all()}
+        assert len(got) == len(texts)
+        for i, x in enumerate(texts):
+            want = ref(x)
+            for k, v in want.items():
+                assert got[i][k] == pytest.approx(v, abs=1e-9), (i, k)
+    # doc 1's dup5 coverage: two disjoint occurrences cover 10 of 12
+    # single-char tokens
+    assert got[1]["dup5gram_frac"] == pytest.approx(10 / 12, abs=1e-6)
