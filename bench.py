@@ -123,6 +123,8 @@ def timed_queries() -> dict[str, float]:
         ("docs_lm_scores", Q.docs_lm_scores),
         ("docs_bm25", Q.docs_bm25),
         ("docs_gopher_quality", Q.docs_gopher_quality),
+        ("docs_incremental_dedup", Q.docs_incremental_dedup),
+        ("lineitem_random_walks", Q.lineitem_random_walks),
     ]:
         # best-of-REPEATS per query, same rationale as headline_kg: the
         # host window swings +/-30%, and one sample per query makes the

@@ -1950,3 +1950,41 @@ def test_gopher_repetition_reference_and_overlap_union():
     # doc 1's dup5 coverage: two disjoint occurrences cover 10 of 12
     # single-char tokens
     assert got[1]["dup5gram_frac"] == pytest.approx(10 / 12, abs=1e-6)
+
+
+def test_minhash_band_table_parquet_round_trip(tmp_path):
+    """The persisted-index path end to end: band the corpus once,
+    write the band table to parquet, read it back in a fresh Dataset,
+    and dedup a new shard against it — identical labels to the direct
+    run (band hashes are seed-stable across runs)."""
+    old = pa.table({
+        "doc_id": pa.array(["a1", "a2"], pa.string()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog near the "
+            "riverbank every single morning without fail",
+            "unrelated corpus text about medieval manuscript "
+            "preservation techniques in controlled humidity vaults",
+        ], pa.string())})
+    new = pa.table({
+        "doc_id": pa.array(["n1", "n2"], pa.string()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog near the "
+            "riverbank every single morning without fail",
+            "fresh content on tidal energy turbine blade erosion "
+            "monitoring with acoustic sensors and drones",
+        ], pa.string())})
+    old_ds = ray.data.from_arrow(old)
+    new_ds = ray.data.from_arrow(new)
+
+    p = str(tmp_path / "bands")
+    dedup.minhash_band_table(old_ds).write_parquet(p)
+    from_disk = ray.data.read_parquet(p)
+
+    direct = {r["doc_id"]: r["cluster_rep"]
+              for r in dedup.minhash_dedup_incremental(
+                  new_ds, old_ds, threshold=0.5).take_all()}
+    via_disk = {r["doc_id"]: r["cluster_rep"]
+                for r in dedup.minhash_dedup_incremental(
+                    new_ds, old_ds, threshold=0.5,
+                    old_bands=from_disk).take_all()}
+    assert direct == via_disk == {"n1": "a1", "n2": "n2"}
