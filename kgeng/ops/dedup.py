@@ -230,6 +230,11 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                                 num_bands, ngram, batch_size=1024)
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized prefilter: only bands holding >= 2 rows can emit a
+        # pair, and they are the rare case — skip the per-group Python
+        # for the singleton bulk (same fold as the incremental variant)
+        g = g[g.groupby(["band_idx", "band_hash"], sort=False)
+              ["doc_id"].transform("size") >= 2]
         out_a, out_b, out_skip = [], [], []
         grouped = g.groupby(["band_idx", "band_hash"])["doc_id"]
         for _key, ids in grouped:
@@ -396,25 +401,34 @@ def minhash_dedup_incremental(new_ds: ray.data.Dataset,
                                             batch_format="pyarrow"))
 
     def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized prefilter BEFORE any per-group Python: dedup
+        # (band, doc) rows, then keep only bands with >= 2 docs AND at
+        # least one new doc (all-old bands are the already-deduped
+        # corpus colliding with itself — the common case at scale).
+        # Only real collision groups reach the pair loop.
+        g = g.drop_duplicates(["band_idx", "band_hash", "doc_id"])
+        gb = g.groupby(["band_idx", "band_hash"], sort=False)
+        keep = (gb["doc_id"].transform("size") >= 2) \
+            & (gb["is_new"].transform("max") > 0)
+        g = g[keep]
         out_a, out_b, out_skip = [], [], []
-        for _key, sub in g.groupby(["band_idx", "band_hash"]):
-            side = dict(zip(sub["doc_id"], sub["is_new"]))
-            if not any(side.values()):
-                continue               # all-old bucket: corpus is deduped
-            uids = sorted(side)
-            if len(uids) < 2:
-                continue
-            if len(uids) > max_band_group:
+        for _key, sub in g.groupby(["band_idx", "band_hash"],
+                                   sort=False):
+            ids = sub["doc_id"].to_numpy()
+            news = sub["is_new"].to_numpy()
+            order = np.argsort(ids)
+            ids, news = ids[order], news[order]
+            if len(ids) > max_band_group:
                 out_a.append("")
                 out_b.append("")
-                out_skip.append(len(uids))
+                out_skip.append(len(ids))
                 continue
-            for i in range(len(uids)):
-                for j in range(i + 1, len(uids)):
-                    if not (side[uids[i]] or side[uids[j]]):
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if not (news[i] or news[j]):
                         continue       # old x old: never verified
-                    out_a.append(uids[i])
-                    out_b.append(uids[j])
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
                     out_skip.append(0)
         return pd.DataFrame({"a": out_a, "b": out_b,
                              "skipped": out_skip})
@@ -427,16 +441,20 @@ def minhash_dedup_incremental(new_ds: ray.data.Dataset,
         batch_format="pyarrow").materialize()
     n_pairs = cand.count()
 
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: pc.cast(t[id_col], pa.string()),
-            text_col: pc.fill_null(t[text_col], "")})
+    def project(side_new: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: pc.cast(t[id_col], pa.string()),
+                text_col: pc.fill_null(t[text_col], ""),
+                "__new": pa.array(np.full(len(t), side_new, np.int8))})
+        return f
 
-    corpus = new_ds.map_batches(project, batch_format="pyarrow")
+    corpus = new_ds.map_batches(project(1), batch_format="pyarrow")
     if old_ds is not None:
         corpus = corpus.union(
-            old_ds.map_batches(project, batch_format="pyarrow"))
+            old_ds.map_batches(project(0), batch_format="pyarrow"))
 
+    new_in: set | None = None
     if n_pairs <= driver_max_pairs:
         cand_rows = {(r["a"], r["b"]) for r in cand.take_all()}
         need = ({a for a, _ in cand_rows} | {b for _, b in cand_rows})
@@ -447,11 +465,18 @@ def minhash_dedup_incremental(new_ds: ray.data.Dataset,
             mask = pc.is_in(ids, value_set=need_arr)
             return pa.table({"id": ids.filter(mask),
                              "txt": t[text_col].combine_chunks()
+                             .filter(mask),
+                             "new": t["__new"].combine_chunks()
                              .filter(mask)})
 
-        texts = {r["id"]: r["txt"]
-                 for r in corpus.map_batches(
-                     pick, batch_format="pyarrow").take_all()}
+        # ONE candidate-id scan feeds both the verify texts and the
+        # new-side membership the re-rooting below needs
+        texts, new_in = {}, set()
+        for r in corpus.map_batches(pick,
+                                    batch_format="pyarrow").take_all():
+            texts[r["id"]] = r["txt"]
+            if r["new"]:
+                new_in.add(r["id"])
         from kgeng.ops.canonicalize import UnionFind
         uf = UnionFind()
         for a, b in cand_rows:
@@ -462,20 +487,22 @@ def minhash_dedup_incremental(new_ds: ray.data.Dataset,
         comp = _verify_distributed(corpus, cand, text_col, id_col,
                                    threshold, ngram)
 
-    # re-root each component at its (is_new, id)-min member: one
-    # vectorized membership pass over the new shard marks which
-    # clustered ids are new; the remap loop is driver-side over the
-    # SAME bounded dict connected_components already materialized
+    # re-root each component at its (is_new, id)-min member; plan B
+    # marks new-side membership with one vectorized pass over the new
+    # shard (plan A already collected it in the text scan); the remap
+    # loop is driver-side over the SAME bounded dict
+    # connected_components already materialized
     if comp:
-        in_comp = pa.array(sorted(set(comp)), pa.string())
+        if new_in is None:
+            in_comp = pa.array(sorted(set(comp)), pa.string())
 
-        def mark(t: pa.Table) -> pa.Table:
-            ids = pc.cast(t[id_col], pa.string()).combine_chunks()
-            return pa.table({"id": ids.filter(
-                pc.is_in(ids, value_set=in_comp))})
+            def mark(t: pa.Table) -> pa.Table:
+                ids = pc.cast(t[id_col], pa.string()).combine_chunks()
+                return pa.table({"id": ids.filter(
+                    pc.is_in(ids, value_set=in_comp))})
 
-        new_in = {r["id"] for r in new_ds.map_batches(
-            mark, batch_format="pyarrow").take_all()}
+            new_in = {r["id"] for r in new_ds.map_batches(
+                mark, batch_format="pyarrow").take_all()}
         groups: dict[str, list[str]] = {}
         for m, r in comp.items():
             groups.setdefault(r, []).append(m)

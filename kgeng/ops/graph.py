@@ -2561,21 +2561,39 @@ def random_walks(edges: ray.data.Dataset, src: str = "src",
 
     if walk_len < 1 or walks_per_node < 1:
         raise ValueError("walk_len and walks_per_node must be >= 1")
-    adj = distinct(edges.map_batches(
-        lambda t: pa.table({"src": t[src], "dst": t[dst]}),
-        batch_format="pyarrow"), ["src", "dst"]).materialize()
+
+    def _pair_block(t: pa.Table) -> pa.Table:
+        # per-block sort + dedup (directed pairs kept as-is) — the
+        # plan-A global dedup is then one driver lexsort over rows the
+        # CSR pull reads anyway, so the distinct() shuffle disappears
+        # entirely on the fast path (same fold as triangle_counts)
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(a.size, bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"src": pa.array(a[keep]),
+                         "dst": pa.array(b[keep])})
+
+    proj = edges.map_batches(_pair_block,
+                             batch_format="pyarrow").materialize()
     if state == "distributed":
-        return _walks_distributed(adj, walk_len, walks_per_node)
-    n_edges = adj.count()
-    if n_edges > max_driver_edges:
+        return _walks_distributed(
+            distinct(proj, ["src", "dst"]).materialize(),
+            walk_len, walks_per_node)
+    n_probe = proj.count()  # block-deduped upper bound on |distinct|
+    if n_probe > max_driver_edges:
         if state == "auto":
-            return _walks_distributed(adj, walk_len, walks_per_node)
+            return _walks_distributed(
+                distinct(proj, ["src", "dst"]).materialize(),
+                walk_len, walks_per_node)
         raise ValueError(
-            f"{n_edges} distinct edges exceed the plan-A driver bound "
+            f"{n_probe} edges exceed the plan-A driver bound "
             f"{max_driver_edges}; use state='distributed'")
 
     srcs, dsts = [], []
-    for b in adj.iter_batches(batch_size=None, batch_format="pyarrow"):
+    for b in proj.iter_batches(batch_size=None, batch_format="pyarrow"):
         srcs.append(b["src"].to_numpy(zero_copy_only=False))
         dsts.append(b["dst"].to_numpy(zero_copy_only=False))
     srcv = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
@@ -2584,6 +2602,10 @@ def random_walks(edges: ray.data.Dataset, src: str = "src",
         raise ValueError("random_walks requires non-negative node ids")
     order = np.lexsort((dstv, srcv))
     srcv, dstv = srcv[order], dstv[order]
+    if len(srcv):
+        keep = np.ones(srcv.size, bool)
+        keep[1:] = (srcv[1:] != srcv[:-1]) | (dstv[1:] != dstv[:-1])
+        srcv, dstv = srcv[keep], dstv[keep]
     usrc, cnt = np.unique(srcv, return_counts=True)
     indptr = np.concatenate(([0], np.cumsum(cnt)))
 

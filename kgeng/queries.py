@@ -1184,7 +1184,6 @@ def lineitem_random_walks(sf_dir: str):
     graph-embedding training-corpus sampler, fully replayable in SQL
     (random_walks_oracle_sql, unrolled steps)."""
     from kgeng.ops.graph import random_walks
-    from kgeng.pipeline import distinct
 
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_partkey", "l_quantity"])
@@ -1197,8 +1196,9 @@ def lineitem_random_walks(sf_dir: str):
             "src": pa.array(np.concatenate([s, p]).astype(np.int64)),
             "dst": pa.array(np.concatenate([p, s]).astype(np.int64))})
 
-    edges = distinct(li.map_batches(pairs, batch_format="pyarrow"),
-                     ["src", "dst"])
+    # no distinct() here: random_walks dedups internally (per-block
+    # fold + driver lexsort on plan A — zero shuffles)
+    edges = li.map_batches(pairs, batch_format="pyarrow")
     return random_walks(edges, walk_len=4, walks_per_node=2)
 
 
