@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_stats_by_priority": Q.price_stats_by_priority,
         "parts_triangle_counts": Q.parts_triangle_counts,
         "corpus_top_terms_approx": Q.corpus_top_terms_approx,
+        "corpus_top_terms_rescan": Q.corpus_top_terms_rescan,
         "events_profile": Q.events_profile,
         "docs_split_assign": Q.docs_split_assign,
         "embedding_centroid_by_label": Q.embedding_centroid_by_label,
@@ -175,7 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_pct_rank": Q.orders_price_pct_rank,
         "docs_fuzzy_decontamination": Q.docs_fuzzy_decontamination,
         "embedding_kmeans": Q.embedding_kmeans,
+        "embedding_kmeans_q8": Q.embedding_kmeans_q8,
         "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
+        "embedding_semantic_dup_pairs_q8":
+            Q.embedding_semantic_dup_pairs_q8,
         "docs_duplicated_spans": Q.docs_duplicated_spans,
         "parts_frequent_pairs": Q.parts_frequent_pairs,
         "events_props_k_counts": Q.events_props_k_counts,
@@ -302,6 +306,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_median_quality": Q.docs_above_median_quality,
         "doc_length_histogram": Q.doc_length_histogram,
     }
+
+
+def _kmeans_q8_ctes(k: int, iters: int) -> str:
+    """WITH-clause body replaying kgeng.ops.similarity.kmeans_q8_assign
+    exactly: q8 quantization (the embeddings_q8 oracle's expression),
+    lowest-id seeds, then ``iters`` unrolled integer Lloyd's rounds —
+    assignment by row_number over (d2, cl), centroid update by the
+    round-half-away integer formula, emptied clusters keeping their
+    previous centroid via the LEFT JOIN coalesce. All-int64, so the
+    replay is bit-exact. The caller appends one final assignment CTE
+    against c{iters}."""
+    parts = [f"""
+        x AS (
+          SELECT vec_id,
+                 unnest(range(array_length(embedding))) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000) AS BIGINT) AS q
+          FROM embeddings),
+        nrm AS (SELECT vec_id,
+                       sqrt(CAST(sum(q * q) AS DOUBLE)) / 1000000.0
+                           AS nrm
+                FROM x GROUP BY vec_id),
+        v AS (SELECT x.vec_id, x.dim,
+                     CAST(round(127 * ((CAST(q AS DOUBLE) / 1000000.0)
+                                       / nrm)) AS BIGINT) AS q8
+              FROM x JOIN nrm USING (vec_id) WHERE nrm > 0),
+        seeds AS (SELECT vec_id,
+                         CAST(row_number() OVER (ORDER BY vec_id) - 1
+                              AS BIGINT) AS cl
+                  FROM (SELECT DISTINCT vec_id FROM v
+                        ORDER BY vec_id LIMIT {k})),
+        c0 AS (SELECT s.cl, v.dim, v.q8 AS c
+               FROM v JOIN seeds s USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        d{i} AS (SELECT v.vec_id, c.cl,
+                        sum((v.q8 - c.c) * (v.q8 - c.c)) AS d2
+                 FROM v JOIN c{i - 1} c USING (dim) GROUP BY 1, 2),
+        a{i} AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cl) AS rn
+                   FROM d{i}) WHERE rn = 1),
+        s{i} AS (SELECT a.cl, v.dim, sum(v.q8) AS s, count(*) AS n
+                 FROM v JOIN a{i} a USING (vec_id) GROUP BY 1, 2),
+        c{i} AS (SELECT p.cl, p.dim,
+                        coalesce(CASE WHEN s.s >= 0
+                                      THEN (2 * s.s + s.n) // (2 * s.n)
+                                      ELSE -((2 * (-s.s) + s.n)
+                                             // (2 * s.n)) END,
+                                 p.c) AS c
+                 FROM c{i - 1} p LEFT JOIN s{i} s
+                   ON p.cl = s.cl AND p.dim = s.dim)""")
+    parts.append(f"""
+        df AS (SELECT v.vec_id, c.cl,
+                      sum((v.q8 - c.c) * (v.q8 - c.c)) AS d2
+               FROM v JOIN c{iters} c USING (dim) GROUP BY 1, 2),
+        af AS (SELECT vec_id, cl FROM (
+                 SELECT vec_id, cl,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cl) AS rn
+                 FROM df) WHERE rn = 1)""")
+    return ",".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -577,6 +644,15 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_closeness_exact": Q.closeness_oracle_sql(max_hops=6),
         "lineitem_linerank": Q.linerank_oracle_sql(iters=3),
         "corpus_top_terms": """
+            WITH tokens AS (
+              SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents)
+            SELECT term, count(*) AS tf FROM tokens
+            GROUP BY 1 ORDER BY tf DESC, term LIMIT 20
+        """,
+        # the rescan path is certified-exact, so its oracle IS the
+        # exact top-k (same SQL as corpus_top_terms)
+        "corpus_top_terms_rescan": """
             WITH tokens AS (
               SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
               FROM documents)
@@ -1463,6 +1539,27 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() OVER (PARTITION BY o_orderpriority
                                       ORDER BY o_totalprice DESC) AS rnk
             FROM orders
+        """,
+        "embedding_kmeans_q8": "WITH " + _kmeans_q8_ctes(8, 3) + """
+            SELECT vec_id, cl AS cluster FROM af
+        """,
+        "embedding_semantic_dup_pairs_q8":
+            "WITH " + _kmeans_q8_ctes(8, 3) + """,
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM af a JOIN af b
+                    ON a.cl = b.cl AND a.vec_id < b.vec_id),
+            dots AS (SELECT p.id_a, p.id_b,
+                            CAST(sum(va.q8 * vb.q8) AS BIGINT) AS dot
+                     FROM p JOIN v va ON va.vec_id = p.id_a
+                            JOIN v vb ON vb.vec_id = p.id_b
+                                     AND vb.dim = va.dim
+                     GROUP BY 1, 2),
+            nn AS (SELECT vec_id, sum(q8 * q8) AS n2 FROM v GROUP BY 1)
+            SELECT d.id_a, d.id_b, d.dot
+            FROM dots d JOIN nn na ON na.vec_id = d.id_a
+                        JOIN nn nb ON nb.vec_id = d.id_b
+            WHERE d.dot > 0
+              AND 25 * d.dot * d.dot >= 4 * na.n2 * nb.n2
         """,
         "embeddings_q8": """
             WITH x AS (

@@ -566,11 +566,42 @@ def misra_gries_topk(ds: ray.data.Dataset, key: str, k: int = 20,
     run; when every block's cardinality fits ``capacity`` the bound is
     0 and the result is exact). Final top-k: one tiny distributed
     sort+limit over the merged candidates; ties break key-ascending."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     if capacity < k:
         raise ValueError(f"capacity {capacity} < k {k}")
+
+    merged = ds.map_batches(_mg_partial_fn(key, weight, capacity),
+                            batch_format="pyarrow") \
+        .groupby(["tag", key]).aggregate(Sum("est", alias_name="est")) \
+        .materialize()
+
+    err = merged.filter(expr="tag == 1")
+    err_total = int(sum(r["est"] for r in err.take_all()))
+
+    def neg(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tag"], 0))
+        return pa.table({key: t[key],
+                         "est": pc.cast(t["est"], pa.int64()),
+                         "neg": pc.negate(pc.cast(t["est"], pa.int64()))})
+
+    top = merged.map_batches(neg, batch_format="pyarrow") \
+        .sort(["neg", key]).limit(k)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], "est": t["est"],
+                         "err_bound": pa.array(
+                             np.full(len(t), err_total, np.int64))})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def _mg_partial_fn(key: str, weight: str | None, capacity: int):
+    """The per-block Misra-Gries summary kernel shared by
+    :func:`misra_gries_topk` and :func:`heavy_hitters_rescan`: exact
+    in-block counts, one trim to ``capacity`` survivors, plus a
+    sentinel row (tag=1) carrying the block's error contribution."""
+    import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
         if not (pa.types.is_string(t[key].type)
@@ -623,28 +654,92 @@ def misra_gries_topk(ds: ray.data.Dataset, key: str, k: int = 20,
                 np.r_[np.zeros(cnts.size, np.int8), [1]].astype(np.int8)),
         })
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
+    return partial
+
+
+def heavy_hitters_rescan(ds: ray.data.Dataset, key: str, k: int = 20,
+                         capacity: int = 1024,
+                         weight: str | None = None,
+                         max_candidates: int = 262_144
+                         ) -> ray.data.Dataset:
+    """EXACT global top-k heavy hitters via the production two-pass
+    shape: a Misra-Gries candidate sweep (pass 1 — each block ships at
+    most ``capacity`` rows no matter the vocabulary) followed by one
+    exact count pass restricted to the broadcast candidate set (pass 2
+    — per-block counts are candidate-bounded, so the second shuffle is
+    tiny too). Unlike :func:`misra_gries_topk` the OUTPUT is exact and
+    partition-invariant: MG guarantees every key with true count above
+    the run's error bound survives pass 1, so as long as the k-th true
+    count exceeds that bound the exact top-k is provably inside the
+    candidate set. That certificate is CHECKED at the end — if the
+    sketch was too coarse for this data the call raises (asking for a
+    larger ``capacity``) instead of silently returning a maybe-wrong
+    top-k. Output (key, tf) with ties broken key-ascending — identical
+    to the exact one-pass top-k, hence SQL-oracle-able.
+
+    ``max_candidates`` bounds the driver-held candidate set (merged MG
+    survivors; in theory up to blocks x capacity, in practice ~capacity)
+    — the same loud plan-A cutover style as the dedup verify path."""
+    from ray.data.aggregate import Sum
+
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} < k {k}")
+
+    merged = ds.map_batches(_mg_partial_fn(key, weight, capacity),
+                            batch_format="pyarrow") \
         .groupby(["tag", key]).aggregate(Sum("est", alias_name="est")) \
         .materialize()
+    err_total = int(sum(
+        r["est"] for r in merged.filter(expr="tag == 1").take_all()))
 
-    err = merged.filter(expr="tag == 1")
-    err_total = int(sum(r["est"] for r in err.take_all()))
+    def pick_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tag"], 0))
+        return pa.table({key: t[key]})
+
+    cand = merged.map_batches(pick_keys, batch_format="pyarrow") \
+        .take_all()
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters_rescan: {len(cand)} merged candidates "
+            f"exceed max_candidates={max_candidates}; raise capacity "
+            "coherence (fewer, larger blocks) or max_candidates")
+    cand_set = pa.array([r[key] for r in cand], pa.string())
+    ref = ray.put(cand_set)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        vs = ray.get(ref)
+        keep = t.filter(pc.is_in(t[key], value_set=vs))
+        if weight is None:
+            vc = keep[key].to_pandas().value_counts(sort=False)
+            keys, cnts = vc.index.to_numpy(), vc.to_numpy(np.int64)
+        else:
+            g = pd.DataFrame({
+                "k": keep[key].to_pandas(),
+                "w": keep[weight].to_numpy(zero_copy_only=False),
+            }).groupby("k", sort=False)["w"].sum()
+            keys, cnts = g.index.to_numpy(), g.to_numpy(np.int64)
+        return pa.table({key: pa.array(keys.astype(object), pa.string()),
+                         "tf": pa.array(cnts)})
+
+    exact = ds.map_batches(exact_partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("tf", alias_name="tf"))
 
     def neg(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["tag"], 0))
-        return pa.table({key: t[key],
-                         "est": pc.cast(t["est"], pa.int64()),
-                         "neg": pc.negate(pc.cast(t["est"], pa.int64()))})
+        return pa.table({key: t[key], "tf": pc.cast(t["tf"], pa.int64()),
+                         "neg": pc.negate(pc.cast(t["tf"], pa.int64()))})
 
-    top = merged.map_batches(neg, batch_format="pyarrow") \
-        .sort(["neg", key]).limit(k)
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({key: t[key], "est": t["est"],
-                         "err_bound": pa.array(
-                             np.full(len(t), err_total, np.int64))})
-
-    return top.map_batches(finish, batch_format="pyarrow")
+    rows = exact.map_batches(neg, batch_format="pyarrow") \
+        .sort(["neg", key]).limit(k).take_all()
+    if len(rows) == k and int(rows[-1]["tf"]) <= err_total:
+        raise ValueError(
+            f"heavy_hitters_rescan: k-th count {rows[-1]['tf']} does "
+            f"not exceed the MG error bound {err_total} — a missed "
+            "key could outrank it; raise capacity")
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        key: pa.array([r[key] for r in rows], pa.string()),
+        "tf": pa.array([int(r["tf"]) for r in rows], pa.int64())}))
 
 
 def profile_table(ds: ray.data.Dataset,

@@ -579,3 +579,205 @@ def semantic_dup_pairs(ds: ray.data.Dataset, k: int = 16,
     return ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(_pair_emit(threshold, round_to),
                                       batch_format="pandas")
+
+
+def _q8_wide(t: pa.Table, id_col: str, vec: str,
+             scale: float) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize a block to wide q8 int64 vectors with EXACTLY the
+    arithmetic of :func:`normalize_quantize_q8` (q = round(x*scale)
+    int64; nrm = sqrt(sum q^2)/scale; q8 = round(127*(q/scale)/nrm));
+    zero vectors drop. Returns (ids, Q[n x dim] int64)."""
+    m = _stack(t[vec])
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if m.size == 0:
+        return ids[:0], np.zeros((0, 1), np.int64)
+    q = pc.cast(pc.round(
+        pc.multiply(pa.array(m.astype(np.float64).ravel()), scale),
+        ndigits=0, round_mode="half_towards_infinity"), pa.int64()) \
+        .to_numpy(zero_copy_only=False).reshape(m.shape)
+    ss = (q * q).sum(axis=1)
+    keep = ss > 0
+    q, ids, ss = q[keep], ids[keep], ss[keep]
+    nrm = np.sqrt(ss.astype(np.float64)) / scale
+    z = (q.astype(np.float64) / scale) / nrm[:, None]
+    q8 = pc.cast(pc.round(pa.array((127.0 * z).ravel()), ndigits=0,
+                          round_mode="half_towards_infinity"),
+                 pa.int64()) \
+        .to_numpy(zero_copy_only=False).reshape(q.shape)
+    return ids, q8
+
+
+def _div_round_half_away(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Integer round-half-away-from-zero of s/n (n > 0) — the exact
+    formula the SQL oracle states: sign(s) * ((2|s| + n) // (2n))."""
+    s = s.astype(np.int64)
+    n = n.astype(np.int64)
+    return np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+
+
+def _stack_i64(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat.reshape(len(arr), -1)
+
+
+def _kmeans_q8_quantized(ds: ray.data.Dataset, k: int, iters: int,
+                         id_col: str, vec: str, scale: float
+                         ) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Shared core of the q8 k-means family: quantize once into a
+    materialized (id, q8v) dataset, run ``iters`` integer Lloyd's
+    rounds, return (quantized dataset, final int64 centroids)."""
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+
+    def quant_block(t: pa.Table) -> pa.Table:
+        ids, q8 = _q8_wide(t, id_col, vec, scale)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: pa.array([], t[id_col].type),
+                "q8v": pa.array([], pa.list_(pa.int64()))})
+        return pa.table({
+            id_col: pa.array(ids),
+            "q8v": pa.array(list(q8), pa.list_(pa.int64()))})
+
+    qds = ds.map_batches(quant_block, batch_format="pyarrow") \
+        .materialize()
+    seeds = qds.sort(id_col).limit(k).take_all()
+    if len(seeds) < k:
+        raise ValueError(f"k={k} exceeds the {len(seeds)} nonzero "
+                         "vectors")
+    cent = np.stack([np.asarray(r["q8v"], np.int64) for r in seeds])
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _stack_i64(t["q8v"])
+            if m.size == 0:
+                return pa.table({
+                    "cl": pa.array([], pa.int32()),
+                    "n_p": pa.array([], pa.int64()),
+                    "sq": pa.array([], pa.list_(pa.int64()))})
+            d2 = ((m * m).sum(axis=1)[:, None] - 2 * (m @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            a = np.argmin(d2, axis=1)  # ties -> lowest cluster id
+            sums = np.zeros((c.shape[0], m.shape[1]), np.int64)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            return pa.table({
+                "cl": pa.array(np.arange(c.shape[0], dtype=np.int32)),
+                "n_p": pa.array(cnt),
+                "sq": pa.array(list(sums), pa.list_(pa.int64()))})
+
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(k, np.int64)
+        for b in qds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            cl = b["cl"].to_numpy(zero_copy_only=False)
+            np.add.at(cnts, cl, b["n_p"].to_numpy(zero_copy_only=False))
+            np.add.at(sums, cl,
+                      _stack_i64(b["sq"]).reshape(len(cl), -1))
+        new = cent.copy()
+        nz = cnts > 0
+        new[nz] = _div_round_half_away(sums[nz], cnts[nz, None])
+        cent = new  # fixed iteration count: no early stop, so the
+        # SQL replay unrolls exactly ``iters`` rounds
+
+    return qds, cent
+
+
+def kmeans_q8_assign(ds: ray.data.Dataset, k: int = 8, iters: int = 3,
+                     id_col: str = "vec_id", vec: str = "embedding",
+                     scale: float = 1_000_000.0) -> ray.data.Dataset:
+    """Integer-exact Lloyd's k-means over q8-quantized embeddings —
+    the codebook-training path for quantized vectors (the PQ/IVF
+    practice) and, unlike the float :func:`kmeans_assign`, fully
+    SQL-replayable: q8 components, squared distances, and the
+    round-half-away centroid updates are all int64, so there is no
+    IEEE summation-order ambiguity anywhere and a DuckDB oracle that
+    unrolls the ``iters`` rounds hash-matches exactly. Seeds are the
+    ``k`` lowest-id nonzero vectors; distance ties break toward the
+    lower cluster id; an emptied cluster keeps its previous centroid;
+    zero vectors drop (no direction to quantize). Returns
+    (id, cluster)."""
+    qds, cent = _kmeans_q8_quantized(ds, k, iters, id_col, vec, scale)
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _stack_i64(t["q8v"])
+        if m.size == 0:
+            return pa.table({id_col: t[id_col],
+                             "cluster": pa.array([], pa.int64())})
+        d2 = ((m * m).sum(axis=1)[:, None] - 2 * (m @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64))})
+
+    return qds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dup_pairs_q8(ds: ray.data.Dataset, k: int = 8,
+                          iters: int = 3,
+                          tau2_num: int = 4, tau2_den: int = 25,
+                          id_col: str = "vec_id",
+                          vec: str = "embedding",
+                          scale: float = 1_000_000.0,
+                          tile: int = 2048) -> ray.data.Dataset:
+    """SemDeDup on the q8 integer grid: :func:`kmeans_q8_assign`
+    blocking, then an integer-exact within-cluster cosine test — pair
+    (a, b) passes iff dot > 0 and tau2_den*dot^2 >= tau2_num*|a|^2*|b|^2
+    (tau^2 = tau2_num/tau2_den; the default 4/25 is cos >= 0.4). No
+    float arithmetic at all, so — unlike the float
+    :func:`semantic_dup_pairs` — the full chain (clustering included)
+    hash-matches its DuckDB replay. Output (id_a, id_b, dot) with
+    id_a < id_b; the same one-cluster-per-vector SemDeDup recall trade
+    applies. int64-safe while dim*127^2 < 2^31 (dot^2*tau2_den and
+    |a|^2*|b|^2*tau2_num stay below 2^63)."""
+    qds, cent = _kmeans_q8_quantized(ds, k, iters, id_col, vec, scale)
+    ref = ray.put(cent)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _stack_i64(t["q8v"])
+        if m.size == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: t[id_col], "q8v": t["q8v"]})
+        d2 = ((m * m).sum(axis=1)[:, None] - 2 * (m @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return pa.table({
+            "bucket": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            id_col: t[id_col], "q8v": t["q8v"]})
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": np.array([], np.int64),
+                              "id_b": np.array([], np.int64),
+                              "dot": np.array([], np.int64)})
+        n = len(g)
+        if n < 2:
+            return empty
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        m = np.stack(g["q8v"].to_numpy()).astype(np.int64)
+        nn = (m * m).sum(axis=1)
+        frames = []
+        for lo in range(0, n, tile):
+            a = m[lo:lo + tile]
+            dots = a @ m.T  # int64 exact
+            gi = np.arange(lo, lo + a.shape[0])
+            upper = np.arange(n)[None, :] > gi[:, None]
+            ok = upper & (dots > 0) & (
+                tau2_den * dots * dots
+                >= tau2_num * nn[gi][:, None] * nn[None, :])
+            ai, bj = np.nonzero(ok)
+            if len(ai):
+                frames.append(pd.DataFrame({
+                    "id_a": ids[gi[ai]].astype(np.int64),
+                    "id_b": ids[bj].astype(np.int64),
+                    "dot": dots[ai, bj].astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return qds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(emit, batch_format="pandas")

@@ -3350,6 +3350,28 @@ def corpus_top_terms_approx(sf_dir: str):
     return misra_gries_topk(terms, "term", k=20, capacity=1024)
 
 
+def corpus_top_terms_rescan(sf_dir: str):
+    """EXACT top-20 terms via the two-pass sketch-then-rescan shape
+    (ops/agg.heavy_hitters_rescan): Misra-Gries candidate sweep, then
+    one exact count pass over just the broadcast candidate terms —
+    the heavy-hitters pattern that stays cheap when block vocabularies
+    exceed memory, with a run-time certificate that the result equals
+    the one-pass exact top-k (raises if the sketch was too coarse).
+    Oracle: the same exact SQL top-k as corpus_top_terms."""
+    from kgeng.ops.agg import heavy_hitters_rescan
+
+    docs = _pq(sf_dir, "documents", ["text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(t["text"], pattern=r"\s+"))
+        flat = flat.combine_chunks()
+        return pa.table({"term": flat.filter(pc.not_equal(flat, ""))})
+
+    terms = docs.map_batches(tok, batch_format="pyarrow")
+    return heavy_hitters_rescan(terms, "term", k=20, capacity=1024)
+
+
 def events_profile(sf_dir: str):
     """Per-column data-validation profile of the events table (null
     counts, exact distinct counts, typed min/max) via
@@ -3613,6 +3635,36 @@ def embedding_semantic_dup_pairs(sf_dir: str):
     return semantic_dup_pairs(
         _pq(sf_dir, "embeddings", ["vec_id", "embedding"]),
         k=16, iters=5, threshold=0.4)
+
+
+def embedding_kmeans_q8(sf_dir: str):
+    """Integer-exact Lloyd's k-means over q8-quantized embeddings
+    (ops/similarity.kmeans_q8_assign): k=8, 3 fixed rounds, lowest-id
+    seeding, round-half-away integer centroid updates. Unlike the
+    float embedding_kmeans (whose IEEE summation order is not
+    SQL-replayable), every quantity here is int64, so the DuckDB
+    oracle unrolls the three rounds and hash-matches exactly — the
+    codebook-training path a PQ/IVF index actually uses over
+    quantized vectors."""
+    from kgeng.ops.similarity import kmeans_q8_assign
+
+    return kmeans_q8_assign(_pq(sf_dir, "embeddings",
+                                ["vec_id", "embedding"]),
+                            k=8, iters=3)
+
+
+def embedding_semantic_dup_pairs_q8(sf_dir: str):
+    """SemDeDup on the q8 integer grid
+    (ops/similarity.semantic_dup_pairs_q8): integer k-means blocking
+    + integer-exact within-cluster cosine test (cos >= 0.4 stated as
+    25*dot^2 >= 4*|a|^2*|b|^2, dot > 0). The whole chain — clustering
+    included — hash-matches its DuckDB replay, closing the
+    'semantic dedup has no oracle' gap on the quantized path."""
+    from kgeng.ops.similarity import semantic_dup_pairs_q8
+
+    return semantic_dup_pairs_q8(_pq(sf_dir, "embeddings",
+                                     ["vec_id", "embedding"]),
+                                 k=8, iters=3)
 
 
 def docs_duplicated_spans(sf_dir: str):
