@@ -731,9 +731,15 @@ def heavy_hitters_rescan(ds: ray.data.Dataset, key: str, k: int = 20,
 
     rows = exact.map_batches(neg, batch_format="pyarrow") \
         .sort(["neg", key]).limit(k).take_all()
-    if len(rows) == k and int(rows[-1]["tf"]) <= err_total:
+    # certificate: with error bound E, any key OUTSIDE the candidate
+    # set has true count <= E. The top-k is exact iff the k-th
+    # certified count beats E; fewer than k candidates with E > 0
+    # means unseen keys could fill the gap — refuse either way.
+    if err_total > 0 and (len(rows) < k
+                          or int(rows[-1]["tf"]) <= err_total):
+        kth = int(rows[-1]["tf"]) if rows else 0
         raise ValueError(
-            f"heavy_hitters_rescan: k-th count {rows[-1]['tf']} does "
+            f"heavy_hitters_rescan: k-th certified count {kth} does "
             f"not exceed the MG error bound {err_total} — a missed "
             "key could outrank it; raise capacity")
     import ray.data as _rd

@@ -1988,3 +1988,123 @@ def test_minhash_band_table_parquet_round_trip(tmp_path):
                     new_ds, old_ds, threshold=0.5,
                     old_bands=from_disk).take_all()}
     assert direct == via_disk == {"n1": "a1", "n2": "n2"}
+
+
+# ----------------------------------------------------- q8 integer kmeans
+
+def _kmeans_q8_reference(t, k, iters):
+    """Single-threaded integer replay of kmeans_q8_assign (same q8
+    quantization kernel, same round-half-away centroid update)."""
+    ids, q8 = similarity._q8_wide(t, "vec_id", "embedding", 1e6)
+    order = np.argsort(ids)
+    ids, q8 = ids[order], q8[order]
+    cent = q8[:k].copy()
+    for _ in range(iters):
+        d2 = ((q8 * q8).sum(1)[:, None] - 2 * (q8 @ cent.T)
+              + (cent * cent).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        new = cent.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                new[c] = similarity._div_round_half_away(
+                    q8[sel].sum(0), np.full(q8.shape[1], sel.sum()))
+        cent = new
+    d2 = ((q8 * q8).sum(1)[:, None] - 2 * (q8 @ cent.T)
+          + (cent * cent).sum(1)[None, :])
+    return ids, np.argmin(d2, axis=1)
+
+
+def test_kmeans_q8_matches_reference_and_partition_invariant():
+    rng = np.random.default_rng(43)
+    blobs = [rng.normal(0, 0.2, (60, 6)) + off
+             for off in ([1, 0, 0, 0, 0, 0], [0, 5, 5, 0, 0, 0],
+                         [0, 0, 0, 7, 7, 0])]
+    m = np.stack(blobs, axis=1).reshape(-1, 6).astype(np.float32)
+    truth = np.tile([0, 1, 2], 60)
+    t = pa.table({"vec_id": pa.array(np.arange(180), pa.int64()),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    ref_ids, ref = _kmeans_q8_reference(t, k=3, iters=3)
+    outs = []
+    for parts in (1, 7):
+        out = similarity.kmeans_q8_assign(
+            ray.data.from_arrow(t).repartition(parts), k=3,
+            iters=3).to_pandas().sort_values("vec_id")
+        assert np.array_equal(out["vec_id"].to_numpy(), ref_ids)
+        outs.append(out["cluster"].to_numpy())
+        assert np.array_equal(out["cluster"].to_numpy(), ref), parts
+    assert np.array_equal(outs[0], outs[1])
+    for b in range(3):
+        assert len(set(outs[0][truth == b])) == 1
+
+
+def test_semantic_dup_pairs_q8_precision_and_recall_on_blobs():
+    """Integer SemDeDup: emitted pairs must EXACTLY equal the
+    brute-force integer-cosine pairs restricted to shared clusters;
+    near-identical vectors (same blob) must be found."""
+    rng = np.random.default_rng(47)
+    base = rng.normal(0, 1, (8, 8))
+    rows, ids = [], []
+    for i, b in enumerate(base):
+        for j in range(3):  # 3 near-copies of each base vector
+            rows.append(b + rng.normal(0, 0.01, 8))
+            ids.append(i * 10 + j)
+    m = np.array(rows, np.float32)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    out = similarity.semantic_dup_pairs_q8(
+        ray.data.from_arrow(t).repartition(3), k=4, iters=3,
+        tau2_num=81, tau2_den=100).to_pandas()  # cos >= 0.9
+    got = set(zip(out["id_a"], out["id_b"]))
+    # exact integer check over SHARED-cluster pairs
+    ref_ids, cl = _kmeans_q8_reference(t, k=4, iters=3)
+    _, q8 = similarity._q8_wide(t, "vec_id", "embedding", 1e6)
+    order = np.argsort(t["vec_id"].to_numpy())
+    q8 = q8[order]
+    nn = (q8 * q8).sum(1)
+    want = set()
+    for i in range(len(ref_ids)):
+        for j in range(i + 1, len(ref_ids)):
+            if cl[i] != cl[j]:
+                continue
+            dot = int((q8[i] * q8[j]).sum())
+            if dot > 0 and 100 * dot * dot >= 81 * int(nn[i]) * int(nn[j]):
+                want.add((int(ref_ids[i]), int(ref_ids[j])))
+    assert got == want
+    # every same-blob pair that shares a cluster is found
+    same_blob = {(a, b) for (a, b) in want if a // 10 == b // 10}
+    assert same_blob and same_blob <= got
+    for a, b in got:
+        assert int(out[(out.id_a == a) & (out.id_b == b)]["dot"].iloc[0]) \
+            == int((q8[list(ref_ids).index(a)]
+                    * q8[list(ref_ids).index(b)]).sum())
+
+
+# ------------------------------------------------ sketch-rescan heavy hitters
+
+def test_heavy_hitters_rescan_matches_exact_topk():
+    rng = np.random.default_rng(11)
+    # Zipfian-ish: term i appears ~ 3000/i times
+    terms = []
+    for i in range(1, 400):
+        terms.extend([f"t{i:04d}"] * max(1, 3000 // i))
+    rng.shuffle(terms)
+    ds = ray.data.from_arrow(
+        pa.table({"term": pa.array(terms)})).repartition(9)
+    got = agg.heavy_hitters_rescan(ds, "term", k=10,
+                                   capacity=64).to_pandas()
+    import collections
+    cnt = collections.Counter(terms)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["term"], got["tf"])) == [
+        (k, v) for k, v in want]
+
+
+def test_heavy_hitters_rescan_raises_when_sketch_too_coarse():
+    # near-uniform counts with a tiny capacity: the k-th true count
+    # cannot exceed the accumulated MG error, so the certificate fails
+    terms = [f"u{i:05d}" for i in range(5000) for _ in range(2)]
+    ds = ray.data.from_arrow(
+        pa.table({"term": pa.array(terms)})).repartition(4)
+    with pytest.raises(ValueError, match="raise capacity"):
+        agg.heavy_hitters_rescan(ds, "term", k=5, capacity=8)
