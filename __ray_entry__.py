@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_rank_dense": Q.orders_price_rank_dense,
         "orders_price_pct_rank": Q.orders_price_pct_rank,
         "docs_fuzzy_decontamination": Q.docs_fuzzy_decontamination,
+        "docs_cap_per_source": Q.docs_cap_per_source,
+        "events_dedup_keyed": Q.events_dedup_keyed,
         "embedding_kmeans": Q.embedding_kmeans,
         "embedding_kmeans_q8": Q.embedding_kmeans_q8,
         "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
@@ -1539,6 +1541,23 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() OVER (PARTITION BY o_orderpriority
                                       ORDER BY o_totalprice DESC) AS rnk
             FROM orders
+        """,
+        "docs_cap_per_source": """
+            SELECT doc_id, source, rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rank
+              FROM documents) WHERE rank <= 10
+        """,
+        "events_dedup_keyed": """
+            SELECT event_id, user_id, event_type, "window" FROM (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) // 3600000000 AS "window",
+                     row_number() OVER (
+                         PARTITION BY user_id, event_type,
+                                      epoch_us(ts) // 3600000000
+                         ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
         """,
         "embedding_kmeans_q8": "WITH " + _kmeans_q8_ctes(8, 3) + """
             SELECT vec_id, cl AS cluster FROM af

@@ -3637,6 +3637,53 @@ def embedding_semantic_dup_pairs(sf_dir: str):
         k=16, iters=5, threshold=0.4)
 
 
+def docs_cap_per_source(sf_dir: str):
+    """Per-domain document caps — the web-pipeline move that stops one
+    crawl domain from dominating the corpus: keep the 10 lowest-doc_id
+    documents per source via the bucketed distributed row_number
+    (ops/rank.top_k_per_group — coarse-bucket shuffle + one C-level
+    pandas pass per bucket, never a per-key group). Output
+    (doc_id, source, rank)."""
+    from kgeng.ops.rank import top_k_per_group
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "source"])
+    out = top_k_per_group(docs, key="source", value="doc_id", k=10,
+                          descending=False)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "rank"]),
+        batch_format="pyarrow")
+
+
+def events_dedup_keyed(sf_dir: str):
+    """Windowed keyed dedup — the stream-dedup shape (client retries /
+    at-least-once replays collapse to the EARLIEST event per
+    (user, type, hour)): synthesize the composite window key
+    vectorized, then the same bucketed top-k machinery at k=1 with a
+    deterministic (ts, event_id) tiebreak. Output
+    (event_id, user_id, event_type, window)."""
+    from kgeng.ops.rank import top_k_per_group
+
+    ev = _pq(sf_dir, "events",
+             ["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())  # epoch microseconds
+        win = pc.divide(us, 3600000000)  # ts >= 0: trunc == floor
+        k = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()), t["event_type"],
+            pc.cast(win, pa.string()), "|")
+        return t.append_column("window", pc.cast(win, pa.int64())) \
+                .append_column("__k", k)
+
+    out = top_k_per_group(ev.map_batches(keyed, batch_format="pyarrow"),
+                          key="__k", value="ts", k=1,
+                          descending=False, tie_breakers=["event_id"])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "event_type",
+                            "window"]),
+        batch_format="pyarrow")
+
+
 def embedding_kmeans_q8(sf_dir: str):
     """Integer-exact Lloyd's k-means over q8-quantized embeddings
     (ops/similarity.kmeans_q8_assign): k=8, 3 fixed rounds, lowest-id
