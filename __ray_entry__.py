@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "lineitem_closeness": Q.lineitem_closeness,
         "lineitem_pagerank": Q.lineitem_pagerank,
+        "lineitem_labelprop": Q.lineitem_labelprop,
         "lineitem_hits": Q.lineitem_hits,
         "kg_entity_mention_counts": Q.kg_entity_mention_counts,
         "kg_mention_stats": Q.kg_mention_stats,
@@ -605,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
             walk_len=4, wpn=2),
         "docs_gopher_repetition": Q.gopher_repetition_oracle_sql(),
         "lineitem_pagerank": Q.pagerank_oracle_sql(iters=5),
+        "lineitem_labelprop": Q.labelprop_oracle_sql(rounds=4),
         "lineitem_sssp": Q.SSSP_ORACLE,
         "lineitem_sssp_weighted": Q.sssp_weighted_oracle_sql(rounds=6),
         "lineitem_hits": Q.hits_oracle_sql(iters=3),

@@ -1698,6 +1698,77 @@ def _slpa_distributed(edges: ray.data.Dataset, src: str, dst: str,
         batch_format="pyarrow")
 
 
+# --------------------------------------- label propagation (communities)
+
+def label_propagation_communities(edges: ray.data.Dataset,
+                                  src: str = "src", dst: str = "dst",
+                                  rounds: int = 4) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection —
+    'labelpropagation' in the reference's Pregel algorithm list
+    (arguments.py:187-188), run server-side there. Labels start as
+    node ids; each round every node adopts the most frequent label
+    among its IN-neighbors (edge rows count with multiplicity; ties
+    break toward the smallest label); a node with no in-edge keeps its
+    label. FIXED ``rounds`` — synchronous LPA can oscillate on
+    bipartite structure, so a fixed round count is what makes the
+    result deterministic and SQL-replayable
+    (queries.labelprop_oracle_sql unrolls the same rounds).
+
+    Fully distributed dataset rounds (no driver-held vectors — the
+    scale shape, like _scc_distributed): per round one hash join of
+    labels onto edge sources, a combiner-style per-block (node,label)
+    count, a 2-key groupby sum, the bucketed top-1 argmax, and a left
+    join carrying no-in-edge nodes. Only (node,label,count) int64
+    rows ever shuffle."""
+    import pandas as pd
+
+    from kgeng.ops.rank import top_k_per_group
+
+    eproj = _ren(edges, {"src": src, "dst": dst},
+                 ["src", "dst"]).materialize()
+    nodes = _nodes_dataset(eproj, "src", "dst")
+    lab = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        # labels onto edge sources: (dst, label) one row per edge
+        contrib = _ijoin(_ren(eproj, {"node": "src"}, ["node", "dst"]),
+                         lab, key="node", how="inner",
+                         left_cols=["node", "dst"],
+                         right_cols=["node", "label"])
+
+        def cnt_partial(t: pa.Table) -> pa.Table:
+            g = pa.table({"node": t["dst"], "label": t["label"]}) \
+                .group_by(["node", "label"]).aggregate([([],
+                                                         "count_all")])
+            return g.rename_columns(["node", "label", "c"])
+
+        from ray.data.aggregate import Sum
+        counts = contrib.map_batches(cnt_partial,
+                                     batch_format="pyarrow") \
+            .groupby(["node", "label"]) \
+            .aggregate(Sum("c", alias_name="c"))
+        top1 = top_k_per_group(counts, key="node", value="c", k=1,
+                               tie_breakers=["label"], descending=True)
+        new = _ijoin(lab, _ren(top1, {"new": "label"}, ["node", "new"]),
+                     key="node", how="left",
+                     left_cols=["node", "label"],
+                     right_cols=["node", "new"])
+
+        def carry(t: pa.Table) -> pa.Table:
+            # left-join nulls float the int column; coalesce + recast
+            new_c = pc.coalesce(pc.cast(t["new"], pa.float64()),
+                                pc.cast(t["label"], pa.float64()))
+            return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                             "label": pc.cast(new_c, pa.int64())})
+
+        lab = new.map_batches(carry, batch_format="pyarrow") \
+            .materialize()
+
+    return lab
+
+
 # ----------------------------------------------- bounded harmonic (exact)
 
 def _harmonic_driver(se: np.ndarray, de: np.ndarray, max_hops: int,

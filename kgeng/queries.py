@@ -1021,6 +1021,52 @@ def pagerank_oracle_sql(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def lineitem_labelprop(sf_dir: str):
+    """Native synchronous label propagation ('labelpropagation' in the
+    reference's Pregel algorithm list, arguments.py:187-188) over the
+    shared symmetrized order<->part graph: 4 fixed rounds, most
+    frequent in-neighbor label, ties to the smallest label. Fully
+    distributed dataset rounds (ops/graph.
+    label_propagation_communities); the unrolled-CTE oracle replays
+    the same rounds exactly (all-integer, hash-match)."""
+    from kgeng.ops.graph import label_propagation_communities
+
+    return label_propagation_communities(_order_part_edges(sf_dir),
+                                         rounds=4)
+
+
+def labelprop_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled-CTE DuckDB replay of label_propagation_communities
+    over the same graph: per round, count in-neighbor labels, take the
+    row_number()=1 (count desc, label asc) winner, carry isolated
+    nodes. All-integer -> exact hash match."""
+    parts = ["""
+        WITH eo AS (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        edges AS (SELECT src, dst FROM eo
+                  UNION ALL SELECT dst AS src, src AS dst FROM eo),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        c{i} AS (SELECT e.dst AS node, p.label, count(*) AS c
+                 FROM edges e JOIN l{i - 1} p ON p.node = e.src
+                 GROUP BY 1, 2),
+        l{i} AS (
+          SELECT n.node, coalesce(t.label, p.label) AS label
+          FROM nodes n
+          JOIN l{i - 1} p ON p.node = n.node
+          LEFT JOIN (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node
+                                                 ORDER BY c DESC,
+                                                          label) AS rn
+                       FROM c{i}) WHERE rn = 1) t ON t.node = n.node)""")
+    parts.append(f"\n        SELECT node, label FROM l{rounds}")
+    return "".join(parts)
+
+
 def lineitem_linerank(sf_dir: str):
     """Native LineRank ('linerank' in the reference's Pregel list):
     PageRank over the LINE GRAPH of the bulk-order subgraph
