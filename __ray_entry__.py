@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kg_triples); it is oracle-swept by scripts/check_oracles.py
         "docs_gopher_repetition": Q.docs_gopher_repetition,
         "kg_entities": Q.kg_entities,
+        "kg_incremental_entities": Q.kg_incremental_entities,
         "kg_vertices_out": Q.kg_vertices_out,
         "lineitem_scc": Q.lineitem_scc,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
@@ -1405,6 +1406,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT subj, pred, obj FROM read_parquet('{gt}')
         """,
         "kg_entities": f"""
+            SELECT entity_id, canon_key,
+                   array_to_string(surface_forms, '|') AS surface_forms_str,
+                   ent_type, part
+            FROM read_parquet('{ge}')
+        """,
+        # incremental append must reproduce the batch result exactly —
+        # its oracle IS the batch golden-entities set
+        "kg_incremental_entities": f"""
             SELECT entity_id, canon_key,
                    array_to_string(surface_forms, '|') AS surface_forms_str,
                    ent_type, part

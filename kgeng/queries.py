@@ -680,9 +680,7 @@ def kg_triples(sf_dir: str):
     return distinct(res["triples"], ["subj", "pred", "obj"])
 
 
-def kg_entities(sf_dir: str):
-    res = _kg_results(sf_dir)
-
+def _entities_flat(entities):
     def flatten(t: pa.Table) -> pa.Table:
         # vectorized list-of-string join (one Arrow kernel, no Python rows)
         forms = pc.cast(pc.binary_join(t["surface_forms"], "|"),
@@ -695,7 +693,58 @@ def kg_entities(sf_dir: str):
             "part": t["part"],
         })
 
-    return res["entities"].map_batches(flatten, batch_format="pyarrow")
+    return entities.map_batches(flatten, batch_format="pyarrow")
+
+
+def kg_entities(sf_dir: str):
+    return _entities_flat(_kg_results(sf_dir)["entities"])
+
+
+def kg_incremental_entities(sf_dir: str):
+    """Incremental corpus APPEND — the 100 TB ingest pattern the
+    checkpoint design was built for: run the pipeline over the first
+    half of the corpus fragments, then drop the second half into the
+    corpus directory and re-run with resume=True. The hash-stable
+    per-fragment shard assignment (pipeline._assign_shards_stable)
+    re-extracts ONLY the shards whose file list changed (here: exactly
+    the new fragment), while the mention-scale canonicalize / triples /
+    entities stages recompute — their lineage includes the corpus file
+    set, so they can never silently mix stale maps with new data. The
+    final entity table must equal the batch run's over the full corpus:
+    the oracle is the SAME golden-entities SQL as kg_entities, which is
+    precisely the incremental-ingest correctness claim."""
+    import pyarrow.parquet as _pq_mod
+
+    from kgeng.pipeline import KGPipeline
+
+    corpus = kg_corpus_for(sf_dir)
+    if ("inc", corpus) in _KG_CACHE:
+        return _entities_flat(_KG_CACHE[("inc", corpus)])
+    src = os.path.join(corpus, "corpus", "part-00000.parquet")
+    base = corpus + "_inc"
+    cdir = os.path.join(base, "corpus")
+    os.makedirs(cdir, exist_ok=True)
+    frag_a = os.path.join(cdir, "inc-00000.parquet")
+    frag_b = os.path.join(cdir, "inc-00001.parquet")
+    staging_b = os.path.join(base, "inc-00001.parquet")
+    if not (os.path.exists(frag_a)
+            and (os.path.exists(frag_b) or os.path.exists(staging_b))):
+        t = _pq_mod.read_table(src)
+        half = len(t) // 2
+        _pq_mod.write_table(t.slice(0, half), frag_a)
+        _pq_mod.write_table(t.slice(half), staging_b)
+        if os.path.exists(frag_b):
+            os.remove(frag_b)
+    gaz = os.path.join(corpus, "gazetteer.parquet")
+    p = KGPipeline(checkpoint_root=base + "_ckpt", num_shards=8)
+    if not os.path.exists(frag_b):
+        # phase 1: half the corpus (on repeat calls the checkpoints make
+        # this a metadata-only resume)
+        p.run(cdir, gaz, out_dir=None, resume=True)
+        os.replace(staging_b, frag_b)  # the append
+    res = p.run(cdir, gaz, out_dir=None, resume=True)
+    _KG_CACHE[("inc", corpus)] = res["entities"]
+    return _entities_flat(res["entities"])
 
 
 def kg_vertices_out(sf_dir: str):

@@ -443,3 +443,62 @@ def test_graph_export_crash_states_force_rewrite(tiny_corpus,
     p.run(corpus, gazp, out_dir=gdir)
     assert os.path.exists(os.path.join(gdir, "_SUCCESS"))
     assert stamps() != s1
+
+
+def test_incremental_append_extracts_only_new_fragment(
+        tiny_corpus, tmp_path_factory):
+    """Appending a corpus fragment re-extracts ONLY the shard that
+    holds it (hash-stable assignment); downstream stages recompute and
+    the final entities equal the batch run over the full corpus."""
+    import json
+
+    src = pq.read_table(os.path.join(tiny_corpus, "corpus",
+                                     "part-00000.parquet"))
+    cdir = tmp_path_factory.mktemp("corpus_inc")
+    half = len(src) // 2
+    pq.write_table(src.slice(0, half), str(cdir / "inc-00000.parquet"))
+    gazp = os.path.join(tiny_corpus, "gazetteer.parquet")
+    root = str(tmp_path_factory.mktemp("ckpt_inc"))
+
+    p = KGPipeline(checkpoint_root=root, num_shards=8)
+    p.run(str(cdir), gazp, resume=True)
+
+    def shard_manifests():
+        out = {}
+        base = os.path.join(root, "records")
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("shard="):
+                continue
+            mf = os.path.join(base, d, "_MANIFEST.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    out[d] = (os.path.getmtime(mf), json.load(f))
+        return out
+
+    before = shard_manifests()
+    assert before, "phase-1 extraction wrote no shard manifests"
+
+    # the append
+    pq.write_table(src.slice(half), str(cdir / "inc-00001.parquet"))
+    res = p.run(str(cdir), gazp, resume=True)
+    after = shard_manifests()
+
+    changed = {d for d in after
+               if d not in before or after[d][0] != before[d][0]}
+    import zlib
+    new_shard = f"shard={zlib.crc32(b'inc-00001.parquet') % 8:05d}"
+    assert new_shard in changed
+    # every pre-existing shard was reused untouched
+    assert changed == {new_shard}, changed
+
+    # incremental result == batch run over the full corpus
+    batch = KGPipeline(checkpoint_root=str(
+        tmp_path_factory.mktemp("ckpt_batch")), num_shards=8) \
+        .run(str(cdir), gazp, resume=True)
+    inc_e = res["entities"].to_pandas().sort_values(
+        "entity_id").reset_index(drop=True)
+    bat_e = batch["entities"].to_pandas().sort_values(
+        "entity_id").reset_index(drop=True)
+    inc_e["surface_forms"] = inc_e["surface_forms"].map(tuple)
+    bat_e["surface_forms"] = bat_e["surface_forms"].map(tuple)
+    assert inc_e.equals(bat_e)
