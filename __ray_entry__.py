@@ -143,21 +143,23 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-5 rotation (VERDICT r4 item 1): the 32 entries never
-    # driver-verified lead, then the entries gaining oracles this round
-    # (incl. the HLL and histogram-quantile sketch replays), then every
-    # query whose code path changed this round (sssp/scc/slpa plan-B
-    # fallbacks, rank bucketing), then the flagship KG block; the rest of
-    # the registry (all driver-green in r03/r04 — q1_lineitem_agg and
-    # lineitem_closeness were rotated just below the window, as a third
-    # identical record adds nothing) follows.
+    # entries. Round-5 rotation (VERDICT r4 items 1+2): the 46 entries
+    # never driver-verified that HAVE oracles lead (incl. every query
+    # added this round: q8 kmeans family, sketch-rescan heavy hitters,
+    # per-source caps, keyed windowed dedup, label propagation,
+    # incremental KG append), then 4 oracle UPGRADES the verdict named
+    # (minhash_dedup_docs, doc_fingerprints, docs_weighted_sample,
+    # docs_packed_2k — previously recorded no_oracle, now hash-gated).
+    # Below the window: the remaining upgrades (slpa, ann lsh/ivf,
+    # simhash — locally hash-verified by scripts/check_oracles.py),
+    # the flagship KG block (driver-green r03+r04), the still-rows-only
+    # float twins, and everything driver-green in earlier rounds.
     return {
         "qty_price_corr_by_flag": Q.qty_price_corr_by_flag,
         "custs_both_big_and_urgent": Q.custs_both_big_and_urgent,
         "doc_pair_jw": Q.doc_pair_jw,
         "price_stats_by_priority": Q.price_stats_by_priority,
         "parts_triangle_counts": Q.parts_triangle_counts,
-        "corpus_top_terms_approx": Q.corpus_top_terms_approx,
         "corpus_top_terms_rescan": Q.corpus_top_terms_rescan,
         "events_profile": Q.events_profile,
         "docs_split_assign": Q.docs_split_assign,
@@ -177,11 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_decontamination": Q.docs_fuzzy_decontamination,
         "docs_cap_per_source": Q.docs_cap_per_source,
         "events_dedup_keyed": Q.events_dedup_keyed,
-        "embedding_kmeans": Q.embedding_kmeans,
         "embedding_kmeans_q8": Q.embedding_kmeans_q8,
-        "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
-        "embedding_semantic_dup_pairs_q8":
-            Q.embedding_semantic_dup_pairs_q8,
+        "embedding_semantic_dup_pairs_q8": Q.embedding_semantic_dup_pairs_q8,
         "docs_duplicated_spans": Q.docs_duplicated_spans,
         "parts_frequent_pairs": Q.parts_frequent_pairs,
         "events_props_k_counts": Q.events_props_k_counts,
@@ -190,49 +189,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_pipeline": Q.docs_curation_pipeline,
         "price_mad_by_priority": Q.price_mad_by_priority,
         "parts_fuzzy_match": Q.parts_fuzzy_match,
-        "minhash_dedup_docs": Q.minhash_dedup_docs,
-        "doc_fingerprints": Q.doc_fingerprints,
-        "simhash_docs": Q.simhash_docs,
-        "docs_weighted_sample": Q.docs_weighted_sample,
-        "docs_packed_2k": Q.docs_packed_2k,
-        "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
         "corpus_cms_term_counts": Q.corpus_cms_term_counts,
         "lineitem_closeness_exact": Q.lineitem_closeness_exact,
-        # docs_bm25 / docs_gopher_quality take the two sssp slots: the
-        # driver gates only the first 50 entries, both sssp variants
-        # are hash-green in r03, and the two new round-5 ops have never
-        # been gated
         "docs_bm25": Q.docs_bm25,
         "docs_gopher_quality": Q.docs_gopher_quality,
-
-        # docs_lm2_scores takes lineitem_scc's slot (hash-green in r04)
         "docs_lm2_scores": Q.docs_lm2_scores,
-        "lineitem_slpa": Q.lineitem_slpa,
-        # docs_chunks takes price_quantiles_by_priority's slot (that
-        # entry is hash-green in r02 AND r03); never-gated entries stay
-        # in the first-50 window
         "docs_chunks": Q.docs_chunks,
-        "kg_triples": Q.kg_triples,
-        # lineitem_random_walks takes kg_entities' slot (hash-green in
-        # r01, r02 AND r04)
         "lineitem_random_walks": Q.lineitem_random_walks,
-        # docs_incremental_dedup takes kg_vertices_out's slot
-        # (hash-green in r01, r02 AND r04)
         "docs_incremental_dedup": Q.docs_incremental_dedup,
-        # parts_snm_pairs takes kg_edges_out's window slot: the driver
-        # gates only the first 50 entries, kg_edges_out is green in
-        # r01-r04, and price_quantiles_by_priority_approx (slot 50)
-        # has never been gated and must stay in-window
         "parts_snm_pairs": Q.parts_snm_pairs,
-        "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
-        "kg_edges_out": Q.kg_edges_out,
-        # docs_gopher_repetition sits just past the driver window (all
-        # 50 in-window slots hold never-gated entries or the flagship
-        # kg_triples); it is oracle-swept by scripts/check_oracles.py
         "docs_gopher_repetition": Q.docs_gopher_repetition,
-        "kg_entities": Q.kg_entities,
         "kg_incremental_entities": Q.kg_incremental_entities,
+        "lineitem_labelprop": Q.lineitem_labelprop,
+        "minhash_dedup_docs": Q.minhash_dedup_docs,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "doc_pair_containment": Q.doc_pair_containment,
+        "orders_price_zscore": Q.orders_price_zscore,
+        "docs_weighted_sample": Q.docs_weighted_sample,
+        "docs_packed_2k": Q.docs_packed_2k,
+        "lineitem_slpa": Q.lineitem_slpa,
+        "ann_topk_lsh": Q.ann_topk_lsh,
+        "ann_topk_ivf": Q.ann_topk_ivf,
+        "simhash_docs": Q.simhash_docs,
+        "approx_distinct_users_by_type": Q.approx_distinct_users_by_type,
+        "price_quantiles_by_priority_approx": Q.price_quantiles_by_priority_approx,
+        "kg_triples": Q.kg_triples,
+        "kg_entities": Q.kg_entities,
         "kg_vertices_out": Q.kg_vertices_out,
+        "kg_edges_out": Q.kg_edges_out,
+        "kg_entity_mention_counts": Q.kg_entity_mention_counts,
+        "corpus_top_terms_approx": Q.corpus_top_terms_approx,
+        "embedding_kmeans": Q.embedding_kmeans,
+        "embedding_semantic_dup_pairs": Q.embedding_semantic_dup_pairs,
         "lineitem_scc": Q.lineitem_scc,
         "price_quantiles_by_priority": Q.price_quantiles_by_priority,
         "lineitem_sssp": Q.lineitem_sssp,
@@ -241,9 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "lineitem_closeness": Q.lineitem_closeness,
         "lineitem_pagerank": Q.lineitem_pagerank,
-        "lineitem_labelprop": Q.lineitem_labelprop,
         "lineitem_hits": Q.lineitem_hits,
-        "kg_entity_mention_counts": Q.kg_entity_mention_counts,
         "kg_mention_stats": Q.kg_mention_stats,
         "kg_media_features": Q.kg_media_features,
         "compat_edge_list_edges": Q.compat_edge_list_edges,
@@ -256,8 +242,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": Q.embedding_near_dup_pairs,
         "embedding_components": Q.embedding_components,
         "ann_topk": Q.ann_topk,
-        "ann_topk_lsh": Q.ann_topk_lsh,
-        "ann_topk_ivf": Q.ann_topk_ivf,
         "media_features": Q.media_features,
         "media_frame_samples": Q.media_frame_samples,
         "doc_pair_jaccard": Q.doc_pair_jaccard,
@@ -1185,6 +1169,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS stddev_x
             FROM m
         """,
+        "orders_price_zscore": """
+            WITH m AS (
+              SELECT o_orderpriority, count(*) AS n,
+                     sum(CAST(round(o_totalprice) AS BIGINT)) AS sx,
+                     sum(CAST(round(o_totalprice) AS BIGINT)
+                         * CAST(round(o_totalprice) AS BIGINT)) AS sxx
+              FROM orders GROUP BY 1),
+            s AS (SELECT o_orderpriority,
+                         round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE),
+                               6) AS mean6,
+                         round(sqrt(
+                           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - 1.0))), 6) AS sd6
+                  FROM m)
+            SELECT o.o_orderkey,
+                   round((CAST(round(o.o_totalprice) AS BIGINT) - s.mean6)
+                         / s.sd6, 6) AS z
+            FROM orders o JOIN s USING (o_orderpriority)
+        """,
         "custs_both_big_and_urgent": """
             SELECT o_custkey FROM orders WHERE o_totalprice > 400000
             INTERSECT
@@ -1281,6 +1286,27 @@ def oracle_sql() -> dict[str, str]:
                          / (len(a.gs) + len(b.gs)
                             - len(list_intersect(a.gs, b.gs))), 6) AS jac
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        """,
+        "doc_pair_containment": """
+            WITH docs AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents ORDER BY doc_id LIMIT 20
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                            toks[i+2])) AS gs
+              FROM docs
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CASE WHEN len(a.gs) = 0 THEN
+                           CASE WHEN len(b.gs) = 0 THEN 1.0 ELSE 0.0 END
+                         ELSE CAST(len(list_intersect(a.gs, b.gs))
+                                   AS DOUBLE) / len(a.gs) END, 6)
+                       AS containment
+            FROM grams a JOIN grams b ON a.doc_id <> b.doc_id
         """,
         "doc_pair_jw": """
             WITH docs AS (

@@ -77,6 +77,17 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / union if union else 1.0
 
 
+def ngram_containment(a: str, b: str, n: int = 3) -> float:
+    """Asymmetric n-gram containment C(A,B) = |A∩B| / |A| — the metric
+    fuzzy decontamination and subset-duplication checks actually want
+    (a short doc fully embedded in a long one scores 1.0 here but low
+    Jaccard). Both-empty convention matches ngram_jaccard: 1.0."""
+    sa, sb = word_ngrams(a, n), word_ngrams(b, n)
+    if not sa:
+        return 1.0 if not sb else 0.0
+    return len(sa & sb) / len(sa)
+
+
 _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
 # empty docs emit one sentinel shingle; 0 (not crc32(b'')) since round 5
 # so the fuzzy-decontamination oracle can state it as a SQL literal

@@ -513,6 +513,42 @@ def doc_pair_jaccard(sf_dir: str):
         pairs_batch, batch_format="pyarrow", batch_size=32)
 
 
+def doc_pair_containment(sf_dir: str):
+    """Exact word-trigram CONTAINMENT C(A,B) = |A∩B|/|A| for every
+    ordered doc pair among the 20 smallest doc_ids — the asymmetric
+    twin of doc_pair_jaccard (a short doc fully embedded in a long one
+    scores 1.0 here but low Jaccard; what fuzzy decontamination
+    actually thresholds). Same SQL-checkable list-intersection oracle,
+    both directions per pair."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from kgeng.ops.dedup import ngram_containment
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    rows = sorted(zip(tbl["doc_id"].to_pylist(),
+                      tbl["text"].to_pylist()))[:20]
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        a_txt = t["a_txt"].to_pylist()
+        b_txt = t["b_txt"].to_pylist()
+        c = [round(ngram_containment(x, y, 3), 6)
+             for x, y in zip(a_txt, b_txt)]
+        return pa.table({"a": t["a_id"], "b": t["b_id"],
+                         "containment": pa.array(c, pa.float64())})
+
+    pair_rows = [(a[0], a[1], b[0], b[1])
+                 for a, b in itertools.permutations(rows, 2)]
+    src = pa.table({"a_id": [p[0] for p in pair_rows],
+                    "a_txt": [p[1] for p in pair_rows],
+                    "b_id": [p[2] for p in pair_rows],
+                    "b_txt": [p[3] for p in pair_rows]})
+    return ray.data.from_arrow(src).map_batches(
+        pairs_batch, batch_format="pyarrow", batch_size=64)
+
+
 # ----------------------------------------------------- compat-path queries
 
 _FIXTURE_DIR = "/tmp/kgeng_oracle_fixtures"
@@ -3345,6 +3381,42 @@ def price_stats_by_priority(sf_dir: str):
         batch_format="pyarrow")
     return grouped_stats(prep, "o_orderpriority", "x",
                          small_keys=True)
+
+
+def orders_price_zscore(sf_dir: str):
+    """Grouped z-score standardization — the feature-engineering
+    normalize step: z = (x - mean)/sd of the whole-dollar price within
+    each order's priority. Means/stddevs come from grouped_stats'
+    exact integer moments (5 rows, driver-pulled and broadcast in the
+    closure); the scoring pass is one stateless vectorized map —
+    nothing corpus-scale shuffles. Bit-exact vs SQL: both sides state
+    round((x - mean6) / sd6, 6) over the SAME rounded stats the
+    price_stats_by_priority oracle already hash-matches."""
+    stats = price_stats_by_priority(sf_dir).take_all()
+    prios = sorted(r["o_orderpriority"] for r in stats)
+    mean_arr = np.array([next(r["mean_x"] for r in stats
+                              if r["o_orderpriority"] == p)
+                         for p in prios], np.float64)
+    sd_arr = np.array([next(r["stddev_x"] for r in stats
+                            if r["o_orderpriority"] == p)
+                       for p in prios], np.float64)
+    pr_set = pa.array(prios, pa.string())
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def z(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t["o_totalprice"], ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t["o_orderpriority"], value_set=pr_set) \
+            .to_numpy(zero_copy_only=False)
+        zv = (x.astype(np.float64) - mean_arr[idx]) / sd_arr[idx]
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "z": pc.round(pa.array(zv, pa.float64()), ndigits=6,
+                          round_mode="half_towards_infinity")})
+
+    return orders.map_batches(z, batch_format="pyarrow")
 
 
 def _co_purchase_edges(sf_dir: str):
