@@ -52,6 +52,11 @@ def _to_pandas(res):
     "lineitem_harmonic", "revenue_cube", "qty_price_corr_by_flag",
     "custs_both_big_and_urgent", "approx_distinct_users_by_type",
     "price_quantiles_by_priority_approx",
+    # round-5 additions
+    "corpus_top_terms_rescan", "embedding_kmeans_q8",
+    "embedding_semantic_dup_pairs_q8", "docs_cap_per_source",
+    "events_dedup_keyed", "lineitem_labelprop", "doc_pair_containment",
+    "orders_price_zscore",
 ])
 def test_query_matches_oracle(name, con):
     import __ray_entry__ as E
