@@ -125,6 +125,10 @@ def timed_queries() -> dict[str, float]:
         ("docs_gopher_quality", Q.docs_gopher_quality),
         ("docs_incremental_dedup", Q.docs_incremental_dedup),
         ("lineitem_random_walks", Q.lineitem_random_walks),
+        ("embedding_kmeans_q8", Q.embedding_kmeans_q8),
+        ("corpus_top_terms_rescan", Q.corpus_top_terms_rescan),
+        ("lineitem_labelprop", Q.lineitem_labelprop),
+        ("events_dedup_keyed", Q.events_dedup_keyed),
     ]:
         # best-of-REPEATS per query, same rationale as headline_kg: the
         # host window swings +/-30%, and one sample per query makes the
