@@ -202,11 +202,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_entities": Q.kg_incremental_entities,
         "lineitem_labelprop": Q.lineitem_labelprop,
         "minhash_dedup_docs": Q.minhash_dedup_docs,
-        "doc_fingerprints": Q.doc_fingerprints,
         "doc_pair_containment": Q.doc_pair_containment,
+        "docs_hashed_features": Q.docs_hashed_features,
         "orders_price_zscore": Q.orders_price_zscore,
         "docs_weighted_sample": Q.docs_weighted_sample,
         "docs_packed_2k": Q.docs_packed_2k,
+        "doc_fingerprints": Q.doc_fingerprints,
         "lineitem_slpa": Q.lineitem_slpa,
         "ann_topk_lsh": Q.ann_topk_lsh,
         "ann_topk_ivf": Q.ann_topk_ivf,
@@ -1169,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS stddev_x
             FROM m
         """,
+        "docs_hashed_features": Q.hashed_features_oracle_sql(512),
         "orders_price_zscore": """
             WITH m AS (
               SELECT o_orderpriority, count(*) AS n,

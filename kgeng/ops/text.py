@@ -1457,3 +1457,45 @@ def gopher_repetition(ds: ray.data.Dataset, col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------- hashing-trick features
+
+def hashed_features(ds: ray.data.Dataset, col: str = "text",
+                    id_col: str = "doc_id",
+                    k: int = 512) -> ray.data.Dataset:
+    """Hashing-trick feature vectorizer (sklearn HashingVectorizer /
+    VW-style): dim = token_hash % k over whitespace tokens, one
+    (id, dim, cnt) row per nonzero dimension — the stateless,
+    vocabulary-free featurization step before linear-model training,
+    and the fixed-width sparse representation that needs NO fitted
+    vocabulary broadcast at 100 TB. Per-batch fully vectorized (one
+    :func:`_hash_tokens` pass + a packed ``np.unique`` count); no
+    shuffle at all. The charwise-polynomial hash is the same
+    SQL-statable fold the fingerprint / decontamination oracles
+    replay, so a DuckDB oracle recomputes the exact table."""
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t[col], ""),
+                                      pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        rows = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        sv = flat.to_numpy(zero_copy_only=False)
+        keep = sv != ""
+        sv, rows = sv[keep], rows[keep]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(sv) == 0:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "dim": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        th = _hash_tokens(sv)
+        dim = (th % np.uint64(k)).astype(np.int64)
+        packed = rows.astype(np.int64) * k + dim
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            id_col: pa.array(ids[(uniq // k).astype(np.int64)]),
+            "dim": pa.array((uniq % k).astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow")

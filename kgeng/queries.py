@@ -3383,6 +3383,32 @@ def price_stats_by_priority(sf_dir: str):
                          small_keys=True)
 
 
+def docs_hashed_features(sf_dir: str):
+    """Hashing-trick sparse feature vectors (ops/text.hashed_features):
+    dim = token_hash % 512 per whitespace token, (doc_id, dim, cnt)
+    long form — the vocabulary-free featurization before linear-model
+    training. The DuckDB oracle replays the identical charwise
+    polynomial hash (the shared _sql_tokhash fold) in HUGEINT
+    arithmetic, so the table hash-matches exactly."""
+    from kgeng.ops.text import hashed_features
+
+    return hashed_features(_pq(sf_dir, "documents", ["doc_id", "text"]),
+                           k=512)
+
+
+def hashed_features_oracle_sql(k: int = 512) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '\\S+')) AS tok
+          FROM documents)
+        SELECT doc_id,
+               CAST({_sql_tokhash('tok')} % {k} AS BIGINT) AS dim,
+               count(*) AS cnt
+        FROM toks GROUP BY 1, 2
+    """
+
+
 def orders_price_zscore(sf_dir: str):
     """Grouped z-score standardization — the feature-engineering
     normalize step: z = (x - mean)/sd of the whole-dollar price within
