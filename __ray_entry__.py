@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": Q.minhash_dedup_docs,
         "doc_pair_containment": Q.doc_pair_containment,
         "docs_hashed_features": Q.docs_hashed_features,
+        "parts_edge_support": Q.parts_edge_support,
         "orders_price_zscore": Q.orders_price_zscore,
         "docs_weighted_sample": Q.docs_weighted_sample,
         "docs_packed_2k": Q.docs_packed_2k,
@@ -1556,6 +1557,20 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM tri
                        UNION ALL SELECT c FROM tri)
             SELECT node, count(*) AS n_triangles FROM n GROUP BY node
+        """,
+        "parts_edge_support": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+                 e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+                 tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                         FROM e e1
+                         JOIN e e2 ON e2.u = e1.v
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+                 te AS (SELECT a AS u, b AS v FROM tri
+                        UNION ALL SELECT a, c FROM tri
+                        UNION ALL SELECT b, c FROM tri)
+            SELECT u, v, count(*) AS support FROM te GROUP BY 1, 2
         """,
         "events_running_total": """
             SELECT event_id, ts, user_id,

@@ -2819,3 +2819,227 @@ def _walks_distributed(adj: ray.data.Dataset, walk_len: int,
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+# ------------------------------------------- edge triangle support (k-truss)
+
+@ray.remote
+def _tri_edge_chunk(pe: np.ndarray, lens: np.ndarray,
+                    pivots: np.ndarray, bsl: np.ndarray):
+    """Wedge enumeration + packed-edge closure for one pivot chunk,
+    counting per-EDGE (not per-node) triangle membership: every closed
+    wedge (p; v, w) increments its three canonical packed edges.
+    Returns (packed_edge_keys, counts) for this chunk."""
+    fi, se = _segment_pairs(lens)
+    if fi.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    pv = np.repeat(pivots, lens)[fi]
+    vv = bsl[fi]
+    ww = bsl[se]
+    pk = (np.minimum(vv, ww) << 32) | np.maximum(vv, ww)
+    idx = np.searchsorted(pe, pk)
+    hit = (idx < pe.size) & (pe[np.minimum(idx, pe.size - 1)] == pk)
+    pv, vv, ww, pk = pv[hit], vv[hit], ww[hit], pk[hit]
+    e1 = (np.minimum(pv, vv) << 32) | np.maximum(pv, vv)
+    e2 = (np.minimum(pv, ww) << 32) | np.maximum(pv, ww)
+    keys = np.concatenate([pk, e1, e2])
+    un, cn = np.unique(keys, return_counts=True)
+    return un, cn.astype(np.int64)
+
+
+def edge_triangle_support(edges: ray.data.Dataset, src: str = "src",
+                          dst: str = "dst", num_buckets: int = 64,
+                          broadcast_edges_cutover: int = 20_000_000
+                          ) -> ray.data.Dataset:
+    """Per-EDGE triangle support |N(u) ∩ N(v)| over the undirected
+    graph — the k-truss peeling kernel (an edge is in the k-truss iff
+    support >= k-2). Same degree-ordered wedge generation as
+    :func:`triangle_counts` (each triangle generated exactly once);
+    each closed wedge credits its THREE canonical edges.
+
+    Plan A (ids in [0, 2^31), canonical edge count <=
+    ``broadcast_edges_cutover``): the packed sorted edge set — which
+    the closure broadcasts anyway — doubles as the driver-side
+    accumulator index, so the O(m^1.5) wedge stream never shuffles;
+    per-chunk (edge, cnt) partials merge into one m-bounded array.
+    Plan B (bigger graphs): the wedge stream shuffles ONCE on its
+    (v, w) packed key for a hash-bucket closure semi-merge, then the
+    3-edge fan-out reduces through ``groupby(edge_key).sum`` — nothing
+    edge-sized on the driver. Output (u, v, support), u < v,
+    support >= 1 rows only; integer-exact, so the three-way self-join
+    SQL oracle hash-matches.
+
+    Reference analogue: none (server-side Pregel family,
+    start_Pregel.py:194-198); extends the native graph family's
+    triangles/k-core pair toward trusses."""
+    from ray.data.aggregate import Sum
+
+    from kgeng.ops.join import hash_join
+
+    def _canon_block(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.ones(u.size, bool)
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64())})
+    proj = edges.map_batches(_canon_block,
+                             batch_format="pyarrow").materialize()
+    m_probe = proj.count()
+    if m_probe == 0:
+        return ray.data.from_arrow(empty)
+
+    if m_probe <= broadcast_edges_cutover:
+        parts_u, parts_v = [], []
+        for blk in proj.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+            parts_u.append(blk["u"].to_numpy(zero_copy_only=False))
+            parts_v.append(blk["v"].to_numpy(zero_copy_only=False))
+        uu = np.concatenate(parts_u)
+        vv = np.concatenate(parts_v)
+        if int(uu.min()) >= 0 and int(vv.max()) < (1 << 31):
+            pe = np.unique((uu << 32) | vv)  # global dedup, sorted
+            uu = pe >> 32
+            vv = pe & np.int64(0xFFFFFFFF)
+            nodes, deg = np.unique(np.concatenate([uu, vv]),
+                                   return_counts=True)
+            du = deg[np.searchsorted(nodes, uu)]
+            dv = deg[np.searchsorted(nodes, vv)]
+            ufirst = (du < dv) | ((du == dv) & (uu < vv))
+            a = np.where(ufirst, uu, vv)
+            b = np.where(ufirst, vv, uu)
+            db = np.where(ufirst, dv, du)
+            order = np.lexsort((b, db, a))
+            a, b = a[order], b[order]
+            segs = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+            lens = np.diff(np.r_[segs, a.size])
+            pivots = a[segs]
+            wseg = lens * (lens - 1) // 2
+            total_w = int(wseg.sum())
+            if total_w == 0:
+                return ray.data.from_arrow(empty)
+            n_chunks = int(max(1, min(num_buckets * 4,
+                                      total_w // 20_000 + 1,
+                                      lens.size)))
+            cw = np.cumsum(wseg)
+            cuts = np.searchsorted(cw, np.arange(1, n_chunks)
+                                   * (total_w / n_chunks))
+            bounds = np.unique(np.r_[0, cuts, lens.size])
+            eoff = np.r_[0, np.cumsum(lens)]
+            pe_ref = ray.put(pe)
+            futs = [_tri_edge_chunk.remote(pe_ref, lens[s0:s1],
+                                           pivots[s0:s1],
+                                           b[eoff[s0]:eoff[s1]])
+                    for s0, s1 in zip(bounds[:-1], bounds[1:])]
+            acc = np.zeros(pe.size, np.int64)
+            for f in futs:
+                un, cn = ray.get(f)
+                if un.size:
+                    acc[np.searchsorted(pe, un)] += cn
+            mask = acc > 0
+            return ray.data.from_arrow(pa.table({
+                "u": pa.array((pe[mask] >> 32).astype(np.int64)),
+                "v": pa.array((pe[mask]
+                               & np.int64(0xFFFFFFFF)).astype(np.int64)),
+                "support": pa.array(acc[mask])}))
+
+    # ---- plan B: fully distributed (no edge-sized driver state) ----
+    e = _canonical_undirected(proj, "u", "v", num_buckets).materialize()
+    degs = _undirected_degrees(e).materialize()
+    dj = _ijoin(e, _ren(degs, {"u": "node", "du": "deg"}, ["u", "du"]),
+                key="u", how="inner", left_cols=["u", "v"],
+                right_cols=["u", "du"])
+    dj2 = _ijoin(dj, _ren(degs, {"v": "node", "dv": "deg"}, ["v", "dv"]),
+                 key="v", how="inner", left_cols=["u", "v", "du"],
+                 right_cols=["v", "dv"])
+
+    def orient_j(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du_ = t["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv_ = t["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (u.min() < 0 or max(int(u.max()),
+                                          int(v.max())) >= (1 << 31)):
+            raise ValueError("edge_triangle_support ids must pack into "
+                             "31 bits; remap node ids upstream")
+        ufirst = (du_ < dv_) | ((du_ == dv_) & (u < v))
+        a = np.where(ufirst, u, v)
+        bb = np.where(ufirst, v, u)
+        db = np.where(ufirst, dv_, du_)
+        bkt = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(33)) % np.uint64(num_buckets * 4)
+        return pa.table({"a": pa.array(a), "b": pa.array(bb),
+                         "db": pa.array(db),
+                         "wb": pa.array(bkt.astype(np.int32))})
+
+    oriented = dj2.map_batches(orient_j, batch_format="pyarrow")
+
+    def wedges_group(df: "pd.DataFrame") -> pa.Table:
+        import pandas as pd  # noqa: F401
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        db = df["db"].to_numpy(np.int64)
+        order = np.lexsort((b, db, a))
+        a, b = a[order], b[order]
+        segs = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        lens = np.diff(np.r_[segs, a.size])
+        fi, se = _segment_pairs(lens)
+        if fi.size == 0:
+            return pa.table({"vw": pa.array([], pa.int64()),
+                             "pv": pa.array([], pa.int64()),
+                             "pw": pa.array([], pa.int64())})
+        pv_ = np.repeat(a[segs], lens)[fi]
+        v_ = b[fi]
+        w_ = b[se]
+        return pa.table({
+            "vw": pa.array((np.minimum(v_, w_) << 32)
+                           | np.maximum(v_, w_)),
+            "pv": pa.array((np.minimum(pv_, v_) << 32)
+                           | np.maximum(pv_, v_)),
+            "pw": pa.array((np.minimum(pv_, w_) << 32)
+                           | np.maximum(pv_, w_))})
+
+    wedges = oriented.groupby("wb").map_groups(wedges_group,
+                                               batch_format="pandas")
+    epk = e.map_batches(
+        lambda t: pa.table({"vw": pa.array(
+            (t["u"].to_numpy(zero_copy_only=False) << 32)
+            | t["v"].to_numpy(zero_copy_only=False))}),
+        batch_format="pyarrow")
+    closed = hash_join(wedges, epk, key="vw", how="semi",
+                       num_buckets=num_buckets,
+                       left_cols=["vw", "pv", "pw"], right_cols=["vw"],
+                       left_types={c: "int64" for c in
+                                   ("vw", "pv", "pw")},
+                       right_types={"vw": "int64"})
+
+    def fan3(t: pa.Table) -> pa.Table:
+        ks = np.concatenate([
+            t["vw"].to_numpy(zero_copy_only=False),
+            t["pv"].to_numpy(zero_copy_only=False),
+            t["pw"].to_numpy(zero_copy_only=False)])
+        un, cn = np.unique(ks, return_counts=True)
+        return pa.table({"k": pa.array(un),
+                         "c": pa.array(cn.astype(np.int64))})
+
+    merged = closed.map_batches(fan3, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("c", alias_name="support"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array((k >> 32).astype(np.int64)),
+            "v": pa.array((k & np.int64(0xFFFFFFFF)).astype(np.int64)),
+            "support": pc.cast(t["support"], pa.int64())})
+
+    return merged.map_batches(unpack, batch_format="pyarrow")

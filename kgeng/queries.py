@@ -3506,6 +3506,19 @@ def parts_triangle_counts(sf_dir: str):
     return triangle_counts(_co_purchase_edges(sf_dir), "src", "dst")
 
 
+def parts_edge_support(sf_dir: str):
+    """Per-EDGE triangle support over the part co-purchase graph
+    (ops/graph.edge_triangle_support) — the k-truss peeling kernel:
+    an edge is in the k-truss iff support >= k-2. Same degree-ordered
+    wedge stream as parts_triangle_counts, each closed wedge crediting
+    its three canonical edges; integer-exact, so the three-way
+    self-join oracle hash-matches."""
+    from kgeng.ops.graph import edge_triangle_support
+
+    return edge_triangle_support(_co_purchase_edges(sf_dir),
+                                 "src", "dst")
+
+
 def parts_k_core(sf_dir: str):
     """60-core of the part co-purchase graph (ops/graph.k_core; the
     graph is dense — min degree ~42-49 at sf scale — so k=60 genuinely

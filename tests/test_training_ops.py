@@ -2108,3 +2108,41 @@ def test_heavy_hitters_rescan_raises_when_sketch_too_coarse():
         pa.table({"term": pa.array(terms)})).repartition(4)
     with pytest.raises(ValueError, match="raise capacity"):
         agg.heavy_hitters_rescan(ds, "term", k=5, capacity=8)
+
+
+# ------------------------------------------------ edge triangle support
+
+def test_edge_triangle_support_plans_agree_and_match_bruteforce():
+    from kgeng.ops import graph as G
+    rng = np.random.default_rng(7)
+    m = 400
+    src = rng.integers(0, 60, m)
+    dst = rng.integers(0, 60, m)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    a = G.edge_triangle_support(ds, "src", "dst") \
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    b = G.edge_triangle_support(ds, "src", "dst",
+                                broadcast_edges_cutover=0) \
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    assert a.equals(b), "plan A != plan B"
+    # brute force
+    E = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            E.add((min(s, d), max(s, d)))
+    import collections
+    sup = collections.Counter()
+    Es = sorted(E)
+    for i, (u, v) in enumerate(Es):
+        for (x, y) in Es[i + 1:]:
+            if x == u:  # wedge u-v, u-y
+                lo, hi = min(v, y), max(v, y)
+                if (lo, hi) in E:
+                    sup[(u, v)] += 1
+                    sup[(x, y)] += 1
+                    sup[(lo, hi)] += 1
+    want = sorted((u, v, c) for (u, v), c in sup.items())
+    got = list(map(tuple, a[["u", "v", "support"]].values.tolist()))
+    assert got == want
