@@ -1700,9 +1700,23 @@ def _slpa_distributed(edges: ray.data.Dataset, src: str, dst: str,
 
 # --------------------------------------- label propagation (communities)
 
+@ray.remote
+def _lpa_block(idx, labpos: np.ndarray, n: int):
+    """Per-block (dst_pos, src_label_pos) pair counts, packed as
+    dst*n + labpos (n-bounded by the plan-A cutover, so the product
+    stays well inside int64). Returns (packed keys, counts)."""
+    si, di, _ = idx
+    packed = di.astype(np.int64) * n + labpos[si]
+    un, cn = np.unique(packed, return_counts=True)
+    return un, cn.astype(np.int64)
+
+
 def label_propagation_communities(edges: ray.data.Dataset,
                                   src: str = "src", dst: str = "dst",
-                                  rounds: int = 4) -> ray.data.Dataset:
+                                  rounds: int = 4, state: str = "auto",
+                                  max_driver_nodes: int = 50_000_000,
+                                  max_driver_pairs: int = 50_000_000
+                                  ) -> ray.data.Dataset:
     """Synchronous label-propagation community detection —
     'labelpropagation' in the reference's Pregel algorithm list
     (arguments.py:187-188), run server-side there. Labels start as
@@ -1714,18 +1728,80 @@ def label_propagation_communities(edges: ray.data.Dataset,
     result deterministic and SQL-replayable
     (queries.labelprop_oracle_sql unrolls the same rounds).
 
-    Fully distributed dataset rounds (no driver-held vectors — the
-    scale shape, like _scc_distributed): per round one hash join of
-    labels onto edge sources, a combiner-style per-block (node,label)
-    count, a 2-key groupby sum, the bucketed top-1 argmax, and a left
-    join carrying no-in-edge nodes. Only (node,label,count) int64
-    rows ever shuffle."""
-    import pandas as pd
+    Plan A (default under the cutovers — the pagerank-plan-A shape):
+    edge blocks stage once as :class:`_IndexedEdges`; each round fans
+    one raw task per block computing packed (dst, src_label) pair
+    counts, and the driver merges the <= E pair partials with one
+    sort+reduceat and an argmax lexsort. A full Dataset execution per
+    round (joins + 2-key groupby + bucketed top-1) measured ~60 s of
+    pure fixed scheduling per round at bench scale for milliseconds
+    of numpy — the same pathology the r4 pagerank fix killed.
+    ``max_driver_nodes`` bounds the label vector, ``max_driver_pairs``
+    the per-merge pair stream (<= edge count); past either, plan B.
 
-    from kgeng.ops.rank import top_k_per_group
-
+    Plan B (``state='distributed'`` or past the cutovers): fully
+    distributed dataset rounds — per round one hash join of labels
+    onto edge sources, combiner-style per-block (node,label) counts,
+    a 2-key groupby sum, the bucketed top-1 argmax, and a left join
+    carrying no-in-edge nodes. Only (node,label,count) int64 rows
+    ever shuffle."""
     eproj = _ren(edges, {"src": src, "dst": dst},
                  ["src", "dst"]).materialize()
+    if state == "auto":
+        m = eproj.count()
+        state = "driver" if m <= max_driver_pairs else "distributed"
+    if state == "driver":
+        ie = _IndexedEdges(
+            _bounded_blocks(eproj), None, "src", "dst",
+            max_nodes=max_driver_nodes,
+            max_nodes_hint=("label_propagation_communities "
+                            "max_driver_nodes=<n> or "
+                            "state='distributed'"))
+        n = ie.n
+        if n == 0:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64())}))
+        labpos = np.arange(n, dtype=np.int64)
+        for _ in range(rounds):
+            ref = ray.put(labpos)
+            parts = ray.get([_lpa_block.remote(i, ref, n)
+                             for i in ie.idx])
+            keys = np.concatenate([p[0] for p in parts]) if parts \
+                else np.zeros(0, np.int64)
+            cnts = np.concatenate([p[1] for p in parts]) if parts \
+                else np.zeros(0, np.int64)
+            if keys.size == 0:
+                break
+            order = np.argsort(keys, kind="stable")
+            keys, cnts = keys[order], cnts[order]
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            ks = keys[starts]
+            cs = np.add.reduceat(cnts, starts)
+            dsts = ks // n
+            lp = ks % n
+            # argmax per dst, ties to the smallest label (nodes are
+            # sorted ascending, so position order == value order)
+            o2 = np.lexsort((lp, -cs, dsts))
+            d_sorted = dsts[o2]
+            first = np.flatnonzero(np.r_[True,
+                                         d_sorted[1:] != d_sorted[:-1]])
+            new = labpos.copy()
+            new[d_sorted[first]] = lp[o2][first]
+            labpos = new
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array(ie.nodes),
+             "label": pa.array(ie.nodes[labpos])}))
+
+    return _label_propagation_distributed(eproj, rounds)
+
+
+def _label_propagation_distributed(eproj: ray.data.Dataset,
+                                   rounds: int) -> ray.data.Dataset:
+    """Plan B: see :func:`label_propagation_communities`."""
+    import pandas as pd  # noqa: F401
+
+    from kgeng.ops.rank import top_k_per_group
     nodes = _nodes_dataset(eproj, "src", "dst")
     lab = nodes.map_batches(
         lambda t: pa.table({"node": t["node"], "label": t["node"]}),

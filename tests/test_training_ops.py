@@ -2146,3 +2146,18 @@ def test_edge_triangle_support_plans_agree_and_match_bruteforce():
     want = sorted((u, v, c) for (u, v), c in sup.items())
     got = list(map(tuple, a[["u", "v", "support"]].values.tolist()))
     assert got == want
+
+
+def test_labelprop_plans_agree():
+    from kgeng.ops import graph as G
+    rng = np.random.default_rng(3)
+    m = 300
+    t = pa.table({"src": pa.array(rng.integers(0, 40, m), pa.int64()),
+                  "dst": pa.array(rng.integers(0, 40, m), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    a = G.label_propagation_communities(ds, rounds=3, state="driver") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = G.label_propagation_communities(ds, rounds=3,
+                                        state="distributed") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b), (a.head(), b.head())
